@@ -1,0 +1,40 @@
+"""Every registered query matches its DuckDB oracle at sf0.001.
+
+This mirrors the driver's t2 gate (which runs at sf0.01) — row count,
+column-name set, and an order-insensitive value hash. Fast enough to
+run on every change; tools/verify_local.py runs the same compare at
+sf0.01.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tools.verify_local import value_hash  # noqa: E402
+
+from workhop2_etl_spark import suite  # noqa: E402
+
+suite.load_all()
+
+from tests.conftest import SF_DIR  # noqa: E402
+
+CASES = sorted(suite.QUERIES)
+
+
+@pytest.mark.parametrize("name", CASES)
+def test_query_matches_oracle(name, spark, duck):
+    sdf = suite.QUERIES[name](spark, SF_DIR)
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
+    if name not in suite.ORACLES:
+        pytest.skip(f"{name}: rows-only (no oracle)")
+    res = duck.execute(suite.ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert len(srows) == len(orows), f"rowcount {len(srows)} != {len(orows)}"
+    assert sorted(scols) == sorted(ocols)
+    assert value_hash(scols, srows) == value_hash(ocols, orows)

@@ -1,0 +1,108 @@
+"""Scalar cleaning functions — SURVEY.md §2.3 (F1–F9).
+
+Every scalar transform in the reference pipeline — including its one
+real Python UDF, ``normalize_text`` (dags/etl_grammy_spotify.py:105-111)
+— compiles here to built-in column expressions. Zero Python UDFs:
+everything stays inside whole-stage codegen, which is the difference
+between a vectorized JVM pipeline and a per-row Python round-trip at
+100 TB.
+
+All functions are ``Column -> Column`` (composable in any select),
+with reference file:line citations for parity checking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Artist-separator tokens the reference folds to ';'
+#: (dags/etl_grammy_spotify.py:108-109): feat. / featuring / ft. / & / and,
+#: each consumed together with surrounding whitespace. Kept verbatim —
+#: including the absence of word boundaries around 'and', so 'band' →
+#: 'b;' exactly as in the reference (a documented quirk, not a bug here).
+_SEP_PATTERN = r"\s*(?:feat\.|featuring|ft\.|&|and)\s*"
+
+
+def normalize_text(c: Column) -> Column:
+    """F1 — the reference's core normalizer (dags/etl_grammy_spotify.py:105-111).
+
+    null→'' ; lowercase ; trim ; artist separators → ';' ; collapse
+    whitespace. Pure expressions: coalesce/lower/trim/regexp_replace.
+    """
+    x = F.trim(F.lower(F.coalesce(c, F.lit(""))))
+    x = F.regexp_replace(x, _SEP_PATTERN, ";")
+    return F.regexp_replace(x, r"\s+", " ")
+
+
+def normalize_simple(c: Column) -> Column:
+    """F2 — fillna('') + lower + strip (dags/etl_grammy_spotify.py:116-117)."""
+    return F.trim(F.lower(F.coalesce(c, F.lit(""))))
+
+
+def normalize_separators_only(c: Column) -> Column:
+    """F3 — the pipeline's *second* artist normalizer
+    (dags/etl_grammy_spotify.py:206): lowercase + literal '&'/',' → ';'.
+    Deliberately distinct from F1 (no feat-handling, no trim) — the two
+    variants disagree on purpose (SURVEY.md §3.2).
+    """
+    return F.translate(F.lower(c), "&,", ";;")
+
+
+def blank_to_null(c: Column) -> Column:
+    """F4 — `''` (and whitespace-only) → NULL. The engine normalizes the
+    reference's three null regimes ('' / NaN / 'N/A') to real NULLs at
+    ingest (SURVEY.md §7.4 item 4)."""
+    return F.when(F.trim(c) == "", None).otherwise(c)
+
+
+def null_to_sentinel(c: Column, sentinel: str = "N/A") -> Column:
+    """F4 (export side) — re-materialize the reference's 'N/A' sentinel
+    only at the output boundary (dags/etl_grammy_spotify.py:272)."""
+    return F.coalesce(c, F.lit(sentinel))
+
+
+def str_to_bool(c: Column) -> Column:
+    """F5 — `'true'/'false'` (any case) → boolean, else NULL
+    (dags/etl_grammy_spotify.py:275-276). The pandas original's
+    `.astype(bool)` after the map turned unmapped→NaN→True; that footgun
+    is deliberately not reproduced (eda.ipynb cell 15 fills False)."""
+    lc = F.lower(F.trim(c))
+    return (
+        F.when(lc == "true", F.lit(True)).when(lc == "false", F.lit(False)).otherwise(F.lit(None))
+    ).cast("boolean")
+
+
+def parse_timestamp_coerce(c: Column, fmt: str = "yyyy-MM-dd'T'HH:mm:ssXXX") -> Column:
+    """F6 — ISO-8601-with-offset parse, NULL on failure — matches
+    `pd.to_datetime(errors='coerce')` (dags/cargar_grammy.py:9-10).
+    Spark's try_to_timestamp returns NULL instead of raising."""
+    return F.try_to_timestamp(c, F.lit(fmt))
+
+
+def cast_numeric_sentinel(c: Column, dtype: str, sentinel: str = "N/A") -> Column:
+    """F7 — numeric re-cast treating the string sentinel as NULL
+    (dags/etl_grammy_spotify.py:279-293). try_cast keeps any other
+    unparseable garbage NULL rather than failing the job."""
+    return F.when(c == sentinel, F.lit(None)).otherwise(c).try_cast(dtype)
+
+
+def prefix_before(c: Column, delim: str = "(") -> Column:
+    """F8 — text before the first delimiter, trimmed — the fuzzy-join
+    fallback key `song.split('(')[0].strip()`
+    (dags/etl_grammy_spotify.py:236). substring_index needs no regex
+    escaping (the reference needed re.escape; we don't)."""
+    return F.trim(F.substring_index(c, delim, 1))
+
+
+def impute_when(c: Column, cond: Column, replacement: Column) -> Column:
+    """F9 — conditional column assignment (dags/etl_grammy_spotify.py:173-180):
+    `c := replacement WHERE cond` as a pure expression."""
+    return F.when(cond, replacement).otherwise(c)
+
+
+def keyword_match(c: Column, keywords: list[str]) -> Column:
+    """P4 — ANY-keyword containment (dags/etl_grammy_spotify.py:143-144).
+    The reference uses a Python `apply(lambda … any …)`; here a single
+    rlike alternation (keywords must be regex-safe literals)."""
+    return c.rlike("|".join(keywords))

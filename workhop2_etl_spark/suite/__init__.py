@@ -1,0 +1,51 @@
+"""Named query suite — the correctness surface of the engine.
+
+Every operator from SURVEY.md §2 (and every north-star extension) is
+exposed here as a named query ``(spark, sf_dir) -> DataFrame`` plus,
+where SQL-expressible, an equivalent DuckDB oracle SQL string. The
+driver runs both sides at sf0.01 and compares row-count + schema +
+order-insensitive value hash (``__spark_entry__.py`` contract).
+
+Oracle SQL runs in DuckDB only, so it may use DuckDB-native idioms
+(list_* functions, time_bucket, ``g`` regexp flags) as long as the
+*result values and column names* match the Spark side exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query (and optional DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every suite module so registrations run."""
+    from workhop2_etl_spark.suite import (  # noqa: F401
+        aggs,
+        core,
+        dedup,
+        joins,
+        multimodal,
+        similarity,
+        streaming,
+        text,
+    )

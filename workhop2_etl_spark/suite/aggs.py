@@ -1,0 +1,270 @@
+"""Aggregation queries — SURVEY.md §2.5 (A1–A9), §2.6 (O1/O2).
+
+The reference's aggregations are group-counts, top-k, count-distinct,
+per-column quality probes, and histograms (``eda.ipynb`` cells 8–17,
+README.md:99-124 KPIs). Re-expressed over the driver testdata tables
+so the DuckDB oracle can check them value-for-value; each maps to a
+single shuffle with map-side partial aggregation (Spark plans
+partial+final hash aggregate automatically).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+
+# ---------------------------------------------------------------------------
+# Flagship: pricing summary (TPC-H Q1 shape) — the canonical "does the whole
+# engine work" aggregation: scan → filter (pushed to parquet) → hash agg
+# (partial+final) → small sort. Generalizes the reference's group-count KPIs
+# (A1/A8, eda.ipynb cells 14-17) to measure aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                       AS sum_qty,
+      round(sum(l_extendedprice), 2)                                  AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)               AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      round(avg(l_quantity), 4)                                       AS avg_qty,
+      round(avg(l_extendedprice), 4)                                  AS avg_price,
+      round(avg(l_discount), 4)                                       AS avg_disc,
+      count(*)                                                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 + O2: group-by count → top-k. Reference: top-10 categories / genres
+# (eda.ipynb cells 15,17 — `value_counts().head(10)`). Spark plans
+# TakeOrderedAndProject — a true top-k, no global sort.
+# ---------------------------------------------------------------------------
+@query(
+    "a1_topk_group_count",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY n DESC, o_orderpriority
+    LIMIT 10
+    """,
+)
+def a1_topk_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "o_orderpriority")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: per-column count-distinct (eda.ipynb cell 8 `df.nunique()`). Exact here;
+# at 100 TB the same query ships as approx_count_distinct (HLL) — one pass,
+# no per-column shuffle explosion.
+# ---------------------------------------------------------------------------
+@query(
+    "a2_count_distinct",
+    oracle="""
+    SELECT
+      count(DISTINCT o_custkey)       AS n_custkey,
+      count(DISTINCT o_orderstatus)   AS n_orderstatus,
+      count(DISTINCT o_orderpriority) AS n_orderpriority,
+      count(DISTINCT o_orderdate)     AS n_orderdate
+    FROM orders
+    """,
+)
+def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderstatus").alias("n_orderstatus"),
+        F.countDistinct("o_orderpriority").alias("n_orderpriority"),
+        F.countDistinct("o_orderdate").alias("n_orderdate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3: per-column conditional counts — the reference's empty-string probe
+# (eda.ipynb cells 9-10, `(df=='').sum()`), generalized to a null/blank
+# data-quality scan. Single pass, one row out.
+# ---------------------------------------------------------------------------
+@query(
+    "a3_quality_counts",
+    oracle="""
+    SELECT
+      sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)     AS empty_text,
+      sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END)     AS empty_lang,
+      sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS empty_source,
+      count(*)                                                       AS n_rows
+    FROM documents
+    """,
+)
+def a3_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def blank(c: str):
+        return F.sum(F.when(F.col(c).isNull() | (F.col(c) == ""), 1).otherwise(0))
+
+    return docs.agg(
+        blank("text").alias("empty_text"),
+        blank("lang").alias("empty_lang"),
+        blank("source").alias("empty_source"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: scalar counts — row count and full-row duplicate count
+# (eda.ipynb cell 12 `duplicated().sum()`). dup count computed as
+# count - distinct-count: two aggregations, no driver loop.
+# ---------------------------------------------------------------------------
+@query(
+    "a4_dup_counts",
+    oracle="""
+    SELECT
+      count(*) AS n_rows,
+      count(*) - (SELECT count(*) FROM (SELECT DISTINCT * FROM lineitem)) AS n_full_dups
+    FROM lineitem
+    """,
+)
+def a4_dup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    distinct = li.distinct().agg(F.count(F.lit(1)).alias("n_distinct"))
+    return total.crossJoin(distinct).select(
+        "n_rows", (F.col("n_rows") - F.col("n_distinct")).alias("n_full_dups")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: histogram — fixed-width binning (eda.ipynb cell 16, popularity hist).
+# floor(x/width) keeps it a plain hash aggregate; no rdd.histogram.
+# ---------------------------------------------------------------------------
+@query(
+    "a5_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 20000.0) AS BIGINT) AS bin, count(*) AS n
+    FROM orders
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def a5_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.floor(F.col("o_totalprice") / F.lit(20000.0)).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bin")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A7: key-duplicate detection (eda.ipynb cell 13: rows whose track_id appears
+# >1 time). count-over-partition window; shuffle on the key only.
+# ---------------------------------------------------------------------------
+@query(
+    "a7_key_dup_rows",
+    oracle="""
+    SELECT l_orderkey, n_per_key FROM (
+      SELECT l_orderkey, count(*) OVER (PARTITION BY l_orderkey) AS n_per_key
+      FROM lineitem
+    ) WHERE n_per_key > 1
+    ORDER BY l_orderkey
+    LIMIT 100
+    """,
+)
+def a7_key_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey")
+    return (
+        li.withColumn("n_per_key", F.count(F.lit(1)).over(w))
+        .filter(F.col("n_per_key") > 1)
+        .select("l_orderkey", "n_per_key")
+        .orderBy("l_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A8/A9 KPI shape: "most awarded artist" → busiest customer by order count
+# and spend (README.md:103 KPI over the testdata schema).
+# ---------------------------------------------------------------------------
+@query(
+    "a8_top_entities",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY n_orders DESC, total_spend DESC, o_custkey
+    LIMIT 20
+    """,
+)
+def a8_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        .orderBy(F.desc("n_orders"), F.desc("total_spend"), "o_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2: global sort + limit → TakeOrderedAndProject (real top-k).
+# ---------------------------------------------------------------------------
+@query(
+    "o2_sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def o2_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
