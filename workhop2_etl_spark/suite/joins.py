@@ -1,1 +1,253 @@
-"""Placeholder — populated incrementally."""
+"""Join / dedup / union queries — SURVEY.md §2.4, §2.7.
+
+Same operator shapes as the reference's merges and its nested-loop
+fuzzy match, over the driver testdata. NULLS LAST is spelled
+explicitly in every oracle ORDER BY inside windows — Spark's
+desc() is nulls-last, DuckDB's DESC defaults nulls-first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.functions import clean
+from workhop2_etl_spark.operators.dedupe import argmax_dedupe, key_duplicate_rows
+from workhop2_etl_spark.operators.joins import fuzzy_enrich, impute_left_join
+from workhop2_etl_spark.operators.union_ops import union_by_name
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+
+# ---------------------------------------------------------------------------
+# J1: keyed left join + coalesce write-back (album-imputation shape,
+# reference :128-136). Customers with a blanked-out segment get it imputed
+# from their nation's region name; untouched rows keep their value.
+# ---------------------------------------------------------------------------
+@query(
+    "j1_impute_left_join",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_nationkey,
+             CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS segment
+      FROM customer
+    ),
+    src AS (
+      SELECT n_nationkey, r_name,
+             row_number() OVER (PARTITION BY n_nationkey
+                                ORDER BY r_name NULLS LAST, n_name) AS rn
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT b.c_custkey, b.c_nationkey,
+           coalesce(s.r_name, b.segment) AS segment
+    FROM base b LEFT JOIN (SELECT * FROM src WHERE rn = 1) s
+      ON b.c_nationkey = s.n_nationkey
+    ORDER BY b.c_custkey
+    """,
+)
+def j1_impute_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    base = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    src = nation.join(region, nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "r_name", "n_name"
+    )
+    out = impute_left_join(
+        base,
+        src,
+        on=base.c_nationkey == src.n_nationkey,
+        fill={"segment": F.col("r_name")},
+        pick_order=[F.asc_nulls_last("r_name"), F.asc("n_name")],
+        source_key=["n_nationkey"],
+    )
+    return out.orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J2 shape: 1:N fan-out left join resolved by explicit argmax (the
+# song-imputation write-back, reference :156-168 — there last-match-wins by
+# iteration order; here argmax by quantity with full tiebreak).
+# ---------------------------------------------------------------------------
+@query(
+    "j2_fanout_argmax_join",
+    oracle="""
+    WITH picked AS (
+      SELECT l_partkey, l_extendedprice, l_orderkey,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY l_extendedprice DESC NULLS LAST,
+                                         l_orderkey, l_linenumber) AS rn
+      FROM lineitem
+    )
+    SELECT p.p_partkey, p.p_name,
+           s.l_orderkey AS best_orderkey,
+           round(coalesce(s.l_extendedprice, 0.0), 2) AS best_price
+    FROM part p LEFT JOIN (SELECT * FROM picked WHERE rn = 1) s
+      ON p.p_partkey = s.l_partkey
+    ORDER BY p.p_partkey
+    """,
+)
+def j2_fanout_argmax_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    picked = argmax_dedupe(
+        li.select("l_partkey", "l_extendedprice", "l_orderkey", "l_linenumber"),
+        ["l_partkey"],
+        [F.desc_nulls_last("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+    )
+    return (
+        part.join(picked, part.p_partkey == picked.l_partkey, "left")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("l_orderkey").alias("best_orderkey"),
+            F.round(F.coalesce(F.col("l_extendedprice"), F.lit(0.0)), 2).alias("best_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3: the two-pass fuzzy theta join — the reference's core operator
+# (nested Python loop :222-250) as hash-join arm + broadcast-NLJ arm.
+# Parts look for documents that contain their full name (exact arm);
+# misses retry with just the name's first word (prefix fallback F8);
+# best match = longest document, doc_id tiebreak; no match → NULLs.
+# Output row count == part row count, exactly like the reference.
+# ---------------------------------------------------------------------------
+@query(
+    "j3_fuzzy_two_pass",
+    oracle="""
+    WITH g AS (
+      SELECT p_partkey, p_name, trim(split_part(p_name, ' ', 1)) AS w
+      FROM part
+    ),
+    d AS (SELECT doc_id, text, n_chars FROM documents),
+    p1 AS (
+      SELECT g.p_partkey, g.p_name, g.w, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY g.p_partkey
+                                ORDER BY d.n_chars DESC NULLS LAST, d.doc_id) AS rn
+      FROM g LEFT JOIN d ON contains(d.text, g.p_name)
+    ),
+    p1best AS (SELECT * FROM p1 WHERE rn = 1),
+    hit1 AS (SELECT p_partkey, p_name, doc_id, n_chars FROM p1best WHERE doc_id IS NOT NULL),
+    miss1 AS (SELECT p_partkey, p_name, w FROM p1best WHERE doc_id IS NULL),
+    p2 AS (
+      SELECT m.p_partkey, m.p_name, d.doc_id, d.n_chars,
+             row_number() OVER (PARTITION BY m.p_partkey
+                                ORDER BY d.n_chars DESC NULLS LAST, d.doc_id) AS rn
+      FROM miss1 m LEFT JOIN d ON contains(d.text, m.w)
+    ),
+    hit2 AS (SELECT p_partkey, p_name, doc_id, n_chars FROM p2 WHERE rn = 1)
+    SELECT * FROM hit1 UNION ALL SELECT * FROM hit2 ORDER BY p_partkey
+    """,
+)
+def j3_fuzzy_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    docs = load_table(spark, sf_dir, "documents")
+    left = part.select(
+        "p_partkey",
+        "p_name",
+        clean.prefix_before(F.col("p_name"), " ").alias("w"),
+    )
+    right = docs.select("doc_id", "text", "n_chars")
+    out = fuzzy_enrich(
+        left,
+        right,
+        left_key="p_partkey",
+        exact_cond=F.col("text").contains(F.col("p_name")),
+        fallback_cond=F.col("text").contains(F.col("w")),
+        pick_order=[F.desc_nulls_last("n_chars"), F.asc("doc_id")],
+        right_cols=["doc_id", "n_chars", "text"],
+    )
+    return out.select("p_partkey", "p_name", "doc_id", "n_chars").orderBy("p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# J4: argmax dedup — most popular version per key with deterministic
+# tiebreak (reference :216-219).
+# ---------------------------------------------------------------------------
+@query(
+    "j4_argmax_dedupe",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+    FROM (
+      SELECT l_orderkey, l_linenumber, l_extendedprice,
+             row_number() OVER (PARTITION BY l_orderkey
+                                ORDER BY l_extendedprice DESC NULLS LAST,
+                                         l_linenumber) AS rn
+      FROM lineitem
+    ) WHERE rn = 1
+    ORDER BY l_orderkey
+    """,
+)
+def j4_argmax_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = argmax_dedupe(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_orderkey"],
+        [F.desc_nulls_last("l_extendedprice"), F.asc("l_linenumber")],
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price")
+    ).orderBy("l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# A7 (as reusable operator): key-duplicate detection via count window.
+# ---------------------------------------------------------------------------
+@query(
+    "a7_operator_key_dups",
+    oracle="""
+    SELECT o_custkey, n_per_key FROM (
+      SELECT o_custkey, count(*) OVER (PARTITION BY o_custkey) AS n_per_key
+      FROM orders
+    ) WHERE n_per_key > 1
+    ORDER BY o_custkey, n_per_key
+    LIMIT 500
+    """,
+)
+def a7_operator_key_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        key_duplicate_rows(orders.select("o_custkey"), ["o_custkey"])
+        .orderBy("o_custkey", "n_per_key")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1: schema-divergent UNION ALL by name (reference :253) — the two sides
+# share some columns; missing ones NULL-fill.
+# ---------------------------------------------------------------------------
+@query(
+    "u1_union_by_name",
+    oracle="""
+    SELECT o_orderkey AS okey, o_orderpriority AS priority,
+           round(o_totalprice, 2) AS price, NULL::VARCHAR AS status
+    FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey AS okey, NULL AS priority, NULL::DOUBLE AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 10 = 5
+    ORDER BY okey
+    """,
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round("o_totalprice", 2).alias("price"),
+    )
+    b = orders.filter(F.col("o_orderkey") % 10 == 5).select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    return union_by_name(a, b).select("okey", "priority", "price", "status").orderBy("okey")
