@@ -1,0 +1,102 @@
+"""Multimodal-column plumbing: image/audio/video as opaque binary.
+
+The engine treats media as `binary` columns plus typed metadata
+structs, processed with Arrow-batched pandas functions via
+``mapInPandas`` — the standard shape for decode / feature-extract /
+resize / frame-sample stages at corpus scale:
+
+* the binary payload never round-trips through Python row-at-a-time —
+  Arrow moves whole column batches;
+* decode stages are per-row independent → embarrassingly parallel,
+  no shuffle; partition sizing is controlled by the upstream scan;
+* metadata (dims, duration, codec) lives in ordinary columns so
+  filters on it push down and never touch the payload.
+
+The actual codec work (PIL/ffmpeg/torchaudio) is NOT part of this
+container, so the decoders below are deterministic STUBS behind the
+real plumbing: real schema, real batch iteration, real UDF
+signatures. Swap ``_fake_decode_*`` for a real decoder and nothing
+else changes. Functions that would need the real library raise
+NotImplementedError explicitly.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Metadata schema a real image decoder would produce.
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+    ]
+)
+
+
+def _fake_decode_image(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for a real image decode: pretends the
+    payload is an image and derives (width, height, channels) from
+    its bytes. Replace with PIL.Image.open when the codec libs exist."""
+    if payload is None:
+        return (None, None, None)
+    n = len(payload)
+    return (n % 640 + 1, n % 480 + 1, 3)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Test harness: materialize an opaque binary column (UTF-8 bytes
+    of the text). In production this column comes straight from the
+    source (parquet BYTE_ARRAY / webdataset tars)."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+def extract_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode stage: binary payload → typed metadata via mapInPandas.
+
+    One Arrow batch in, one pandas frame out — the decoder touches
+    each payload exactly once and emits only small metadata rows, so
+    the expensive bytes are dropped before any shuffle.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = {
+                "doc_id": pdf[id_col],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else None),
+                "sha256": pdf["payload"].map(
+                    lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+                ),
+            }
+            dims = pdf["payload"].map(_fake_decode_image)
+            meta["width"] = dims.map(lambda d: d[0])
+            meta["height"] = dims.map(lambda d: d[1])
+            meta["channels"] = dims.map(lambda d: d[2])
+            yield pd.DataFrame(meta)
+
+    return df.select(id_col, "payload").mapInPandas(decode, IMAGE_META_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage — requires a real codec library."""
+    raise NotImplementedError(
+        "image resize needs PIL/opencv, which are not in this container; "
+        "the stage plugs in as another mapInPandas over (doc_id, payload)"
+    )
+
+
+def sample_video_frames(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
+    """Frame-sampling stage — requires ffmpeg bindings."""
+    raise NotImplementedError(
+        "video frame sampling needs ffmpeg; same mapInPandas shape — "
+        "one input row fans out to one row per sampled frame"
+    )

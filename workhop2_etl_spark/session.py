@@ -80,8 +80,23 @@ def get_spark(app_name: str = "workhop2_etl_spark", shuffle_partitions: int | No
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (lazy scan; column
-    pruning + predicate pushdown reach the footer via Catalyst)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    pruning + predicate pushdown reach the footer via Catalyst).
+
+    `events.ts` is physically TIMESTAMP(NANOS), which the Spark
+    parquet reader rejects; it is read as raw nanos (legacy conf,
+    runtime-settable) and floored to a microsecond timestamp — the
+    same `epoch_ns // 1000` convention the oracles use.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name != "events":
+        return spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(path)
+    # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
+    # 53-bit mantissa, so float division would corrupt microseconds.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

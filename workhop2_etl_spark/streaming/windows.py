@@ -1,0 +1,136 @@
+"""Structured-Streaming operators over the events stream.
+
+The reference has no streaming surface (its DAG is manual-trigger
+batch — SURVEY.md §2.9); this module is the engine's designated
+extension over `events(event_id, ts, user_id, event_type, value,
+props)`: tumbling / sliding / session windows with watermarked late-
+data handling.
+
+Every transform is written against a plain DataFrame, so the same
+function body serves both engines' modes:
+
+* batch — called on `spark.read.parquet(...)` (what the oracle
+  checks; `window()`/`session_window()` are ordinary expressions);
+* streaming — called on `spark.readStream...` and run with an
+  ``availableNow`` trigger (tests assert stream ≡ batch).
+
+At scale the stateful aggregations shuffle by (window, key); the
+watermark bounds state size — without it a session/window store
+grows forever on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Late-data tolerance for all watermarked aggregations.
+DEFAULT_WATERMARK = "30 minutes"
+
+
+def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    """withWatermark is required for append-mode streaming aggs; in
+    batch mode it is accepted and ignored, so the same plan runs in
+    both modes. Pass None to skip (batch oracle parity paths)."""
+    return df.withWatermark(ts_col, watermark) if watermark else df
+
+
+def tumbling_counts(
+    df: DataFrame,
+    width: str = "1 hour",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time windows: count + sum(value) per
+    (window, event_type)."""
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    df: DataFrame,
+    width: str = "1 hour",
+    slide: str = "15 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding (hopping) windows — each event lands in width/slide
+    overlapping windows."""
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_windows(
+    df: DataFrame,
+    gap: str = "10 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization per user: a session closes after
+    ``gap`` of inactivity; window.end = last event + gap."""
+    d = _maybe_watermark(df, ts_col, watermark)
+    return (
+        d.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(
+    spark,
+    parquet_path: str,
+    transform,
+    table_name: str,
+    watermark: str | None = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Replay a parquet file as a bounded stream (availableNow) into a
+    memory sink and return the materialized result — the test harness
+    proving each transform runs as a genuine streaming query with
+    state + watermark, not just in batch."""
+    import tempfile
+
+    schema = spark.read.parquet(parquet_path).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    out = transform(stream, watermark)
+    ckpt = tempfile.mkdtemp(prefix="w2e_ckpt_")
+    # complete mode: emit every window at stream end — append mode
+    # would (correctly) hold back windows newer than the watermark,
+    # which is exactly what we don't want when asserting stream ≡ batch.
+    q = (
+        out.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

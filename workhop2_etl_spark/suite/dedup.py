@@ -1,1 +1,267 @@
-"""Placeholder — populated incrementally."""
+"""Deduplication queries over `documents` — north-star extension ops.
+
+The corpus under test is documents ∪ synthesized near-duplicates
+(first token dropped) ∪ exact duplicates, built identically on both
+engines, so every dedup path has real positives to find.
+
+Everything — including MinHash signatures and LSH band keys — is
+oracle-checked in DuckDB: the hash family is md5 and the min is
+taken lexicographically over hex digests, which every engine
+computes identically (operators/dedup_text.py design note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators import dedup_text as DD
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+NUM_HASHES = 16
+NUM_BANDS = 4
+SHINGLE_N = 3
+
+# ---------------------------------------------------------------------------
+# Shared corpus construction (identical on both engines)
+# ---------------------------------------------------------------------------
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.regexp_replace(F.col("text"), r"^\S+\s+", "").alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+_CORPUS_SQL = r"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, regexp_replace(text, '^\S+\s+', '') AS text
+  FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 0
+)
+"""
+
+_SHINGLES_SQL = r"""
+norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt FROM corpus
+),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN nt = '' THEN []::VARCHAR[] ELSE string_split(nt, ' ') END AS tk
+  FROM norm
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                WHEN len(tk) >= 3 THEN
+                  [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+                ELSE [array_to_string(tk, ' ')] END) AS sh
+  FROM toks
+)
+"""
+
+_SIG_COMPONENTS = ",\n           ".join(
+    f"list_min([md5('{i}:' || s) FOR s IN sh])" for i in range(NUM_HASHES)
+)
+_SIG_SQL = f"sig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS sg FROM sh)"
+
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"""  SELECT doc_id, {b} AS band_id,
+         CASE WHEN sg[{b * 4 + 1}] IS NOT NULL
+              THEN md5(array_to_string(sg[{b * 4 + 1}:{b * 4 + 4}], '|')) END AS band_key
+  FROM sig"""
+    for b in range(NUM_BANDS)
+)
+_BANDS_SQL = f"bands AS (\n{_BAND_SELECTS}\n)"
+
+
+# ---------------------------------------------------------------------------
+# d1: exact dedup — identical-content groups via fingerprint
+# ---------------------------------------------------------------------------
+@query(
+    "d1_exact_dup_groups",
+    oracle=rf"""
+    WITH {_CORPUS_SQL.strip()},
+    fp AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+      FROM corpus
+    )
+    SELECT fingerprint, count(*) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    ORDER BY fingerprint
+    """,
+)
+def d1_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return (
+        DD.exact_dup_groups(corpus)
+        .select(
+            "fingerprint",
+            "n_docs",
+            F.array_join(F.col("doc_ids"), ",").alias("doc_ids"),
+        )
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d2: MinHash LSH candidate pairs
+# ---------------------------------------------------------------------------
+@query(
+    "d2_minhash_lsh_pairs",
+    oracle=rf"""
+    WITH {_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    {_SIG_SQL},
+    {_BANDS_SQL}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                AND a.doc_id < b.doc_id
+    WHERE a.band_key IS NOT NULL
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def d2_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return DD.minhash_candidates(
+        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, shingle_n=SHINGLE_N
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# d3: near-dup pairs = LSH candidates + exact Jaccard ≥ 0.5
+# ---------------------------------------------------------------------------
+@query(
+    "d3_near_dup_pairs",
+    oracle=rf"""
+    WITH {_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    {_SIG_SQL},
+    {_BANDS_SQL},
+    cand AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_bands
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.band_key IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared_bands,
+           round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                 THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.id_a
+    JOIN sh sb ON sb.doc_id = cand.id_b
+    WHERE CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+           THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                / len(list_distinct(list_concat(sa.sh, sb.sh)))
+           ELSE 0.0 END >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def d3_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return DD.near_dup_pairs(
+        corpus,
+        threshold=0.5,
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        shingle_n=SHINGLE_N,
+    ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# d4: SimHash duplicate groups
+# ---------------------------------------------------------------------------
+def _hex4_sql(expr: str) -> str:
+    """16-bit int from the first 4 hex chars of md5(expr), spelled in
+    portable SQL arithmetic."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SIMHASH_BITS = " + ".join(
+    f"CASE WHEN 2 * len(list_filter(hs, h -> (h // {1 << b}) % 2 = 1)) - len(hs) > 0 "
+    f"THEN {1 << b} ELSE 0 END"
+    for b in range(16)
+)
+
+
+@query(
+    "d4_simhash_groups",
+    oracle=rf"""
+    WITH {_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    hv AS (
+      SELECT doc_id, [{_hex4_sql('t')} FOR t IN list_distinct(tk)] AS hs
+      FROM toks
+    ),
+    sim AS (SELECT doc_id, ({_SIMHASH_BITS}) AS simhash FROM hv)
+    SELECT simhash, count(*) AS n_docs,
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
+    FROM sim GROUP BY simhash HAVING count(*) > 1
+    ORDER BY simhash
+    """,
+)
+def d4_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    return (
+        DD.simhash_dup_groups(corpus)
+        .select("simhash", "n_docs", F.array_join(F.col("doc_ids"), ",").alias("doc_ids"))
+        .orderBy("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d5: direct n-gram Jaccard similarity on a deterministic pair sample
+# (validates the Jaccard kernel independently of LSH recall)
+# ---------------------------------------------------------------------------
+@query(
+    "d5_ngram_jaccard_sample",
+    oracle=rf"""
+    WITH {_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()}
+    SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+           round(CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+                 THEN len(list_intersect(sa.sh, sb.sh))::DOUBLE
+                      / len(list_distinct(list_concat(sa.sh, sb.sh)))
+                 ELSE 0.0 END, 6) AS jaccard
+    FROM sh sa JOIN sh sb ON sb.doc_id = sa.doc_id + 1000000
+    WHERE sa.doc_id % 50 = 0
+    ORDER BY id_a
+    """,
+)
+def d5_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sh = corpus.select(
+        "doc_id", DD.word_shingles(F.col("text"), SHINGLE_N).alias("sh")
+    )
+    a = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    b = sh.select((F.col("doc_id") - 1_000_000).alias("id_a"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "id_a")
+        .select("id_a", (F.col("id_a") + 1_000_000).alias("id_b"),
+                F.round(DD.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
+        .orderBy("id_a")
+    )

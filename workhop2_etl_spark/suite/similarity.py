@@ -1,1 +1,136 @@
-"""Placeholder — populated incrementally."""
+"""Similarity-search queries over `embeddings` — north-star extension.
+
+Brute-force exact top-k as the baseline, random-hyperplane LSH as the
+scale path. Dot products fold sequentially in double precision on
+both engines (Spark F.aggregate / DuckDB list_reduce), so scores are
+bit-reproducible and the oracle comparison is exact after rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators import similarity as SIM
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+DIM = 64
+K = 5
+NUM_PLANES = 8
+
+_DOT = (
+    "list_reduce([qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, {d} + 1)], (a, b) -> a + b)"
+).format(d=DIM)
+_NQ = (
+    "sqrt(list_reduce([qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, {d} + 1)], (a, b) -> a + b))"
+).format(d=DIM)
+_NC = (
+    "sqrt(list_reduce([cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, {d} + 1)], (a, b) -> a + b))"
+).format(d=DIM)
+
+
+# ---------------------------------------------------------------------------
+# v1: exact brute-force top-k cosine
+# ---------------------------------------------------------------------------
+@query(
+    "v1_topk_cosine_bruteforce",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(CASE WHEN {_NQ} * {_NC} > 0
+                   THEN {_DOT} / ({_NQ} * {_NC}) ELSE 0.0 END, 6) AS score
+      FROM q, c WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v1_topk_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.topk_cosine_bruteforce(emb, queries, k=K).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# v2: LSH-bucketed approximate top-k (hyperplane signatures inlined as
+# literal weight arrays on both engines — same deterministic planes)
+# ---------------------------------------------------------------------------
+
+
+def _plane_sql(vec: str, p: int) -> str:
+    ws = ", ".join(repr(SIM._plane_weight(p, d)) for d in range(DIM))
+    return (
+        f"(CASE WHEN list_reduce([{vec}[i]::DOUBLE * ([{ws}])[i] "
+        f"FOR i IN range(1, {DIM} + 1)], (a, b) -> a + b) >= 0 THEN {1 << p} ELSE 0 END)"
+    )
+
+
+def _sig_sql(vec: str) -> str:
+    return "(" + " + ".join(_plane_sql(vec, p) for p in range(NUM_PLANES)) + ")"
+
+
+@query(
+    "v2_topk_cosine_lsh",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, {_sig_sql('embedding')} AS qsig
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, {_sig_sql('embedding')} AS csig
+      FROM embeddings
+    ),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(CASE WHEN {_NQ} * {_NC} > 0
+                   THEN {_DOT} / ({_NQ} * {_NC}) ELSE 0.0 END, 6) AS score
+      FROM q JOIN c ON qsig = csig AND query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v2_topk_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.topk_cosine_lsh(emb, queries, dim=DIM, k=K, num_planes=NUM_PLANES).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# v3: corpus norm/label profile — cheap embedding-stats scan (one pass)
+# ---------------------------------------------------------------------------
+@query(
+    "v3_embedding_norms",
+    oracle=f"""
+    SELECT label, count(*) AS n,
+           round(avg(sqrt(list_reduce(
+             [embedding[i]::DOUBLE * embedding[i]::DOUBLE FOR i IN range(1, {DIM} + 1)],
+             (a, b) -> a + b))), 6) AS avg_norm
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def v3_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(SIM.l2_norm(F.col("embedding"))), 6).alias("avg_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,1 +1,134 @@
-"""Placeholder — populated incrementally."""
+"""Event-stream window queries — SURVEY.md §2.9 extension surface.
+
+The driver's oracle runs batch SQL, so these entries call the SAME
+transform functions the streaming tests run under readStream +
+availableNow (tests/test_streaming.py asserts stream ≡ batch); the
+DuckDB oracles rebuild the window semantics with time_bucket /
+lag-gap sessionization. Also covers the JSON-functions surface
+(`props` column).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.streaming import windows as SW
+from workhop2_etl_spark.suite import query
+
+
+# ---------------------------------------------------------------------------
+# st1: tumbling windows
+# ---------------------------------------------------------------------------
+@query(
+    "st1_tumbling_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, value, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+    )
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM ev
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def st1_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return SW.tumbling_counts(ev, "1 hour").orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# st2: sliding (hopping) windows — every event in width/slide buckets
+# ---------------------------------------------------------------------------
+@query(
+    "st2_sliding_counts",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+    ),
+    hops AS (
+      SELECT e.*,
+             time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start
+      FROM ev e, (SELECT unnest(range(0, 4)) AS k)
+      WHERE ts < time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes'
+               + INTERVAL '1 hour'
+    )
+    SELECT window_start,
+           window_start + INTERVAL '1 hour' AS window_end,
+           event_type,
+           count(*) AS n
+    FROM hops
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 3
+    """,
+)
+def st2_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return SW.sliding_counts(ev, "1 hour", "15 minutes").orderBy("window_start", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# st3: session windows (10-minute gap per user)
+# ---------------------------------------------------------------------------
+@query(
+    "st3_session_windows",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, value, event_id
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '10 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM ev
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL '10 minutes' AS session_end,
+           user_id,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def st3_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return SW.session_windows(ev, "10 minutes").orderBy("user_id", "session_start")
+
+
+# ---------------------------------------------------------------------------
+# st4: JSON extraction from the props column
+# ---------------------------------------------------------------------------
+@query(
+    "st4_json_props",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_type", F.get_json_object("props", "$.k").cast("long").alias("k"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )

@@ -1,1 +1,153 @@
-"""Placeholder — populated incrementally."""
+"""Text-analysis queries over `documents` — north-star extension ops.
+
+Every query is oracle-checked: the heuristics are built from
+engine-portable primitives (md5, regexp, array ops) precisely so
+DuckDB can reproduce them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators import text as TX
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t1_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t1_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(c).alias("n_tokens"),
+        TX.bpeish_token_count(c).alias("n_bpeish"),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Quality profile (length/punct/stopword ratios + composite score)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t2_quality_profile",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, text, n_chars,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))::DOUBLE
+                       / length(text)
+                  ELSE 0.0 END AS praw,
+             CASE WHEN len(tk) > 0
+                  THEN len(list_filter(tk, t -> list_contains(
+                         ['the','a','of','and','to','in','is','for','on','with'], t)))::DOUBLE
+                       / len(tk)
+                  ELSE 0.0 END AS sraw
+      FROM toks
+    )
+    SELECT doc_id,
+           round(praw, 6) AS punct_ratio,
+           round(sraw, 6) AS stopword_ratio,
+           round(CAST((CASE WHEN n_chars BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.3 END) * 0.4
+               + (CASE WHEN praw <= 0.3 THEN 1.0 ELSE 0.5 END) * 0.3
+               + (CASE WHEN sraw >= 0.05 THEN 1.0 ELSE 0.6 END) * 0.3 AS DOUBLE), 4) AS quality
+    FROM m ORDER BY doc_id
+    """,
+)
+def t2_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(TX.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(TX.stopword_ratio(c), 6).alias("stopword_ratio"),
+        TX.quality_score(c).alias("quality"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language ID (stopword-profile argmax) vs the table's labeled lang
+# ---------------------------------------------------------------------------
+
+def _duck_lang_score(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in TX.LANG_PROFILES[lang])
+    return (
+        f"CASE WHEN len(tk) > 0 THEN "
+        f"round(len(list_filter(tk, t -> list_contains([{words}], t)))::DOUBLE / len(tk), 6) "
+        f"ELSE 0.0 END AS score_{lang}"
+    )
+
+
+@query(
+    "t3_lang_id",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS tk
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, lang,
+             {_duck_lang_score('en')}, {_duck_lang_score('es')},
+             {_duck_lang_score('fr')}, {_duck_lang_score('de')},
+             {_duck_lang_score('zh')}
+      FROM toks
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(score_en, score_es, score_fr, score_de, score_zh) = 0 THEN 'und'
+                ELSE list_sort([
+                       {{'neg': -score_en, 'l': 'en'}},
+                       {{'neg': -score_es, 'l': 'es'}},
+                       {{'neg': -score_fr, 'l': 'fr'}},
+                       {{'neg': -score_de, 'l': 'de'}},
+                       {{'neg': -score_zh, 'l': 'zh'}}])[1].l
+           END AS lang_pred
+    FROM scores ORDER BY doc_id
+    """,
+)
+def t3_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", TX.lang_id(F.col("text")).alias("lang_pred")).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t4_fingerprint",
+    oracle=r"""
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")).orderBy(
+        "doc_id"
+    )
