@@ -27,6 +27,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Headline queries — one per operator family (kept in sync as the
 #: suite grows; bench-critical, not the full correctness matrix).
 HEADLINE = [
+    # aggregation / sort / dedup probes
     "q1_pricing_summary",
     "a1_topk_group_count",
     "a2_count_distinct",
@@ -34,6 +35,24 @@ HEADLINE = [
     "a7_key_dup_rows",
     "a8_top_entities",
     "o2_sort_limit",
+    # scalar kernel + filters
+    "f1_normalize_text",
+    "p1_conj_filter",
+    # joins (equi, fan-out argmax, fuzzy two-pass)
+    "j1_impute_left_join",
+    "j2_fanout_argmax_join",
+    "j3_fuzzy_two_pass",
+    "j4_argmax_dedupe",
+    "u1_union_by_name",
+    # LLM-pipeline extensions
+    "d2_minhash_lsh_pairs",
+    "d4_simhash_groups",
+    "v1_topk_cosine_bruteforce",
+    "t2_quality_profile",
+    "m1_image_meta",
+    # event-time windows
+    "st1_tumbling_counts",
+    "st3_session_windows",
 ]
 
 

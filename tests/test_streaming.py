@@ -13,7 +13,19 @@ from workhop2_etl_spark.streaming import windows as SW
 
 from tests.conftest import SF_DIR
 
-EVENTS = os.path.join(SF_DIR, "events.parquet")
+
+@pytest.fixture(scope="module")
+def events_path(spark):
+    """The driver's events.parquet stores TIMESTAMP(NANOS), which the
+    Spark parquet reader rejects; re-materialize at µs precision (the
+    engine's load_table conversion) for the stream source."""
+    import tempfile
+
+    from workhop2_etl_spark.session import load_table
+
+    out = os.path.join(tempfile.mkdtemp(prefix="w2e_events_"), "events_us.parquet")
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(out)
+    return out
 
 
 def _rows(df):
@@ -28,9 +40,9 @@ def _rows(df):
         ("session", lambda df, wm: SW.session_windows(df, "10 minutes", watermark=wm)),
     ],
 )
-def test_stream_equals_batch(spark, name, transform):
-    batch = transform(spark.read.parquet(EVENTS), None)
+def test_stream_equals_batch(spark, name, transform, events_path):
+    batch = transform(spark.read.parquet(events_path), None)
     streamed = SW.run_stream_to_memory(
-        spark, EVENTS, transform, f"stream_{name}", watermark=SW.DEFAULT_WATERMARK
+        spark, events_path, transform, f"stream_{name}", watermark=SW.DEFAULT_WATERMARK
     )
     assert _rows(streamed) == _rows(batch)

@@ -54,8 +54,9 @@ def fuzzy_enrich(
     left_key: str,
     exact_cond: Column,
     fallback_cond: Column,
-    pick_order: list[Column],
+    pick_min: list[Column],
     right_cols: list[str],
+    payload_cols: list[str] | None = None,
 ) -> DataFrame:
     """J3 — two-pass fuzzy left enrichment with argmax tie-resolution.
 
@@ -64,27 +65,60 @@ def fuzzy_enrich(
     a join filter). Rows with no pass-1 match retry with
     ``fallback_cond`` (pure containment → BroadcastNestedLoopJoin; the
     right side must be bounded, like the reference's ≤114k-row
-    spotify_top). Each pass keeps the single best match per
-    ``left_key`` under ``pick_order`` (reference: max popularity,
-    :244); unmatched rows survive with NULL enrichment — row count of
-    the output equals row count of ``left`` exactly.
+    spotify_top). Unmatched rows survive with NULL enrichment — output
+    row count equals ``left`` row count exactly.
 
-    Both passes see the same ``right`` DataFrame; callers should
-    .cache() it when it is itself expensive.
+    ``pick_min``: the best match per left row MINIMIZES this column
+    tuple lexicographically (negate numeric columns for "max"; e.g.
+    the reference's max-popularity pick (:244) is ``[-popularity,
+    track_id]``). Columns must be non-null on matches (coalesce at
+    the call site if the right side is nullable).
+
+    Scale note — why aggregate-argmax, not window-argmax: a
+    containment arm can fan one left row out to thousands of right
+    matches. ``min(struct(pick, payload))`` collapses that fan-out in
+    the map-side partial aggregate, so the shuffle carries one row
+    per left key; a row_number window would shuffle the entire join
+    product (measured: the window variant did not finish at 20k×5k
+    rows where this runs in seconds). The enrichment payload rides
+    inside the struct, so the heavy right-side columns (document
+    text) never cross the shuffle either.
+
+    ``right_cols`` is the broadcast projection (must include every
+    column the join conditions read); ``payload_cols`` (default: all
+    of right_cols) is what the output keeps. Keep heavy condition-only
+    columns (full document text) OUT of payload_cols — the payload is
+    what flows through the 1-row-per-match aggregate.
     """
+    payload_cols = payload_cols or right_cols
     r = F.broadcast(right.select(*right_cols))
+    payload = F.struct(*[F.col(c) for c in payload_cols])
 
-    pass1 = argmax_dedupe(
-        left.join(r, exact_cond, "left"),
-        [left_key],
-        pick_order,
-    )
-    hit1 = pass1.filter(F.col(right_cols[0]).isNotNull())
-    miss1 = pass1.filter(F.col(right_cols[0]).isNull()).select(*left.columns)
+    # A broadcast NLJ does O(|probe| × |right|) predicate evaluations
+    # *per probe partition* — and a small probe table scans as 1-3
+    # input partitions, serializing the whole theta join onto a few
+    # cores. Spread the probe side across the cluster first; the
+    # broadcast side is already everywhere, so this repartition only
+    # moves the (small) probe rows.
+    parallelism = left.sparkSession.sparkContext.defaultParallelism
 
-    pass2 = argmax_dedupe(
-        miss1.join(r, fallback_cond, "left"),
-        [left_key],
-        pick_order,
-    )
-    return hit1.unionByName(pass2)
+    def best_matches(l_side: DataFrame, cond: Column) -> DataFrame:
+        joined = l_side.repartition(parallelism).join(r, cond, "inner")
+        ranked = F.struct(*pick_min, payload.alias("__payload"))
+        return joined.groupBy(left_key).agg(F.min(ranked).alias("__best"))
+
+    def project(joined: DataFrame, l_cols: list[str]) -> DataFrame:
+        return joined.select(
+            *l_cols, *[F.col(f"__best.__payload.{c}").alias(c) for c in payload_cols]
+        )
+
+    # raw1 feeds three consumers (hit branch, miss branch, and the
+    # pass-2 probe); without a materialization barrier Spark re-runs
+    # the whole pass-1 NLJ+aggregate subtree for each. It is one slim
+    # row per left row — cheap to cache, expensive to recompute.
+    raw1 = left.join(best_matches(left, exact_cond), left_key, "left").cache()
+    hit1 = project(raw1.filter(F.col("__best").isNotNull()), left.columns)
+    miss1 = raw1.filter(F.col("__best").isNull()).select(*left.columns)
+
+    raw2 = miss1.join(best_matches(miss1, fallback_cond), left_key, "left")
+    return hit1.unionByName(project(raw2, left.columns))

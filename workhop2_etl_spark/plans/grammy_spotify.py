@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from workhop2_etl_spark.functions import clean
 from workhop2_etl_spark.operators.dedupe import argmax_dedupe
+from workhop2_etl_spark.operators.joins import fuzzy_enrich
 from workhop2_etl_spark.operators.union_ops import union_by_name
 from workhop2_etl_spark.plans.schemas import (
     FINAL_DROP_COLS,
@@ -237,19 +238,30 @@ def match_songs(grammy: DataFrame, spotify_top: DataFrame, mode: str = "spec") -
     exact = artist_cond & (F.col("track_name_norm") == F.col("nominee_norm"))
     fallback = artist_cond & prefix_cond
 
-    sp = F.broadcast(spotify_top)
-    pick = [
-        F.desc_nulls_last("popularity"),
-        F.asc_nulls_last("track_id"),
-        F.asc_nulls_last("track_genre"),
-    ]
-
-    pass1 = argmax_dedupe(g.join(sp, exact, "left"), ["id"], pick)
-    hit1 = pass1.filter(F.col("track_id").isNotNull())
-    miss1 = pass1.filter(F.col("track_id").isNull()).select(*g.columns)
-    pass2 = argmax_dedupe(miss1.join(sp, fallback, "left"), ["id"], pick)
-
-    return hit1.unionByName(pass2).drop("__song_prefix")
+    # Aggregate-argmax (min over a (pick, payload) struct) instead of
+    # window row_number: a vacuous artist condition can fan one grammy
+    # row out to the whole spotify_top, and the partial aggregate
+    # collapses that on the map side before any shuffle (see
+    # operators/joins.py:fuzzy_enrich scale note). Pick order =
+    # popularity desc (negated), then track_id/track_genre asc —
+    # nulls pushed last via sentinels to match desc_nulls_last /
+    # asc_nulls_last window semantics.
+    enriched = fuzzy_enrich(
+        g,
+        spotify_top,
+        left_key="id",
+        exact_cond=exact,
+        fallback_cond=fallback,
+        # popularity desc (nulls last via sentinel); track_id and
+        # track_genre are non-null by schema/data contract.
+        pick_min=[
+            -F.coalesce(F.col("popularity"), F.lit(-(1 << 31))).cast("long"),
+            F.col("track_id"),
+            F.col("track_genre"),
+        ],
+        right_cols=list(spotify_top.columns),
+    )
+    return enriched.drop("__song_prefix")
 
 
 def split_song_other(grammy: DataFrame) -> tuple[DataFrame, DataFrame]:

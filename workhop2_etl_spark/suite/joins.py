@@ -163,8 +163,9 @@ def j3_fuzzy_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_key="p_partkey",
         exact_cond=F.col("text").contains(F.col("p_name")),
         fallback_cond=F.col("text").contains(F.col("w")),
-        pick_order=[F.desc_nulls_last("n_chars"), F.asc("doc_id")],
+        pick_min=[-F.col("n_chars"), F.col("doc_id")],
         right_cols=["doc_id", "n_chars", "text"],
+        payload_cols=["doc_id", "n_chars"],
     )
     return out.select("p_partkey", "p_name", "doc_id", "n_chars").orderBy("p_partkey")
 
