@@ -268,3 +268,93 @@ def o2_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# A6: full-row dedup as a row-level operator (dropDuplicates) — the
+# count-level probe is a4; this checks the surviving rows themselves.
+# ---------------------------------------------------------------------------
+@query(
+    "a6_full_dedupe",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus, l_quantity
+    FROM lineitem
+    ORDER BY l_returnflag, l_linestatus, l_quantity
+    """,
+)
+def a6_full_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus", "l_quantity")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus", "l_quantity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A9 shape: measure distributions per boolean/category flag (the
+# explicit-influence KPI, README.md:107) over the events table.
+# ---------------------------------------------------------------------------
+@query(
+    "a9_flag_influence",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(avg(value), 4) AS avg_value,
+           round(min(value), 4) AS min_value,
+           round(max(value), 4) AS max_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def a9_flag_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.min("value"), 4).alias("min_value"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1: frame-spec window functions (running sum, lead/lag) — beyond the
+# reference's window-shaped argmax (SURVEY §2.8: "no frame specs,
+# no lead/lag anywhere"); first-class here.
+# ---------------------------------------------------------------------------
+@query(
+    "w1_running_and_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+           lag(o_orderkey) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS prev_order,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    ORDER BY o_custkey, order_seq
+    LIMIT 5000
+    """,
+)
+def w1_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+            ).alias("running_spend"),
+            F.lag("o_orderkey").over(w).alias("prev_order"),
+            F.row_number().over(w).alias("order_seq"),
+        )
+        .orderBy("o_custkey", "order_seq")
+        .limit(5000)
+    )
