@@ -1,0 +1,86 @@
+"""Physical-plan regression guards.
+
+Correctness tests prove the values; these prove the *plan shape* the
+engine is designed around — the properties that decide whether a
+query survives a 100× scale-up: filters reaching the parquet scan,
+column pruning in ReadSchema, broadcast where a side is bounded,
+top-k planned as TakeOrderedAndProject (not a global sort), and no
+Python (BatchEvalPython) in expression-only pipelines.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark import suite
+from workhop2_etl_spark.session import load_table
+
+from tests.conftest import SF_DIR
+
+suite.load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = suite.QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan[:2000]
+
+
+def test_column_pruning_in_read_schema(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan_of(df))
+    assert m, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_topk_plans_take_ordered(spark):
+    df = suite.QUERIES["o2_sort_limit"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in plan_of(df)
+
+
+def test_impute_join_broadcasts_dim(spark):
+    df = suite.QUERIES["j1_impute_left_join"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_fuzzy_join_broadcasts_theta_arm(spark):
+    df = suite.QUERIES["j3_fuzzy_two_pass"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the argmax is an aggregate (partial+final), never a window over
+    # the join product
+    assert "partial_min" in plan
+    assert "Window" not in plan
+
+
+def test_no_python_in_expression_pipelines(spark):
+    for name in ("f1_normalize_text", "t2_quality_profile", "d2_minhash_lsh_pairs",
+                 "v1_topk_cosine_bruteforce", "st1_tumbling_counts"):
+        plan = plan_of(suite.QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF unnecessarily"
+
+
+def test_multimodal_uses_arrow_batches(spark):
+    # the one place Python IS expected: the media decode stage, which
+    # must be Arrow-batched mapInPandas, not row-at-a-time.
+    plan = plan_of(suite.QUERIES["m1_image_meta"](spark, SF_DIR))
+    assert "MapInPandas" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = suite.QUERIES["a1_topk_group_count"](spark, SF_DIR)
+    df.collect()  # AQE shows codegen spans only in the final (executed) plan
+    plan = plan_of(df)
+    # codegen stages appear as "*(n)" markers in the executed plan —
+    # both the partial and final hash aggregates must be inside one.
+    assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:1500]

@@ -39,10 +39,19 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     still participate in dedup)."""
     toks = _norm_tokens(c)
     k = F.size(toks)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k - n + 1, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    # Zip the token array with its own shifted slices, then join each
+    # struct — the token expression is evaluated a CONSTANT number of
+    # times per row. (Referencing `toks` inside a per-element lambda
+    # re-evaluates the whole regexp+split chain for every element —
+    # O(k²) regex work per document, measured ~12s for 5k docs vs ~1s
+    # here. arrays_zip pads short slices with NULLs; those tail
+    # pseudo-grams are cut by the final slice.)
+    shifted = [toks.alias("t0")] + [F.slice(toks, 1 + j, k).alias(f"t{j}") for j in range(1, n)]
+    z = F.arrays_zip(*shifted)
+    grams_all = F.transform(
+        z, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)])
     )
+    grams = F.slice(grams_all, 1, F.greatest(k - n + 1, F.lit(1)))
     whole = F.array(F.concat_ws(" ", toks))
     empty = F.array().cast("array<string>")
     return F.array_distinct(
@@ -87,28 +96,50 @@ def dedupe_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+#: Mersenne prime modulus for the affine MinHash family.
+MINHASH_P = (1 << 31) - 1
+
+
+def minhash_coeffs(i: int) -> tuple[int, int]:
+    """Deterministic (a, b) for hash i, derived from md5 of the index —
+    reproducible by any engine/test without a random state. a ∈ [1, P-1],
+    b ∈ [0, P-1]."""
+    import hashlib
+
+    h = hashlib.md5(f"mh:{i}".encode()).hexdigest()
+    return int(h[:8], 16) % (MINHASH_P - 1) + 1, int(h[8:16], 16) % MINHASH_P
+
+
+def _shingle_base_hash(s: Column) -> Column:
+    """32-bit base hash of a shingle: first 8 hex chars of md5, mod P.
+    md5 is the one string hash every engine computes identically; the
+    affine family then needs no further string hashing."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MINHASH_P
+
 
 def minhash_signature(c: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
-    """MinHash signature as an array of hex digests.
+    """MinHash signature as an array of (stringified) ints.
 
-    Hash family: h_i(s) = md5(i || ':' || s); the signature component
-    is the lexicographic min over the document's shingles. String-min
-    of md5 hex is exactly equivalent to numeric-min of the 128-bit
-    value (hex is monotone), and md5 is identical in every engine —
-    signatures are cross-engine reproducible by construction.
-    Empty documents get NULL components (never collide).
+    Hash family: h_i(s) = (a_i · x + b_i) mod P over ONE md5-derived
+    base hash x per shingle — one string hash instead of num_hashes,
+    with the family spread by cheap integer arithmetic (the classic
+    universal-hash construction; a_i·x < 2^62 so 64-bit ints never
+    overflow, which matters because SQL engines raise on overflow
+    rather than wrap). Empty documents get NULL components (never
+    collide).
     """
     sh = word_shingles(c, shingle_n)
+    xs = F.transform(sh, _shingle_base_hash)
 
-    def hash_with(prefix: str):
-        # NB: must be a 1-arg lambda — F.transform passes the array
-        # index as a second argument when the callable accepts one,
-        # which would silently shadow a default-arg loop variable.
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+    def affine(a: int, b: int):
+        # 1-arg lambda via closure — F.transform binds the array index
+        # to any second parameter, including default args.
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_P
 
-    return F.array(
-        *[F.array_min(F.transform(sh, hash_with(f"{i}:"))) for i in range(num_hashes)]
-    )
+    comps = [
+        F.array_min(F.transform(xs, affine(*minhash_coeffs(i)))) for i in range(num_hashes)
+    ]
+    return F.array(*[c_.cast("string") for c_ in comps])
 
 
 def lsh_bands(sig: Column, num_bands: int = 4, band_size: int = 4) -> Column:
@@ -139,8 +170,9 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures as a DataFrame (id, sig: array<string>).
 
-    Row-based formulation: explode shingles → num_hashes ``min(md5)``
-    aggregates → one shuffle by id. Semantically identical to the
+    Row-based formulation: explode shingles → one md5-derived base
+    hash per shingle → num_hashes affine ``min`` aggregates → one
+    shuffle by id. Semantically identical to the
     column expression ``minhash_signature`` but scales structurally:
     the per-shingle work is flat rows inside codegen, and crucially
     the aggregation is a plan barrier — downstream self-joins reuse
@@ -152,13 +184,15 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col), F.explode_outer(word_shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
-    wide = sh.groupBy(id_col).agg(*aggs)
+    based = sh.select(id_col, _shingle_base_hash(F.col("s")).alias("__x"))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = minhash_coeffs(i)
+        aggs.append(F.min((F.lit(a) * F.col("__x") + F.lit(b)) % MINHASH_P).alias(f"__h{i}"))
+    wide = based.groupBy(id_col).agg(*aggs)
     return wide.select(
-        id_col, F.array(*[F.col(f"__h{i}") for i in range(num_hashes)]).alias("sig")
+        id_col,
+        F.array(*[F.col(f"__h{i}").cast("string") for i in range(num_hashes)]).alias("sig"),
     )
 
 

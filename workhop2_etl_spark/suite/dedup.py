@@ -71,10 +71,25 @@ sh AS (
 )
 """
 
+def _hex_int_sql(expr: str, nchars: int) -> str:
+    """Portable hex→int for the first ``nchars`` chars of a hex string."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1) * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_P = DD.MINHASH_P
+_BASE_HASH_SQL = f"({_hex_int_sql('md5(s)', 8)} % {_P})"
+_XS_SQL = f"hx AS (SELECT doc_id, [{_BASE_HASH_SQL} FOR s IN sh] AS xs FROM sh)"
 _SIG_COMPONENTS = ",\n           ".join(
-    f"list_min([md5('{i}:' || s) FOR s IN sh])" for i in range(NUM_HASHES)
+    "CAST(list_min([({a} * x + {b}) % {p} FOR x IN xs]) AS VARCHAR)".format(
+        a=DD.minhash_coeffs(i)[0], b=DD.minhash_coeffs(i)[1], p=_P
+    )
+    for i in range(NUM_HASHES)
 )
-_SIG_SQL = f"sig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS sg FROM sh)"
+_SIG_SQL = f"{_XS_SQL},\n    sig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS sg FROM hx)"
 
 _BAND_SELECTS = "\n  UNION ALL\n".join(
     f"""  SELECT doc_id, {b} AS band_id,
