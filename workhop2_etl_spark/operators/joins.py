@@ -57,6 +57,7 @@ def fuzzy_enrich(
     pick_min: list[Column],
     right_cols: list[str],
     payload_cols: list[str] | None = None,
+    probe_keys: list[str] | None = None,
 ) -> DataFrame:
     """J3 — two-pass fuzzy left enrichment with argmax tie-resolution.
 
@@ -89,6 +90,14 @@ def fuzzy_enrich(
     of right_cols) is what the output keeps. Keep heavy condition-only
     columns (full document text) OUT of payload_cols — the payload is
     what flows through the 1-row-per-match aggregate.
+
+    ``probe_keys``: when the join conditions and pick read ONLY these
+    left columns (plus right columns), pass them and the theta join
+    probes DISTINCT key tuples instead of every left row — the match
+    for a key is computed once and joined back by hash join. Probe
+    cost drops from O(|left|·|right|) to O(|distinct keys|·|right|)
+    (measured 300× fewer predicate evaluations on a 20k-row probe
+    with 64 distinct patterns). Key columns must be non-null.
     """
     payload_cols = payload_cols or right_cols
     r = F.broadcast(right.select(*right_cols))
@@ -102,23 +111,29 @@ def fuzzy_enrich(
     # moves the (small) probe rows.
     parallelism = left.sparkSession.sparkContext.defaultParallelism
 
-    def best_matches(l_side: DataFrame, cond: Column) -> DataFrame:
-        joined = l_side.repartition(parallelism).join(r, cond, "inner")
-        ranked = F.struct(*pick_min, payload.alias("__payload"))
-        return joined.groupBy(left_key).agg(F.min(ranked).alias("__best"))
+    def run(probe: DataFrame, keys: list[str]) -> DataFrame:
+        def best_matches(p_side: DataFrame, cond: Column) -> DataFrame:
+            joined = p_side.repartition(parallelism).join(r, cond, "inner")
+            ranked = F.struct(*pick_min, payload.alias("__payload"))
+            return joined.groupBy(*keys).agg(F.min(ranked).alias("__best"))
 
-    def project(joined: DataFrame, l_cols: list[str]) -> DataFrame:
-        return joined.select(
-            *l_cols, *[F.col(f"__best.__payload.{c}").alias(c) for c in payload_cols]
-        )
+        # raw1 feeds three consumers (hit branch, miss branch, and the
+        # pass-2 probe); without a materialization barrier Spark
+        # re-runs the whole pass-1 NLJ+aggregate subtree for each. It
+        # is one slim row per probe row — cheap to cache, expensive to
+        # recompute.
+        raw1 = probe.join(best_matches(probe, exact_cond), keys, "left").cache()
+        hit1 = raw1.filter(F.col("__best").isNotNull())
+        miss1 = raw1.filter(F.col("__best").isNull()).select(*probe.columns)
+        raw2 = miss1.join(best_matches(miss1, fallback_cond), keys, "left")
+        return hit1.unionByName(raw2)
 
-    # raw1 feeds three consumers (hit branch, miss branch, and the
-    # pass-2 probe); without a materialization barrier Spark re-runs
-    # the whole pass-1 NLJ+aggregate subtree for each. It is one slim
-    # row per left row — cheap to cache, expensive to recompute.
-    raw1 = left.join(best_matches(left, exact_cond), left_key, "left").cache()
-    hit1 = project(raw1.filter(F.col("__best").isNotNull()), left.columns)
-    miss1 = raw1.filter(F.col("__best").isNull()).select(*left.columns)
-
-    raw2 = miss1.join(best_matches(miss1, fallback_cond), left_key, "left")
-    return hit1.unionByName(project(raw2, left.columns))
+    if probe_keys:
+        probe = left.select(*probe_keys).dropDuplicates(probe_keys)
+        enriched = run(probe, probe_keys).select(*probe_keys, "__best")
+        out = left.join(enriched, probe_keys, "left")
+    else:
+        out = run(left, [left_key])
+    return out.select(
+        *left.columns, *[F.col(f"__best.__payload.{c}").alias(c) for c in payload_cols]
+    )

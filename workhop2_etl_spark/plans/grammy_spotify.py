@@ -260,6 +260,9 @@ def match_songs(grammy: DataFrame, spotify_top: DataFrame, mode: str = "spec") -
             F.col("track_genre"),
         ],
         right_cols=list(spotify_top.columns),
+        # the match depends only on the normalized keys — grammy rows
+        # sharing (artist, nominee) resolve once.
+        probe_keys=["artist_norm", "nominee_norm", "__song_prefix"],
     )
     return enriched.drop("__song_prefix")
 

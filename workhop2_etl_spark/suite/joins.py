@@ -166,6 +166,9 @@ def j3_fuzzy_two_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick_min=[-F.col("n_chars"), F.col("doc_id")],
         right_cols=["doc_id", "n_chars", "text"],
         payload_cols=["doc_id", "n_chars"],
+        # conditions read only (p_name, w): probe distinct patterns
+        # (64 of them), not all 20k parts.
+        probe_keys=["p_name", "w"],
     )
     return out.select("p_partkey", "p_name", "doc_id", "n_chars").orderBy("p_partkey")
 
