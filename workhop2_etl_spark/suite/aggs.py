@@ -358,3 +358,53 @@ def w1_running_and_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_custkey", "order_seq")
         .limit(5000)
     )
+
+
+# ---------------------------------------------------------------------------
+# G1/G2: pivot and cube — beyond the reference's aggregations (SURVEY
+# §2.5 "not present: grouping sets / cube / rollup"); first-class in a
+# general engine. Pivot uses explicit value lists (no extra distinct
+# pass); cube emits all grouping sets in one shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "g1_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def g1_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return piv.select(
+        "l_returnflag",
+        F.round(F.col("O"), 2).alias("O"),
+        F.round(F.col("F"), 2).alias("F"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "g2_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+)
+def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
+        )
+    )
