@@ -134,3 +134,42 @@ def v3_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# v4: embedding-cosine near-duplicate pairs — the vector-side dedup
+# path (cosine ≥ threshold within LSH buckets; exact verify). The
+# bucket equi-join keeps the pair space linear in collisions.
+# ---------------------------------------------------------------------------
+@query(
+    "v4_embedding_near_dup",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT vec_id, embedding AS v, {_sig_sql('embedding')} AS sig FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.v AS qv, b.v AS cv
+      FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(CASE WHEN {_NQ} * {_NC} > 0
+                 THEN {_DOT} / ({_NQ} * {_NC}) ELSE 0.0 END, 6) AS cosine
+    FROM pairs
+    WHERE CASE WHEN {_NQ} * {_NC} > 0
+          THEN {_DOT} / ({_NQ} * {_NC}) ELSE 0.0 END >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def v4_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.similarity import cosine, hyperplane_signature
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = hyperplane_signature(F.col("embedding"), DIM, NUM_PLANES)
+    s = emb.select("vec_id", F.col("embedding").alias("v"), sig.alias("sig"))
+    a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"), F.col("sig").alias("sa"))
+    b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("cv"), F.col("sig").alias("sb"))
+    pairs = a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+    scored = pairs.select(
+        "id_a", "id_b", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= 0.5).orderBy("id_a", "id_b")
