@@ -46,3 +46,37 @@ def test_stream_equals_batch(spark, name, transform, events_path):
         spark, events_path, transform, f"stream_{name}", watermark=SW.DEFAULT_WATERMARK
     )
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stateful_running_totals(spark, events_path):
+    """applyInPandasWithState: final per-user state after an
+    availableNow replay equals the batch aggregate. (Update mode may
+    emit a row per micro-batch per key — keep the last per user.)"""
+    from pyspark.sql import functions as F
+
+    streamed = SW.run_stream_to_memory(
+        spark,
+        events_path,
+        lambda df, wm: SW.running_user_totals(df),
+        "stream_stateful",
+        watermark=None,
+        output_mode="update",
+    )
+    # last emission per user = max n_events (counts only grow)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        streamed.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    )
+    batch = (
+        spark.read.parquet(events_path)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    a = {(r.user_id, r.n_events, round(r.sum_value, 3)) for r in final.collect()}
+    b = {(r.user_id, r.n_events, round(r.sum_value, 3)) for r in batch.collect()}
+    assert a == b

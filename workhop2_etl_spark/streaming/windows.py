@@ -104,12 +104,47 @@ def session_windows(
     )
 
 
+def running_user_totals(df: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (event count, value sum), state carried across batches.
+
+    This is the template for stateful logic the built-in windows can't
+    express (counters, sessions with custom close rules, online
+    aggregates): state lives in the state store keyed by user, each
+    micro-batch updates it from Arrow-batched pandas frames, and the
+    operator emits the refreshed totals for the keys it touched. With
+    an availableNow replay the final emissions equal the batch
+    groupBy — which is what the tests assert.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     spark,
     parquet_path: str,
     transform,
     table_name: str,
     watermark: str | None = DEFAULT_WATERMARK,
+    output_mode: str = "complete",
 ) -> DataFrame:
     """Replay a parquet file as a bounded stream (availableNow) into a
     memory sink and return the materialized result — the test harness
@@ -127,7 +162,7 @@ def run_stream_to_memory(
     q = (
         out.writeStream.format("memory")
         .queryName(table_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
