@@ -117,6 +117,78 @@ def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return sig.cast("int")
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (max cosine, centroid-id tiebreak), as a pure expression
+    over literal centroid arrays.
+
+    ``centroids`` are (centroid_id, vector) pairs the caller obtained
+    from a bounded driver-side step (a sampled k-means, or — as in the
+    suite — a deterministic data subset). The centroid table is tiny
+    and rides into the plan as literals; assignment is a per-row
+    argmax, no shuffle. Search then probes only the query's cell —
+    the inverted-file structure that keeps ANN linear at corpus scale.
+    """
+    entries = []
+    for cid, vec in centroids:
+        cvec = F.array(*[F.lit(float(x)) for x in vec])
+        score = cosine(F.col(vec_col), cvec)
+        # min over (-score, cid): highest cosine, then smallest id.
+        entries.append(F.struct((-score).alias("neg"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*entries))
+    return df.select(
+        F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id")
+    )
+
+
+def topk_cosine_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF ANN: exact cosine within the query's cell only (nprobe=1).
+
+    Both sides quantize with the same centroids; the search is an
+    equi-join on centroid_id — shuffle ∝ cell populations, never the
+    n×|Q| cross product. Raising recall = probing more cells (union
+    over the next-nearest centroids), same plan shape.
+    """
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("centroid_id"),
+    )
+    q = F.broadcast(
+        ivf_assign(queries, centroids, id_col, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.col("centroid_id"),
+        )
+    )
+    scored = c.join(q, ["centroid_id"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("__rn").alias("rank"))
+    )
+
+
 def topk_cosine_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -385,3 +385,63 @@ def f9_conditional_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         clean.impute_when(F.col("c_mktsegment"), cond, F.lit("REVIEW")).alias("segment"),
     ).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# F10: date/time functions — extraction, truncation, arithmetic,
+# day-of-week (beyond the reference's single timestamp parse F6).
+# ---------------------------------------------------------------------------
+@query(
+    "f10_date_functions",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           count(*) AS n,
+           min(CAST(date_trunc('day', o_orderdate) AS TIMESTAMP)) AS first_day,
+           max(o_orderdate + INTERVAL 30 DAY) AS max_due
+    FROM orders
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def f10_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.date_trunc("day", F.col("o_orderdate"))).alias("first_day"),
+            F.max(F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("max_due"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A10: exact percentiles/median — distribution statistics beyond counts
+# (Spark `percentile` ≡ DuckDB `quantile_cont`, both linear-interp).
+# At 100 TB this ships as approx_percentile (t-digest) — same query
+# shape, bounded memory.
+# ---------------------------------------------------------------------------
+@query(
+    "a10_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -173,3 +173,73 @@ def v4_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cosine")
     )
     return scored.filter(F.col("cosine") >= 0.5).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# v5: IVF ANN — coarse quantization to a deterministic centroid set
+# (a bounded data subset standing in for a sampled k-means), search
+# within the query's cell. The centroid "training" is the one bounded
+# driver-side step (8 vectors), documented in operators/similarity.py.
+# ---------------------------------------------------------------------------
+N_CENTROIDS = 8
+
+
+def _pair_cos_sql(a: str, b: str) -> str:
+    dot = (
+        f"list_reduce([{a}[i]::DOUBLE * {b}[i]::DOUBLE FOR i IN range(1, {DIM} + 1)],"
+        " (x, y) -> x + y)"
+    )
+    na = (
+        f"sqrt(list_reduce([{a}[i]::DOUBLE * {a}[i]::DOUBLE FOR i IN range(1, {DIM} + 1)],"
+        " (x, y) -> x + y))"
+    )
+    nb = (
+        f"sqrt(list_reduce([{b}[i]::DOUBLE * {b}[i]::DOUBLE FOR i IN range(1, {DIM} + 1)],"
+        " (x, y) -> x + y))"
+    )
+    return f"(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+@query(
+    "v5_topk_cosine_ivf",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cid FROM scored_c WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid FROM cells WHERE vec_id % 100 = 0),
+    c2 AS (SELECT vec_id AS neighbor_id, v AS cv, cid FROM cells),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM q JOIN c2 USING (cid)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v5_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic centroid set: the bounded driver-side step.
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.topk_cosine_ivf(emb, queries, centroids, k=K).orderBy("query_id", "rank")
