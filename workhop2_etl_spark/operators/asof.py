@@ -1,0 +1,139 @@
+"""As-of (point-in-time) and range joins — operators Spark's API lacks
+as primitives, composed from existing DataFrame ops (SURVEY.md §2.4
+"not present" in the reference; first-class engine surface).
+
+``asof_join`` uses the union-and-carry formulation — the scalable
+shape: tag both sides, union, one window ordered by (key, time), and
+carry the latest right-side payload forward with last(ignorenulls).
+Cost is ONE shuffle of |L|+|R| rows; there is no join fan-out at all,
+so a hot key degrades to a big sort, never to a cross product. (The
+naive formulation — inequality join then argmax — fans out
+quadratically on dense keys.)
+
+``range_join`` buckets the time axis so the non-equi condition
+becomes bucket-equality + residual filter: each right row replicates
+into the buckets its window can reach, each left row probes exactly
+one bucket. Shuffle ∝ |R|·(window/bucket) + |L| — never |L|×|R|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row: the right row with the latest ``right_time``
+    ≤ ``left_time`` on the same key (direction='backward'; 'forward'
+    mirrors it). No match → NULL payload. Output rows == left rows.
+
+    Ties: a right row at exactly left_time matches; multiple right
+    rows at the same instant resolve to the one that sorts last in
+    the union order (make right_time unique upstream for full
+    determinism).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown direction: {direction}")
+
+    l_tag = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in payload]).alias("s")).schema["s"].dataType
+        ).alias("__payload"),
+    )
+    r_tag = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in left.columns]).alias("s")).schema["s"].dataType
+        ).alias("__lrow"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    if direction == "backward":
+        # right rows sort before a left row at the same timestamp
+        # (__is_left ascending) so an exact-time match is visible.
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.asc("__t"), F.asc("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.desc("__t"), F.asc("__is_left"))
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    out = carried.filter(F.col("__is_left") == 1)
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(c) for c in payload],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on_key: tuple[str, str],
+    left_time: str,
+    right_time: str,
+    lower: str,
+    upper: str,
+    bucket: str,
+) -> DataFrame:
+    """Inner join of left×right where ``right_time`` ∈
+    [left_time - lower, left_time + upper] and the keys match.
+
+    ``lower``/``upper``/``bucket`` are interval strings ('7 days');
+    bucket must be ≥ the window span for the 3-bucket replication
+    below to cover it (callers pick bucket ≈ span).
+    """
+    lk, rk = on_key
+    lb = F.window(F.col(left_time), bucket)["start"]
+    l_side = left.withColumn("__bucket", lb)
+    # right rows replicate into the bucket of their own time and both
+    # neighbors — every left bucket whose window can reach them.
+    rb = F.window(F.col(right_time), bucket)["start"]
+    iv = F.expr(f"INTERVAL {bucket}")
+    r_side = (
+        right.withColumn("__rb", rb)
+        .withColumn(
+            "__bucket",
+            F.explode(F.array(F.col("__rb") - iv, F.col("__rb"), F.col("__rb") + iv)),
+        )
+        .drop("__rb")
+    )
+    cond = (
+        (F.col(f"__l.{lk}") == F.col(f"__r.{rk}"))
+        & (F.col("__l.__bucket") == F.col("__r.__bucket"))
+        & (
+            F.col(f"__r.{right_time}")
+            >= F.col(f"__l.{left_time}") - F.expr(f"INTERVAL {lower}")
+        )
+        & (
+            F.col(f"__r.{right_time}")
+            <= F.col(f"__l.{left_time}") + F.expr(f"INTERVAL {upper}")
+        )
+    )
+    # each left row carries exactly one bucket, so a (left, right)
+    # pair can match on at most one replica — no dedup needed.
+    joined = l_side.alias("__l").join(r_side.alias("__r"), cond, "inner")
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(c) for c in right.columns],
+    )

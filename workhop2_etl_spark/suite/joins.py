@@ -334,3 +334,88 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract = EXCEPT DISTINCT (exceptAll is multiset difference —
     # a key present in b at all must not survive).
     return a.subtract(b).orderBy("o_custkey")
+
+
+# ---------------------------------------------------------------------------
+# J7: as-of (point-in-time) join — each purchase event matched to the
+# user's most recent click at-or-before it. Implemented union-and-
+# carry (operators/asof.py): one shuffle, zero fan-out. DuckDB has a
+# native ASOF JOIN for the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "j7_asof_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+      FROM events
+    ),
+    p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts FROM ev WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.click_id
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ORDER BY p.event_id
+    """,
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["click_id"],
+    )
+    return out.select("event_id", "user_id", "ts", "click_id").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# J8: range (interval) join — click/purchase pairs of the same user
+# within ±1 hour, via time-bucketing (bucket equality + residual
+# filter) instead of a raw inequality join.
+# ---------------------------------------------------------------------------
+@query(
+    "j8_range_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+      FROM events
+    ),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS pts FROM ev WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS cts FROM ev WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id, p.user_id
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.cts >= p.pts - INTERVAL '1 hour'
+     AND c.cts <= p.pts + INTERVAL '1 hour'
+    ORDER BY p.purchase_id, c.click_id
+    """,
+)
+def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.asof import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user_id"),
+        F.col("ts").alias("cts"),
+    )
+    out = range_join(
+        purchases,
+        clicks,
+        on_key=("user_id", "c_user_id"),
+        left_time="pts",
+        right_time="cts",
+        lower="1 hour",
+        upper="1 hour",
+        bucket="1 hour",
+    )
+    return out.select("purchase_id", "click_id", "user_id").orderBy("purchase_id", "click_id")
