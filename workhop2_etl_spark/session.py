@@ -96,7 +96,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     raw = spark.read.parquet(path)
     # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
     # 53-bit mantissa, so float division would corrupt microseconds.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Cast to NTZ so downstream values are session-timezone-independent
+    # (matches the other tables' timestamp_ntz physical type).
+    return raw.withColumn(
+        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
