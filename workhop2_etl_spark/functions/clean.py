@@ -24,20 +24,27 @@ from pyspark.sql import functions as F
 _SEP_PATTERN = r"\s*(?:feat\.|featuring|ft\.|&|and)\s*"
 
 
+def ws_strip(c: Column) -> Column:
+    """Python ``str.strip()`` semantics: remove ALL leading/trailing
+    whitespace. Spark's built-in ``trim`` strips only ASCII spaces —
+    a '\\n'-padded value survives it (caught by the property suite)."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def normalize_text(c: Column) -> Column:
     """F1 — the reference's core normalizer (dags/etl_grammy_spotify.py:105-111).
 
-    null→'' ; lowercase ; trim ; artist separators → ';' ; collapse
-    whitespace. Pure expressions: coalesce/lower/trim/regexp_replace.
+    null→'' ; lowercase ; strip ; artist separators → ';' ; collapse
+    whitespace. Pure expressions: coalesce/lower/regexp_replace.
     """
-    x = F.trim(F.lower(F.coalesce(c, F.lit(""))))
+    x = ws_strip(F.lower(F.coalesce(c, F.lit(""))))
     x = F.regexp_replace(x, _SEP_PATTERN, ";")
     return F.regexp_replace(x, r"\s+", " ")
 
 
 def normalize_simple(c: Column) -> Column:
     """F2 — fillna('') + lower + strip (dags/etl_grammy_spotify.py:116-117)."""
-    return F.trim(F.lower(F.coalesce(c, F.lit(""))))
+    return ws_strip(F.lower(F.coalesce(c, F.lit(""))))
 
 
 def normalize_separators_only(c: Column) -> Column:
@@ -53,7 +60,7 @@ def blank_to_null(c: Column) -> Column:
     """F4 — `''` (and whitespace-only) → NULL. The engine normalizes the
     reference's three null regimes ('' / NaN / 'N/A') to real NULLs at
     ingest (SURVEY.md §7.4 item 4)."""
-    return F.when(F.trim(c) == "", None).otherwise(c)
+    return F.when(ws_strip(c) == "", None).otherwise(c)
 
 
 def null_to_sentinel(c: Column, sentinel: str = "N/A") -> Column:
@@ -67,7 +74,7 @@ def str_to_bool(c: Column) -> Column:
     (dags/etl_grammy_spotify.py:275-276). The pandas original's
     `.astype(bool)` after the map turned unmapped→NaN→True; that footgun
     is deliberately not reproduced (eda.ipynb cell 15 fills False)."""
-    lc = F.lower(F.trim(c))
+    lc = F.lower(ws_strip(c))
     return (
         F.when(lc == "true", F.lit(True)).when(lc == "false", F.lit(False)).otherwise(F.lit(None))
     ).cast("boolean")
@@ -92,7 +99,7 @@ def prefix_before(c: Column, delim: str = "(") -> Column:
     fallback key `song.split('(')[0].strip()`
     (dags/etl_grammy_spotify.py:236). substring_index needs no regex
     escaping (the reference needed re.escape; we don't)."""
-    return F.trim(F.substring_index(c, delim, 1))
+    return ws_strip(F.substring_index(c, delim, 1))
 
 
 def impute_when(c: Column, cond: Column, replacement: Column) -> Column:

@@ -31,8 +31,24 @@ DEFAULT_WATERMARK = "30 minutes"
 def _maybe_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
     """withWatermark is required for append-mode streaming aggs; in
     batch mode it is accepted and ignored, so the same plan runs in
-    both modes. Pass None to skip (batch oracle parity paths)."""
-    return df.withWatermark(ts_col, watermark) if watermark else df
+    both modes. Pass None to skip (batch oracle parity paths).
+
+    Event-time watermarks reject TIMESTAMP_NTZ (the engine's loaders
+    emit NTZ for session-timezone independence), so the watermarked
+    path casts to TIMESTAMP first — value-preserving because the
+    session timezone is pinned UTC (session.py). The transforms cast
+    window bounds back to NTZ so both modes share one output schema.
+    """
+    if not watermark:
+        return df
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df.withWatermark(ts_col, watermark)
+
+
+def _ntz(c: str) -> "F.Column":
+    """Window bound → timestamp_ntz (no-op when already NTZ)."""
+    return F.col(c).cast("timestamp_ntz")
 
 
 def tumbling_counts(
@@ -48,8 +64,8 @@ def tumbling_counts(
         d.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            _ntz("w.start").alias("window_start"),
+            _ntz("w.end").alias("window_end"),
             "event_type",
             "n",
             "sum_value",
@@ -71,8 +87,8 @@ def sliding_counts(
         d.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            _ntz("w.start").alias("window_start"),
+            _ntz("w.end").alias("window_end"),
             "event_type",
             "n",
         )
@@ -95,8 +111,8 @@ def session_windows(
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            _ntz("w.start").alias("session_start"),
+            _ntz("w.end").alias("session_end"),
             "user_id",
             "n_events",
             "sum_value",

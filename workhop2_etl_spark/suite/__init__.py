@@ -46,6 +46,7 @@ def load_all() -> None:
         joins,
         multimodal,
         similarity,
+        star,
         streaming,
         text,
     )
