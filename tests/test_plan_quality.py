@@ -84,3 +84,30 @@ def test_whole_stage_codegen_covers_agg(spark):
     # codegen stages appear as "*(n)" markers in the executed plan —
     # both the partial and final hash aggregates must be inside one.
     assert re.search(r"\*\(\d+\) HashAggregate", plan), plan[:1500]
+
+
+def test_star_q3_takeordered_and_pushdown(spark):
+    plan = plan_of(suite.QUERIES["q3_shipping_priority"](spark, SF_DIR))
+    # top-10 over the join must not global-sort the join product
+    assert "TakeOrderedAndProject" in plan
+    # each date filter reaches its own scan
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate" in plan
+
+
+def test_star_q5_broadcasts_nation_region(spark):
+    plan = plan_of(suite.QUERIES["q5_local_volume"](spark, SF_DIR))
+    # the 5-nation dim must broadcast — the fact side never shuffles
+    # by nationkey
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_having_aggregates_before_join(spark):
+    plan = plan_of(suite.QUERIES["q18_large_orders"](spark, SF_DIR))
+    # the quantity rollup + HAVING must run below the joins so the
+    # join sees one row per surviving order, not raw lineitem
+    agg = plan.index("HashAggregate")
+    join = plan.index("Join")
+    assert "functions=[sum(l_quantity" in plan and agg > join, (
+        "expected the lineitem aggregate deeper in the tree than the joins"
+    )

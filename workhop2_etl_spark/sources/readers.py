@@ -45,6 +45,32 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_json(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multiline: bool = False,
+    **options: str,
+) -> DataFrame:
+    """JSON-lines scan (beyond the reference's CSV/JDBC surface —
+    the interchange format every LLM-corpus pipeline actually ships).
+
+    Same schema policy as CSV: declare it and the scan is single-pass;
+    without one Spark runs a full inference pass first (dev only).
+    ``multiline=False`` is the scalable layout — one JSON doc per
+    line splits cleanly across executors; a multiline array cannot.
+    """
+    require_exists(path)
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if multiline:
+        reader = reader.option("multiLine", "true")
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

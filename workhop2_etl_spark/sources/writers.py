@@ -45,6 +45,20 @@ def write_parquet(
     writer.parquet(path)
 
 
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str | None = None,
+) -> None:
+    """JSON-lines sink — one doc per line, one part file per
+    partition (the layout ``read_json`` splits in parallel)."""
+    writer = df.write.mode(mode)
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

@@ -408,3 +408,70 @@ def g2_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_returnflag").asc_nulls_first(), F.col("l_linestatus").asc_nulls_first()
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# W2: ranking windows — row_number / rank / dense_rank over a
+# deterministic ordering, filtered to the top 3 per group ("top-N per
+# key", the other classic window shape besides running totals). Spark
+# plans one shuffle by o_orderpriority; the rank filter cuts the
+# output before the final sort.
+# ---------------------------------------------------------------------------
+@query(
+    "w2_rank_per_group",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_orderpriority, o_orderkey,
+             round(o_totalprice, 2) AS totalprice,
+             row_number() OVER w AS rn,
+             rank()       OVER w AS rnk,
+             dense_rank() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    ORDER BY o_orderpriority, rn
+    """,
+)
+def w2_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A11: sketch aggregates — approx_count_distinct (HyperLogLog++) and
+# approx_percentile. THE scale path for cardinality/quantiles at
+# 100 TB: fixed-size sketch state, one pass, mergeable across
+# partitions (exact distinct shuffles every distinct value; a10's
+# exact percentile materializes per-group sorted arrays). No DuckDB
+# oracle — sketch estimates are implementation-defined, so cross-
+# engine values differ by design; tests/test_suite_oracle.py bounds
+# the relative error against the exact answers instead.
+# ---------------------------------------------------------------------------
+@query("a11_approx_sketches")
+def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+            F.round(
+                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)), 2
+            ).alias("approx_p50"),
+        )
+        .orderBy("l_returnflag")
+    )

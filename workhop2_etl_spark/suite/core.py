@@ -445,3 +445,37 @@ def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# S-ext: JSON-lines sink → scan with declared schema, checked like the
+# CSV round trip. JSON-lines is the interchange format corpus
+# pipelines actually ship; one doc per line splits across executors.
+# ---------------------------------------------------------------------------
+_SUPP_SCHEMA = T.StructType(
+    [
+        T.StructField("s_suppkey", T.LongType(), False),
+        T.StructField("s_name", T.StringType(), True),
+        T.StructField("s_nationkey", T.IntegerType(), True),
+        T.StructField("s_acctbal", T.DoubleType(), True),
+    ]
+)
+
+
+@query(
+    "s2_json_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+    FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+)
+def s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.gettempdir(), "workhop2_io", "supplier_json")
+    writers.write_json(supp, out, mode="overwrite")
+    back = readers.read_json(spark, out, schema=_SUPP_SCHEMA)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
+        .orderBy("s_nationkey")
+    )

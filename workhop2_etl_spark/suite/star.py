@@ -199,3 +199,54 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q18-shaped: large-volume orders — aggregate lineitem per order,
+# HAVING-filter the groups, then join the survivors back to orders ⨝
+# customer. The shape to get right at scale: the HAVING runs on the
+# pre-aggregated (one row per order) side BEFORE the joins, so the
+# fact table is joined once, not exploded; Spark's partial aggregation
+# makes the groupBy map-side-combine before the one shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS totalprice,
+           round(qty.sum_qty, 2)  AS sum_qty
+    FROM (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200
+    ) qty
+    JOIN orders   ON o_orderkey = qty.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sum_qty"))
+        .filter(F.col("_sum_qty") > 200)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("_sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.desc("totalprice"), "o_orderkey")
+        .limit(100)
+    )
