@@ -80,3 +80,28 @@ def test_stateful_running_totals(spark, events_path):
     a = {(r.user_id, r.n_events, round(r.sum_value, 3)) for r in final.collect()}
     b = {(r.user_id, r.n_events, round(r.sum_value, 3)) for r in batch.collect()}
     assert a == b
+
+
+def test_stream_dedup_within_watermark(spark, events_path):
+    """dropDuplicatesWithinWatermark on a doubled stream: since both
+    copies of each event carry the same event time, every duplicate
+    falls inside the watermark window and the deduped counts equal
+    the single-copy batch counts."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    # double the source on disk so the STREAM sees duplicates
+    doubled_dir = os.path.join(tempfile.mkdtemp(prefix="w2e_dup_"), "doubled.parquet")
+    src = spark.read.parquet(events_path)
+    src.unionAll(src).write.mode("overwrite").parquet(doubled_dir)
+
+    streamed = SW.run_stream_to_memory(
+        spark,
+        doubled_dir,
+        lambda df, wm: SW.deduped_counts(df, watermark=wm),
+        "stream_dedup",
+        watermark=SW.DEFAULT_WATERMARK,
+    )
+    batch = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    assert _rows(streamed) == _rows(batch)

@@ -185,3 +185,30 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def deduped_counts(
+    df: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup → counts per event_type.
+
+    On a stream, ``dropDuplicatesWithinWatermark`` keeps per-key state
+    only until the watermark passes — bounded memory on an unbounded
+    stream, THE scale property plain dropDuplicates (whole-history
+    state) lacks. In batch mode the same call degenerates to an
+    ordinary distinct-by-key. Counts (not surviving rows) are the
+    output so the result is deterministic whichever duplicate wins.
+    """
+    keys = keys or ["event_id"]
+    d = _maybe_watermark(df, ts_col, watermark)
+    if watermark:
+        d = d.dropDuplicatesWithinWatermark(keys)
+    else:
+        d = d.dropDuplicates(keys)
+    return (
+        d.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

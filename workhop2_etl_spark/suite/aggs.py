@@ -475,3 +475,36 @@ def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# G3: rollup — hierarchical grouping sets (flag → flag+status → grand
+# total) in one shuffle, completing the pivot/cube/rollup trio.
+# grouping_id disambiguates real NULL keys from subtotal rows.
+# ---------------------------------------------------------------------------
+@query(
+    "g3_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) + 2 * grouping(l_linestatus) AS gid,
+           count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY gid, l_returnflag, l_linestatus
+    """,
+)
+def g3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (
+                F.grouping("l_returnflag").cast("long")
+                + 2 * F.grouping("l_linestatus").cast("long")
+            ).alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )

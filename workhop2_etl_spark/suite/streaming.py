@@ -132,3 +132,23 @@ def st4_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# st5: exact dedup on a stream — the batch face of
+# dropDuplicatesWithinWatermark. The query doubles the source (union
+# all with itself) so the dedup has real work; counts per type must
+# equal the undoubled source.
+# ---------------------------------------------------------------------------
+@query(
+    "st5_stream_dedup",
+    oracle="""
+    SELECT event_type, count(*) AS n
+    FROM events
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    doubled = ev.unionAll(ev)
+    return SW.deduped_counts(doubled).orderBy("event_type")

@@ -151,3 +151,88 @@ def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fingerprint")).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Lateral/explode + array aggregation + portable sampling — the
+# remaining corpus primitives: flatten (doc → token rows), nest
+# (rows → per-group array), and deterministic subsetting.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x1_word_count",
+    oracle=r"""
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def x1_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic: explode(split()) → count. At corpus scale the
+    explode multiplies rows ~n_tokens×, but partial aggregation
+    combines map-side before the one shuffle of (word, count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )
+
+
+@query(
+    "x2_array_agg",
+    oracle="""
+    SELECT source, lang, count(*) AS n_docs,
+           coalesce(list(doc_id ORDER BY doc_id) FILTER (doc_id % 100 = 0),
+                    []) AS sample_ids
+    FROM documents
+    GROUP BY source, lang
+    ORDER BY source, lang
+    """,
+)
+def x2_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nest rows into per-group arrays (collect_list + sort for a
+    deterministic value). The FILTER keeps the arrays bounded — the
+    pattern for 'carry a sample of members per group' at scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("doc_id") % 100 == 0, F.col("doc_id")))
+            ).alias("sample_ids"),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+@query(
+    "x3_hash_sample",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                     CAST(l_linenumber AS VARCHAR)), 1, 2) <= '0c'
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def x3_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample (13/256 of the md5 keyspace) by
+    hashing the row key — reproducible across engines and runs, unlike
+    TABLESAMPLE/rand(). THE primitive for corpus eval splits: the
+    predicate pushes to the scan's data filters and needs no shuffle,
+    and the same row lands in the same split on every engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws(":", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    return (
+        li.filter(F.substring(F.md5(key), 1, 2) <= "0c")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
+        .orderBy("l_returnflag")
+    )
