@@ -44,6 +44,11 @@ HEADLINE = [
     "j3_fuzzy_two_pass",
     "j4_argmax_dedupe",
     "u1_union_by_name",
+    # multi-way star joins + subquery shapes
+    "q3_shipping_priority",
+    "q5_local_volume",
+    "q18_large_orders",
+    "q4_order_priority",
     # LLM-pipeline extensions
     "d2_minhash_lsh_pairs",
     "d4_simhash_groups",

@@ -54,3 +54,66 @@ def test_partitioned_write_prunes(spark):
     # pruned read returns exactly the partition's rows
     expected = orders.filter(F.col("o_orderstatus") == "O").count()
     assert back.count() == expected
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Co-located join: both sides bucketed by the join key with the
+    same bucket count → the join plans with NO Exchange on either
+    side. This is the layout that turns the 100 TB fact⨝fact shuffle
+    into a task-local merge."""
+    from workhop2_etl_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], num_buckets=8, sort_cols=["l_orderkey"])
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo, bl = read_bucketed(spark, "b_orders"), read_bucketed(spark, "b_lineitem")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey).groupBy("o_orderkey").agg(
+            F.count(F.lit(1)).alias("n_lines"), F.round(F.sum("l_extendedprice"), 2).alias("rev")
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan[:1500]
+        # the join AND the groupBy ride the bucket distribution — the
+        # whole plan is shuffle-free
+        assert "Exchange hashpartitioning" not in plan, plan[:1500]
+        # correctness: equals the unbucketed join
+        expect = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                F.round(F.sum("l_extendedprice"), 2).alias("rev"),
+            )
+        )
+        assert {tuple(r) for r in joined.collect()} == {tuple(r) for r in expect.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_merge_upsert_updates_and_inserts(spark):
+    """merge_upsert: matched keys take the update row, unmatched
+    update keys are inserts, untouched base rows survive."""
+    from workhop2_etl_spark.operators.upsert import merge_upsert, merge_upsert_large
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 99.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    for fn in (merge_upsert, merge_upsert_large):
+        got = {tuple(r) for r in fn(base, updates, ["k"]).collect()}
+        assert got == {
+            (1, "a", 10.0),
+            (2, "b2", 99.0),
+            (3, "c", 30.0),
+            (4, "d", 40.0),
+        }, (fn.__name__, got)

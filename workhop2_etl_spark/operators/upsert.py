@@ -1,0 +1,41 @@
+"""Merge / upsert — incremental-refresh semantics without a table
+format.
+
+The reference's load step is always full-replace
+(``to_sql(if_exists="replace")``, dags/etl_grammy_spotify.py:374);
+at 100 TB a refresh must be incremental: apply a (much smaller) batch
+of upserts to the base table. Without Delta/Iceberg in the runtime,
+MERGE is expressed as pure DataFrame algebra:
+
+    kept     = base ANTI JOIN updates ON keys   (rows not touched)
+    result   = kept UNION BY NAME updates       (updated + inserted)
+
+One shuffle-free pass when ``updates`` is broadcastable (the common
+case: daily delta vs full history); the anti join prunes the base by
+key without materializing a full outer join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Last-writer-wins merge: rows in ``updates`` replace base rows
+    with the same key; unmatched update rows are inserts. Schemas
+    must agree by name (``unionByName`` enforces it)."""
+    if not keys:
+        raise ValueError("merge_upsert requires at least one key column")
+    cond = [base[k] == updates[k] for k in keys]
+    kept = base.join(F.broadcast(updates.select(*keys)), cond, "left_anti")
+    return kept.unionByName(updates)
+
+
+def merge_upsert_large(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
+    """Same semantics when ``updates`` is too big to broadcast: both
+    sides shuffle by key once (sort-merge anti join). Prefer writing
+    base AND updates bucketed by the key (sources/bucketing.py) so
+    even this shuffle disappears."""
+    cond = [base[k] == updates[k] for k in keys]
+    return base.join(updates.select(*keys), cond, "left_anti").unionByName(updates)

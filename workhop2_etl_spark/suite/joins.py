@@ -419,3 +419,52 @@ def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket="1 hour",
     )
     return out.select("purchase_id", "click_id", "user_id").orderBy("purchase_id", "click_id")
+
+
+# ---------------------------------------------------------------------------
+# U4: merge/upsert — incremental refresh as DataFrame algebra
+# (operators/upsert.py). The update batch: every BUILDING-segment
+# customer gets a flagged name and +1000 balance; merged result =
+# untouched rows + updated rows, checked via per-nation rollup.
+# ---------------------------------------------------------------------------
+@query(
+    "u4_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, 'upd:' || c_name AS c_name, c_nationkey,
+             round(c_acctbal + 1000, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    merged AS (
+      SELECT * FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM updates u WHERE u.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT * FROM updates
+    )
+    SELECT c_nationkey, count(*) AS n,
+           round(sum(c_acctbal), 2) AS total_bal,
+           sum(CASE WHEN c_name LIKE 'upd:%' THEN 1 ELSE 0 END) AS n_updated
+    FROM merged GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def u4_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.upsert import merge_upsert
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        F.concat(F.lit("upd:"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    merged = merge_upsert(cust, updates, ["c_custkey"])
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum(F.when(F.col("c_name").startswith("upd:"), 1).otherwise(0)).alias("n_updated"),
+        )
+        .orderBy("c_nationkey")
+    )
