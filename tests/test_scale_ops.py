@@ -117,3 +117,20 @@ def test_merge_upsert_updates_and_inserts(spark):
             (3, "c", 30.0),
             (4, "d", 40.0),
         }, (fn.__name__, got)
+
+
+def test_connected_components_basic(spark):
+    """Two chains and a singleton-free triangle; component = min id,
+    transitively closed even for pairs never emitted directly."""
+    from workhop2_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    got = {(r.node, r.comp) for r in connected_components(edges).collect()}
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }

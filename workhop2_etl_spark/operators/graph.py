@@ -1,0 +1,96 @@
+"""Connected components — transitive closure of a pair relation.
+
+Near-dup detection emits PAIRS (dedup_text.near_dup_pairs); corpus
+dedup needs CLUSTERS: if A~B and B~C, one canonical doc should
+survive for {A,B,C} even though (A,C) was never emitted. That closure
+is a connected-components problem over the similarity graph.
+
+Spark-first formulation: iterative min-label propagation as DataFrame
+joins (no RDDs, no driver-side graph).  Each round every node takes
+the min component id over itself and its neighbors; a pointer-jumping
+step (node → its label's label) then halves remaining path lengths,
+giving O(log diameter)-ish convergence instead of O(diameter).
+``localCheckpoint`` after every round truncates the plan lineage —
+without it the iterated join tree grows exponentially and Catalyst
+chokes long before the data does.
+
+At 100 TB this is the same dataflow the large-star/small-star
+algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond") runs; each round is one shuffle by node id, and the
+similarity graphs dedup produces are short-diameter (duplicate
+clusters are near-cliques), so the loop terminates in a handful of
+rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node reachable through ``edges`` (undirected) with
+    its component id = the minimum node id in the component.
+
+    Returns ``(node, component)`` — one row per distinct node that
+    appears in the edge list. Raises if the loop hits ``max_iter``
+    without converging (pathological diameter — at that point the
+    caller should switch to a star-contraction variant).
+    """
+    # checkpoint the directed projection FIRST: the upstream pipeline
+    # (often a full LSH run) executes once, not once per direction
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint()
+    )
+    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().localCheckpoint()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # 1. neighbor-min: comp(n) ← min(comp(n), min comp over neighbors)
+        nbr = (
+            und.join(labels.select(F.col("node").alias("b"), "comp"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = (
+            labels.join(nbr, labels.node == nbr.a, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))).alias("comp"),
+            )
+        )
+        # 2. pointer jumping: comp(n) ← comp(comp(n)) (labels are node
+        # ids, so the label's own label is one hop closer to the root)
+        jumped = (
+            stepped.alias("s")
+            .join(
+                stepped.select(F.col("node").alias("comp"), F.col("comp").alias("comp2")).alias(
+                    "t"
+                ),
+                "comp",
+                "left",
+            )
+            .select(F.col("s.node").alias("node"), F.coalesce("comp2", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+        )
+        done = changed.isEmpty()
+        labels = jumped
+        if done:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

@@ -280,3 +280,53 @@ def d5_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(DD.jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"))
         .orderBy("id_a")
     )
+
+
+# ---------------------------------------------------------------------------
+# d6: duplicate clusters — connected components over the LSH candidate
+# graph (operators/graph.py). Pairs say A~B and B~C; clustering must
+# put {A,B,C} in ONE group with a canonical id (the min doc_id). The
+# oracle rebuilds the same closure with a recursive CTE — feasible in
+# DuckDB because dup clusters are tiny; the Spark side is the
+# formulation that scales.
+# ---------------------------------------------------------------------------
+@query(
+    "d6_dup_clusters",
+    oracle=rf"""
+    WITH RECURSIVE {_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    {_SIG_SQL},
+    {_BANDS_SQL},
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.band_key IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    und AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN und e ON e.a = r.node
+    )
+    SELECT node AS doc_id, min(comp) AS component
+    FROM reach GROUP BY node ORDER BY doc_id
+    """,
+)
+def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = DD.minhash_candidates(
+        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, shingle_n=SHINGLE_N
+    )
+    return (
+        connected_components(pairs, src="id_a", dst="id_b")
+        .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
+        .orderBy("doc_id")
+    )
