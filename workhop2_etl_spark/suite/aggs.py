@@ -508,3 +508,44 @@ def g3_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
         .orderBy("gid", "l_returnflag", "l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# G4: unpivot/melt — wide measure columns → long (key, measure, value)
+# rows, the inverse of g1's pivot. Spark's native unpivot is a
+# zero-shuffle projection (each input row emits k output rows
+# in place); the oracle spells the same reshape as UNION ALL.
+# ---------------------------------------------------------------------------
+@query(
+    "g4_unpivot",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2)      AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_discount), 4)      AS avg_disc
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, measure, value FROM (
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM wide
+      UNION ALL
+      SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+    )
+    ORDER BY l_returnflag, measure
+    """,
+)
+def g4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_price", "avg_disc"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).orderBy("l_returnflag", "measure")

@@ -330,3 +330,61 @@ def d6_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("node").alias("doc_id"), F.col("comp").alias("component"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# d7: canonical-doc selection — the end-use of clustering: drop every
+# cluster member except the min-id survivor, report the corpus
+# before/after. At scale this is the "dedup the training set" job:
+# CC output is a tiny (node, component) table broadcast-anti-joined
+# against the full corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "d7_canonical_docs",
+    oracle=rf"""
+    WITH RECURSIVE {_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    {_SIG_SQL},
+    {_BANDS_SQL},
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.band_key IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    und AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN und e ON e.a = r.node
+    ),
+    cc AS (SELECT node, min(comp) AS component FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM cc WHERE node <> component)
+    SELECT (SELECT count(*) FROM corpus) AS n_before,
+           (SELECT count(*) FROM corpus) - (SELECT count(*) FROM dropped) AS n_after,
+           (SELECT count(DISTINCT component) FROM cc) AS n_clusters,
+           (SELECT count(*) FROM dropped) AS n_dropped
+    """,
+)
+def d7_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = DD.minhash_candidates(
+        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, shingle_n=SHINGLE_N
+    )
+    cc = connected_components(pairs, src="id_a", dst="id_b")
+    dropped = cc.filter(F.col("node") != F.col("comp")).select(F.col("node").alias("doc_id"))
+    survivors = corpus.join(F.broadcast(dropped), "doc_id", "left_anti")
+    return (
+        survivors.agg(F.count(F.lit(1)).alias("n_after"))
+        .crossJoin(corpus.agg(F.count(F.lit(1)).alias("n_before")))
+        .crossJoin(cc.agg(F.countDistinct("comp").alias("n_clusters")))
+        .crossJoin(dropped.agg(F.count(F.lit(1)).alias("n_dropped")))
+        .select("n_before", "n_after", "n_clusters", "n_dropped")
+    )
