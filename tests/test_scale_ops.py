@@ -134,3 +134,58 @@ def test_connected_components_basic(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_ann_recall_planted_neighbors(spark):
+    """Quality gate for the approximate ANN paths: plant near-
+    duplicate queries (slightly perturbed copies of corpus vectors)
+    and require LSH and IVF top-k to retrieve the original. Random
+    synthetic embeddings have no real neighbor structure, so planted
+    pairs are the only meaningful recall probe here; the oracle tests
+    already prove each variant computes its own spec exactly."""
+    import hashlib
+
+    from workhop2_etl_spark.operators import similarity as SIM
+    from workhop2_etl_spark.suite.similarity import DIM, N_CENTROIDS, NUM_PLANES
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 25 == 0).orderBy("vec_id").limit(20).collect()
+
+    def noise(q, d):
+        h = hashlib.md5(f"{q}:{d}".encode()).hexdigest()[:8]
+        return (int(h, 16) / float(1 << 31) - 1.0) * 0.05
+
+    planted = [
+        (int(r.vec_id) + 1_000_000, [float(v) + noise(r.vec_id, d) for d, v in enumerate(r.embedding)])
+        for r in base
+    ]
+    queries = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    want = {q_id: q_id - 1_000_000 for q_id, _ in planted}
+    k = 10
+
+    def planted_recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(1 for q, b in want.items() if b in got.get(q, set())) / len(want)
+
+    # exact search must always find the planted original
+    assert planted_recall(SIM.topk_cosine_bruteforce(emb, queries, k=k)) == 1.0
+
+    lsh = planted_recall(
+        SIM.topk_cosine_lsh(emb, queries, dim=DIM, k=k, num_planes=NUM_PLANES)
+    )
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    ivf = planted_recall(SIM.topk_cosine_ivf(emb, queries, centroids, k=k))
+
+    # small perturbations: most signatures/cells survive; the misses
+    # are the documented single-probe trade-off
+    assert lsh >= 0.5, f"LSH planted recall collapsed: {lsh:.2f}"
+    assert ivf >= 0.5, f"IVF planted recall collapsed: {ivf:.2f}"

@@ -105,3 +105,39 @@ def test_stream_dedup_within_watermark(spark, events_path):
     )
     batch = src.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     assert _rows(streamed) == _rows(batch)
+
+
+def test_stream_interval_join_equals_batch(spark, events_path):
+    """Stream-stream interval join under availableNow: the emitted
+    pair set equals the batch join. Inner joins emit matches as both
+    sides arrive; the watermark + range condition only bound state."""
+    ev_batch = spark.read.parquet(events_path)
+
+    def split(df):
+        import pyspark.sql.functions as F
+
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    bv, bc = split(ev_batch)
+    batch = SW.interval_join_pairs(bv, bc, within="30 minutes")
+
+    import tempfile
+
+    schema = ev_batch.schema
+    sv, sc = split(spark.readStream.schema(schema).parquet(events_path))
+    streamed_q = (
+        SW.interval_join_pairs(
+            sv, sc, within="30 minutes", watermark=SW.DEFAULT_WATERMARK
+        )
+        .writeStream.format("memory")
+        .queryName("stream_ij")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="w2e_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    streamed_q.awaitTermination()
+    assert _rows(spark.table("stream_ij")) == _rows(batch)

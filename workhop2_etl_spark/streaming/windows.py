@@ -212,3 +212,48 @@ def deduped_counts(
         d.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def interval_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    within: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream-stream interval join: (left event, right event) pairs
+    for the same key where the right event lands in
+    ``(left.ts, left.ts + within]``.
+
+    In streaming both sides carry watermarks and the time-range
+    condition bounds the join state: each side's buffer only holds
+    rows younger than watermark + within, so state is O(rate × window)
+    on an unbounded stream. In batch the same plan is an ordinary
+    equi-join with a range rider. Output timestamps are NTZ in both
+    modes (same convention as the window transforms).
+    """
+    l = _maybe_watermark(left, ts_col, watermark).select(
+        F.col(on).alias("__k"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = _maybe_watermark(right, ts_col, watermark).select(
+        F.col(on).alias("__rk"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    within_expr = f"INTERVAL {within}"
+    joined = l.join(
+        r,
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.expr(f"l_ts + {within_expr}")),
+    )
+    return joined.select(
+        F.col("__k").alias(on),
+        "l_event_id",
+        "r_event_id",
+        _ntz("l_ts").alias("l_ts"),
+        _ntz("r_ts").alias("r_ts"),
+    )

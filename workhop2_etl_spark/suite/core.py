@@ -479,3 +479,40 @@ def s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("s_acctbal"), 2).alias("sum_bal"))
         .orderBy("s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front end: the same engine surface through spark.sql(...) text —
+# views registered over the testdata, ANSI SQL in, DataFrame out.
+# Proves a reference user can keep writing plain SQL; Catalyst plans
+# text and DataFrame calls identically.
+# ---------------------------------------------------------------------------
+@query(
+    "sql1_text_query",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_spend,
+           round(avg(o_totalprice), 4) AS avg_spend
+    FROM orders
+    WHERE o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql1_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.session import load_table as _lt
+
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spend,
+               round(avg(o_totalprice), 4) AS avg_spend
+        FROM orders
+        WHERE o_orderstatus <> 'F'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -152,3 +152,34 @@ def st5_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     doubled = ev.unionAll(ev)
     return SW.deduped_counts(doubled).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# st6: stream-stream interval join (batch face) — view→click funnel
+# pairs per user within 30 minutes. The streaming run of the same
+# operator is proven in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+@query(
+    "st6_interval_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events
+    )
+    SELECT a.user_id, a.event_id AS l_event_id, b.event_id AS r_event_id,
+           a.ts AS l_ts, b.ts AS r_ts
+    FROM ev a
+    JOIN ev b ON a.user_id = b.user_id
+            AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    WHERE a.event_type = 'view' AND b.event_type = 'click'
+    ORDER BY a.user_id, l_event_id, r_event_id
+    """,
+)
+def st6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return SW.interval_join_pairs(views, clicks, within="30 minutes").orderBy(
+        "user_id", "l_event_id", "r_event_id"
+    )
