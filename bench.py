@@ -58,6 +58,7 @@ HEADLINE = [
     # event-time windows
     "st1_tumbling_counts",
     "st3_session_windows",
+    "st6_interval_join",
 ]
 
 
