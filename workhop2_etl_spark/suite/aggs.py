@@ -549,3 +549,55 @@ def g4_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="measure",
         valueColumnName="value",
     ).orderBy("l_returnflag", "measure")
+
+
+# ---------------------------------------------------------------------------
+# W3: RANGE frames — value-based window bounds (all orders within the
+# preceding 30 days per customer), plus first/last_value over the
+# partition. Completes the frame-spec surface: w1 = ROWS frames,
+# w2 = ranking, w3 = RANGE + edge values.
+# ---------------------------------------------------------------------------
+@query(
+    "w3_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+                         ) AS n_last_30d,
+           first_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS first_order,
+           last_value(o_orderkey) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                                 AND UNBOUNDED FOLLOWING) AS last_order
+    FROM orders
+    ORDER BY o_custkey, o_orderdate, o_orderkey
+    LIMIT 5000
+    """,
+)
+def w3_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    # RANGE over intervals needs a numeric order key in Spark's
+    # DataFrame API — seconds since epoch gives day-granularity math
+    ts = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w_range = W.partitionBy("o_custkey").orderBy(ts.cast("long")).rangeBetween(
+        -30 * 86400, 0
+    )
+    w_edge = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.count(F.lit(1)).over(w_range).alias("n_last_30d"),
+            F.first("o_orderkey").over(w_edge).alias("first_order"),
+            F.last("o_orderkey")
+            .over(w_edge.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+            .alias("last_order"),
+        )
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+        .limit(5000)
+        .drop("o_orderdate")
+    )

@@ -61,3 +61,52 @@ def m2_meta_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# m3: resize stage — mapInPandas payload→payload. The oracle checks
+# the plumbing invariants (output payload sized by TARGET dims, one
+# row per input); the kernel bytes themselves are the swappable fake.
+# ---------------------------------------------------------------------------
+@query(
+    "m3_resize_plumbing",
+    oracle="""
+    SELECT doc_id, (64 * 48 * 3)::BIGINT AS n_bytes, 64::INTEGER AS width,
+           48::INTEGER AS height
+    FROM documents ORDER BY doc_id
+    """,
+)
+def m3_resize_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    resized = MM.resize_images(MM.attach_binary_payload(docs), width=64, height=48)
+    return resized.select(
+        "doc_id",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        "width",
+        "height",
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# m4: video frame sampling — 1→N fan-out through mapInPandas; frame
+# count, timestamps AND per-frame fingerprints all oracle-checked
+# (the fake probe/fingerprint are engine-portable by construction).
+# ---------------------------------------------------------------------------
+@query(
+    "m4_frame_sample",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, text,
+             octet_length(encode(text)) % 30 + 1 AS dur
+      FROM documents
+    )
+    SELECT doc_id, k::INTEGER AS frame_idx, (k * 2.0)::DOUBLE AS ts_seconds,
+           sha256(text || k::VARCHAR) AS frame_sha
+    FROM v, LATERAL (SELECT unnest(range(0, CAST(ceil(dur / 2.0) AS BIGINT))) AS k)
+    ORDER BY doc_id, frame_idx
+    """,
+)
+def m4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = MM.sample_video_frames(MM.attach_binary_payload(docs), every_n_seconds=2.0)
+    return frames.orderBy("doc_id", "frame_idx")
