@@ -141,3 +141,29 @@ def test_stream_interval_join_equals_batch(spark, events_path):
     )
     streamed_q.awaitTermination()
     assert _rows(spark.table("stream_ij")) == _rows(batch)
+
+
+def test_foreach_batch_upsert_and_checkpoint_exactly_once(spark, events_path):
+    """foreachBatch streaming upsert: after an availableNow run the
+    parquet table equals the batch dedup of the source; re-running
+    with the SAME checkpoint adds nothing (the committed epochs are
+    not reprocessed — the streaming exactly-once contract)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    root = tempfile.mkdtemp(prefix="w2e_upsert_")
+    table_dir = os.path.join(root, "table")
+    ckpt = os.path.join(root, "ckpt")
+
+    for _ in range(2):  # second run must be a no-op
+        SW.stream_upsert_to_parquet(
+            spark, events_path, table_dir, keys=["event_id"], checkpoint_dir=ckpt
+        )
+
+    got = spark.read.parquet(table_dir)
+    src = spark.read.parquet(events_path).dropDuplicates(["event_id"])
+    assert got.count() == src.count()
+    a = {(r.event_id, r.event_type) for r in got.select("event_id", "event_type").collect()}
+    b = {(r.event_id, r.event_type) for r in src.select("event_id", "event_type").collect()}
+    assert a == b

@@ -257,3 +257,56 @@ def interval_join_pairs(
         _ntz("l_ts").alias("l_ts"),
         _ntz("r_ts").alias("r_ts"),
     )
+
+
+def stream_upsert_to_parquet(
+    spark,
+    parquet_path: str,
+    table_dir: str,
+    keys: list[str],
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch sink: merge each micro-batch into a parquet table
+    with last-writer-wins upsert semantics (operators/upsert.py).
+
+    foreachBatch is the streaming escape hatch for sinks Spark lacks
+    natively (MERGE targets, JDBC upserts, multi-table writes): the
+    function receives each micro-batch as an ordinary DataFrame plus
+    an epoch id. Re-running with the SAME checkpoint resumes after
+    the last committed epoch — already-processed input contributes no
+    new batches, which is what the exactly-once test asserts.
+    """
+    import os
+
+    from workhop2_etl_spark.operators.upsert import merge_upsert
+
+    schema = spark.read.parquet(parquet_path).schema
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        if os.path.isdir(table_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(table_dir)
+        ):
+            base = spark_l.read.parquet(table_dir)
+            merged = merge_upsert(base, batch_df, keys)
+        else:
+            merged = batch_df
+        # write to a new version dir then swap — foreachBatch output
+        # commits are the caller's job (a real deployment targets a
+        # table format with atomic commits)
+        tmp = table_dir + f".epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark_l.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(parquet_path)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -329,3 +329,104 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q13-shaped: customer order-count distribution — LEFT OUTER join so
+# zero-order customers count, then a second aggregate over the first
+# (distribution of a distribution). Two shuffles by design: custkey,
+# then order count.
+# ---------------------------------------------------------------------------
+@query(
+    "q13_order_count_dist",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders
+    """,
+)
+def q13_order_count_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey) & (orders.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join: reconcile two periods' per-customer spend — rows
+# survive from EITHER side, null-filled on the other; the classic
+# "compare two snapshots" shape (the one outer-join variant the rest
+# of the suite doesn't exercise).
+# ---------------------------------------------------------------------------
+@query(
+    "j9_full_outer_reconcile",
+    oracle="""
+    WITH a AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_1997
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_1998
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+      GROUP BY o_custkey
+    )
+    SELECT coalesce(a.o_custkey, b.o_custkey) AS custkey,
+           a.spend_1997, b.spend_1998,
+           round(coalesce(b.spend_1998, 0) - coalesce(a.spend_1997, 0), 2) AS delta
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    ORDER BY custkey
+    """,
+)
+def j9_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def spend(year: int, key: str, alias: str) -> DataFrame:
+        # per-side key aliases: both sides derive from the same scan,
+        # so unrenamed keys would be ambiguous after the self-join
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias(key))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias(alias))
+        )
+
+    a = spend(1997, "k_a", "spend_1997")
+    b = spend(1998, "k_b", "spend_1998")
+    return (
+        a.join(b, a.k_a == b.k_b, "full_outer")
+        .select(
+            F.coalesce(F.col("k_a"), F.col("k_b")).alias("custkey"),
+            "spend_1997",
+            "spend_1998",
+            F.round(
+                F.coalesce(F.col("spend_1998"), F.lit(0)) - F.coalesce(F.col("spend_1997"), F.lit(0)),
+                2,
+            ).alias("delta"),
+        )
+        .orderBy("custkey")
+    )
