@@ -189,3 +189,40 @@ def test_ann_recall_planted_neighbors(spark):
     # are the documented single-probe trade-off
     assert lsh >= 0.5, f"LSH planted recall collapsed: {lsh:.2f}"
     assert ivf >= 0.5, f"IVF planted recall collapsed: {ivf:.2f}"
+
+
+def test_violation_rows_quarantine(spark):
+    """violation_rows: each failing row appears once per failed rule;
+    clean rows do not appear."""
+    from workhop2_etl_spark.operators import quality as Q
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "O"), (2, -5.0, "O"), (3, 7.0, "X"), (4, None, "F")],
+        "id int, price double, status string",
+    )
+    rules = {
+        "price_positive": F.col("price") > 0,
+        "status_domain": Q.one_of("status", ["O", "F", "P"]),
+    }
+    got = {(r.id, r.rule) for r in Q.violation_rows(df, rules, ["id"]).collect()}
+    assert got == {(2, "price_positive"), (3, "status_domain"), (4, "price_positive")}
+
+
+def test_parquet_schema_evolution_merge(spark):
+    """mergeSchema scan: batches written with diverging columns read
+    back as one unified schema, missing columns NULL-filled — the
+    append-only ingest reality at corpus scale (new fields appear;
+    old files never rewritten)."""
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="w2e_evolve_")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        os.path.join(root, "batch=1")
+    )
+    spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double").write.parquet(
+        os.path.join(root, "batch=2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert set(merged.columns) == {"id", "name", "score", "batch"}
+    rows = {(r.id, r.name, r.score) for r in merged.collect()}
+    assert rows == {(1, "a", None), (2, "b", 9.5)}

@@ -1,0 +1,80 @@
+"""Declarative data-quality constraints — the validation layer an
+ingest pipeline runs before publishing.
+
+The reference validates implicitly (empty-string counts, dup counts
+eyeballed in a notebook — eda.ipynb cells 9-13); a production engine
+needs the checks as operators: declare rules, get back a violations
+table and a pass/fail summary, both as ordinary DataFrames so the
+checks run inside the same job as the load (one scan, no separate
+validation pass).
+
+Every rule compiles to a boolean Column; violations are counted in
+ONE aggregate over the scan — checking 50 rules costs the same
+shuffle as checking one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def not_null(col: str) -> Column:
+    """Rule: column must not be NULL."""
+    return F.col(col).isNotNull()
+
+
+def in_range(col: str, lo, hi) -> Column:
+    """Rule: lo <= value <= hi (NULLs fail — chain with not_null if
+    NULLs are allowed)."""
+    return F.col(col).between(lo, hi)
+
+
+def one_of(col: str, allowed: list) -> Column:
+    """Rule: value ∈ allowed set."""
+    return F.col(col).isin(allowed)
+
+
+def matches(col: str, pattern: str) -> Column:
+    """Rule: value matches the regex (anchored by the caller)."""
+    return F.col(col).rlike(pattern)
+
+
+def check_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
+    """Evaluate all rules in one pass: returns (rule, n_rows,
+    n_violations, pass) — one row per rule, computed in a single
+    aggregate (NULL rule results count as violations).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, cond in rules.items():
+        aggs.append(
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(f"__v_{name}")
+        )
+    wide = df.agg(*aggs)
+    stacked = wide.selectExpr(
+        "__n",
+        "stack({n}, {args}) AS (rule, n_violations)".format(
+            n=len(rules),
+            args=", ".join(f"'{name}', __v_{name}" for name in rules),
+        ),
+    )
+    return stacked.select(
+        "rule",
+        F.col("__n").alias("n_rows"),
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+def violation_rows(df: DataFrame, rules: Mapping[str, Column], id_cols: list[str]) -> DataFrame:
+    """The rows that fail, tagged by which rule they fail — for
+    quarantine sinks. One output row per (row, failed rule)."""
+    arms = [
+        F.when(~F.coalesce(cond, F.lit(False)), F.lit(name)) for name, cond in rules.items()
+    ]
+    tagged = df.select(*id_cols, F.array_compact(F.array(*arms)).alias("__failed"))
+    return tagged.filter(F.size("__failed") > 0).select(
+        *id_cols, F.explode("__failed").alias("rule")
+    )

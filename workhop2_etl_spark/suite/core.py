@@ -516,3 +516,43 @@ def sql1_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ1: declarative constraint checks — all rules evaluated in ONE
+# aggregate over one scan (operators/quality.py). The reference
+# eyeballs these counts in a notebook; here they are a queryable
+# pass/fail table.
+# ---------------------------------------------------------------------------
+@query(
+    "dq1_constraints",
+    oracle="""
+    WITH agg AS (
+      SELECT count(*) AS n,
+             sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v_custkey_not_null,
+             sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_price_positive,
+             sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END) AS v_status_domain,
+             sum(CASE WHEN o_orderpriority SIMILAR TO '[1-5]-[A-Z ]+' THEN 0 ELSE 1 END)
+               AS v_priority_format
+      FROM orders
+    )
+    SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
+      SELECT n, 'custkey_not_null' AS rule, v_custkey_not_null AS v FROM agg
+      UNION ALL SELECT n, 'price_positive', v_price_positive FROM agg
+      UNION ALL SELECT n, 'status_domain', v_status_domain FROM agg
+      UNION ALL SELECT n, 'priority_format', v_priority_format FROM agg
+    )
+    ORDER BY rule
+    """,
+)
+def dq1_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    rules = {
+        "custkey_not_null": Q.not_null("o_custkey"),
+        "price_positive": F.col("o_totalprice") > 0,
+        "status_domain": Q.one_of("o_orderstatus", ["O", "F", "P"]),
+        "priority_format": Q.matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
+    }
+    return Q.check_constraints(orders, rules).orderBy("rule")
