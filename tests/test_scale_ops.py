@@ -226,3 +226,57 @@ def test_parquet_schema_evolution_merge(spark):
     assert set(merged.columns) == {"id", "name", "score", "batch"}
     rows = {(r.id, r.name, r.score) for r in merged.collect()}
     assert rows == {(1, "a", None), (2, "b", 9.5)}
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew handling: a join where one key carries ~100x the
+    median partition load must still complete with correct results,
+    and the adaptive final plan shows the skew-join optimization
+    engaged (OptimizeSkewedJoin splits the hot partition into
+    parallel sub-tasks instead of one straggler)."""
+    from pyspark.sql import functions as F
+
+    n_hot, n_rest = 400_000, 100_000
+    left = (
+        spark.range(n_hot).select(F.lit(0).alias("k"), F.col("id").alias("v"))
+        .union(
+            spark.range(n_rest).select(
+                (F.col("id") % 500 + 1).alias("k"), F.col("id").alias("v")
+            )
+        )
+    )
+    right = spark.range(501).select(F.col("id").alias("k"), F.lit(1).alias("w"))
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    # force a sort-merge join, drop the skew thresholds so the test
+    # dataset (tiny by production standards) still counts as skewed,
+    # and disable post-shuffle coalescing — merging small partitions
+    # first levels the size distribution the skew detector compares
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16k")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        # NOTE: no groupBy on the join key downstream — reusing the
+        # join's hash partitioning makes AQE veto the skew split
+        # (splitting would break co-partitioning and force an extra
+        # shuffle; see forceOptimizeSkewedJoin)
+        joined = left.join(right, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("w").alias("sw")
+        )
+        row = joined.collect()[0]
+        assert row.n == n_hot + n_rest and row.sw == n_hot + n_rest
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
