@@ -25,6 +25,80 @@ suite.load_all()
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
+# The driver's round-1 correctness pass covered exactly the first 50
+# registry entries in insertion order, so ordering decides which
+# queries get an oracle verdict. Priority below: (a) the flagship,
+# (b) every query whose oracle changed this round and needs a fresh
+# verdict, (c) every family with NO round-1 verdict (star joins,
+# streaming, text, vector, multimodal, j5-j9, u2-u4, x*), then
+# (d) a few round-1-green heavy-hitters as regression canaries.
+# Everything else (already hash-green in CORRECTNESS_r01) follows in
+# registration order.
+_PRIORITY = [
+    # (a) flagship
+    "q1_pricing_summary",
+    # (b) oracle fixed this round (CAST AS BIGINT / new a11 bound oracle)
+    "a3_quality_counts",
+    "s1_csv_roundtrip",
+    "f7_cast_sentinel",
+    "dq1_constraints",
+    "a11_approx_sketches",
+    "u4_upsert",
+    "m2_meta_filter",
+    "st4_json_props",
+    # (c) families without a round-1 verdict
+    "j5_semi_join",
+    "j6_anti_join",
+    "j7_asof_join",
+    "j8_range_join",
+    "j9_full_outer_reconcile",
+    "u2_intersect",
+    "u3_except",
+    "m1_image_meta",
+    "m3_resize_plumbing",
+    "m4_frame_sample",
+    "v1_topk_cosine_bruteforce",
+    "v2_topk_cosine_lsh",
+    "v3_embedding_norms",
+    "v4_embedding_near_dup",
+    "v5_topk_cosine_ivf",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_volume",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q13_order_count_dist",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q22_idle_rich_customers",
+    "st1_tumbling_counts",
+    "st2_sliding_counts",
+    "st3_session_windows",
+    "st5_stream_dedup",
+    "st6_interval_join",
+    "t1_token_counts",
+    "t2_quality_profile",
+    "t3_lang_id",
+    "t4_fingerprint",
+    "x1_word_count",
+    "x2_array_agg",
+    "x3_hash_sample",
+    # (d) round-1-green regression canaries
+    "d2_minhash_lsh_pairs",
+    "d6_dup_clusters",
+    "j3_fuzzy_two_pass",
+    "w1_running_and_lag",
+    "g1_pivot",
+]
+
+
+def _ordered(names: dict) -> list[str]:
+    missing = [n for n in _PRIORITY if n not in names]
+    if missing:
+        raise KeyError(f"priority list references unknown queries: {missing}")
+    rest = [n for n in names if n not in set(_PRIORITY)]
+    return list(_PRIORITY) + rest
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (TPC-H Q1-shaped pricing summary) on sf0.001."""
@@ -33,9 +107,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(suite.QUERIES)
+    return {n: suite.QUERIES[n] for n in _ordered(suite.QUERIES)}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return dict(suite.ORACLES)
+    return {n: suite.ORACLES[n] for n in _ordered(suite.QUERIES) if n in suite.ORACLES}

@@ -1,0 +1,108 @@
+"""Contract tests for asof_join / range_join edge cases.
+
+Covers the two round-1 advisor findings: (1) right rows with NULL
+time used to sort nulls-first and leak their payload into early left
+rows; (2) range_join used a hardcoded ±1-bucket replication, silently
+dropping matches whenever bucket < max(lower, upper). Both now have
+explicit contracts.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators.asof import asof_join, range_join
+
+
+def _ts(h: int, m: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_null_right_time_never_matches(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(1)), (2, _ts(5))], "id long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, "leak"), (1, _ts(4), "real")],
+        "rid long, t timestamp, tag string",
+    )
+    out = asof_join(
+        left.withColumnRenamed("id", "k"),
+        right.withColumnRenamed("rid", "k"),
+        left_key="k",
+        right_key="k",
+        left_time="t",
+        right_time="t",
+        payload=["tag"],
+    )
+    rows = {r.k: r.tag for r in out.collect()}
+    # id=1 at 01:00 precedes every real right row -> NULL, not "leak";
+    # id=2 at 05:00 matches the 04:00 row (but key differs -> NULL).
+    assert rows[1] is None
+    assert rows[2] is None
+
+
+def test_asof_null_left_time_survives_with_null_payload(spark):
+    left = spark.createDataFrame([(1, None)], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(2), "x")], "k long, t timestamp, tag string"
+    )
+    out = asof_join(
+        left, right, left_key="k", right_key="k",
+        left_time="t", right_time="t", payload=["tag"],
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].tag is None
+
+
+def test_range_join_small_bucket_matches_naive_join(spark):
+    """bucket < span used to silently drop matches; the replication
+    count is now derived from the spans, so any bucket is correct."""
+    left = spark.createDataFrame(
+        [(i, 1, _ts(i)) for i in range(1, 12)], "lid long, k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, 1, _ts(i, 30)) for i in range(0, 12)],
+        "rid long, rk long, rt timestamp",
+    )
+    got = range_join(
+        left, right, on_key=("k", "rk"), left_time="lt", right_time="rt",
+        lower="3 hours", upper="2 hours", bucket="1 hour",
+    )
+    naive = left.join(
+        right,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rt") >= F.col("lt") - F.expr("INTERVAL 3 hours"))
+        & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 2 hours")),
+        "inner",
+    )
+    got_pairs = sorted((r.lid, r.rid) for r in got.collect())
+    naive_pairs = sorted((r.lid, r.rid) for r in naive.collect())
+    assert got_pairs == naive_pairs
+    assert got_pairs  # non-vacuous
+
+
+def test_range_join_big_bucket_matches_naive_join(spark):
+    left = spark.createDataFrame(
+        [(i, 1, _ts(i)) for i in range(1, 12)], "lid long, k long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100 + i, 1, _ts(i, 30)) for i in range(0, 12)],
+        "rid long, rk long, rt timestamp",
+    )
+    got = range_join(
+        left, right, on_key=("k", "rk"), left_time="lt", right_time="rt",
+        lower="90 minutes", upper="30 minutes", bucket="4 hours",
+    )
+    naive = left.join(
+        right,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rt") >= F.col("lt") - F.expr("INTERVAL 90 minutes"))
+        & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 30 minutes")),
+        "inner",
+    )
+    assert sorted((r.lid, r.rid) for r in got.collect()) == sorted(
+        (r.lid, r.rid) for r in naive.collect()
+    )

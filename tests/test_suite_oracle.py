@@ -40,25 +40,14 @@ def test_query_matches_oracle(name, spark, duck):
     assert value_hash(scols, srows) == value_hash(ocols, orows)
 
 
-def test_a11_sketches_bound_error(spark, duck):
-    """Sketch estimates are engine-specific, so a11 has no DuckDB
-    oracle; instead bound the relative error against exact answers.
-    HLL++ at rsd=0.01 and a 10k-bucket percentile sketch should land
-    well inside 5% on this data."""
+def test_a11_sketches_bound_error(spark):
+    """a11 now emits exact values + within-bound booleans so the
+    driver hash-checks it; this test asserts the booleans themselves
+    came out true (HLL++ at rsd=0.01 and a 10k-bucket percentile
+    sketch land well inside the 5% bound on this data)."""
     sdf = suite.QUERIES["a11_approx_sketches"](spark, SF_DIR)
-    approx = {r.l_returnflag: (r.approx_parts, r.approx_p50) for r in sdf.collect()}
-    exact = dict(
-        (f, (n, p))
-        for f, n, p in duck.execute(
-            """
-            SELECT l_returnflag, count(DISTINCT l_partkey),
-                   quantile_cont(l_extendedprice, 0.5)
-            FROM lineitem GROUP BY l_returnflag
-            """
-        ).fetchall()
-    )
-    assert set(approx) == set(exact)
-    for flag, (n_est, p_est) in approx.items():
-        n_true, p_true = exact[flag]
-        assert abs(n_est - n_true) / n_true < 0.05, (flag, n_est, n_true)
-        assert abs(p_est - p_true) / p_true < 0.05, (flag, p_est, p_true)
+    rows = sdf.collect()
+    assert rows
+    for r in rows:
+        assert r.parts_within_bound, (r.l_returnflag, r.exact_parts)
+        assert r.p50_within_bound, (r.l_returnflag, r.exact_p50)

@@ -40,9 +40,15 @@ def asof_join(
     rows at the same instant resolve to the one that sorts last in
     the union order (make right_time unique upstream for full
     determinism).
+
+    NULL times: right rows with NULL ``right_time`` are dropped — a
+    NULL instant can never be "the latest ≤ t" (they would otherwise
+    sort nulls-first and leak their payload into every early left
+    row). Left rows with NULL ``left_time`` survive with NULL payload.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"unknown direction: {direction}")
+    right = right.filter(F.col(right_time).isNotNull())
 
     l_tag = left.select(
         F.col(left_key).alias("__k"),
@@ -86,6 +92,23 @@ def asof_join(
     )
 
 
+def _interval_seconds(spark, interval: str) -> int:
+    """Total seconds of an interval string ('7 days'), via one
+    constant-folded 1-row evaluation (no data read)."""
+    row = (
+        spark.range(1)
+        .select(
+            F.expr(
+                "unix_timestamp(timestamp'2000-01-01 00:00:00' + "
+                f"INTERVAL {interval}) - "
+                "unix_timestamp(timestamp'2000-01-01 00:00:00')"
+            ).alias("s")
+        )
+        .first()
+    )
+    return int(row["s"])
+
+
 def range_join(
     left: DataFrame,
     right: DataFrame,
@@ -99,23 +122,37 @@ def range_join(
     """Inner join of left×right where ``right_time`` ∈
     [left_time - lower, left_time + upper] and the keys match.
 
-    ``lower``/``upper``/``bucket`` are interval strings ('7 days');
-    bucket must be ≥ the window span for the 3-bucket replication
-    below to cover it (callers pick bucket ≈ span).
+    ``lower``/``upper``/``bucket`` are interval strings ('7 days').
+    The replication count is computed from the actual spans —
+    ceil(upper/bucket) buckets back and ceil(lower/bucket) forward —
+    so any bucket size is correct; callers pick bucket ≈ span so the
+    replication factor stays ~3. Shuffle ∝ |R|·(1 + ceil(lower/b) +
+    ceil(upper/b)) + |L|.
     """
     lk, rk = on_key
+    spark = left.sparkSession
+    lower_s = _interval_seconds(spark, lower)
+    upper_s = _interval_seconds(spark, upper)
+    bucket_s = _interval_seconds(spark, bucket)
+    if bucket_s <= 0 or lower_s < 0 or upper_s < 0:
+        raise ValueError(
+            f"range_join needs bucket > 0 and lower/upper >= 0; got "
+            f"lower={lower!r} upper={upper!r} bucket={bucket!r}"
+        )
+    # a right row at rt matches left rows with lt ∈ [rt - upper, rt + lower],
+    # whose buckets span floor((rt-upper)/b) .. floor((rt+lower)/b).
+    n_back = -(-upper_s // bucket_s)  # ceil
+    n_fwd = -(-lower_s // bucket_s)
     lb = F.window(F.col(left_time), bucket)["start"]
     l_side = left.withColumn("__bucket", lb)
-    # right rows replicate into the bucket of their own time and both
-    # neighbors — every left bucket whose window can reach them.
     rb = F.window(F.col(right_time), bucket)["start"]
     iv = F.expr(f"INTERVAL {bucket}")
+    replicas = [
+        F.col("__rb") + iv * F.lit(k) for k in range(-n_back, n_fwd + 1)
+    ]
     r_side = (
         right.withColumn("__rb", rb)
-        .withColumn(
-            "__bucket",
-            F.explode(F.array(F.col("__rb") - iv, F.col("__rb"), F.col("__rb") + iv)),
-        )
+        .withColumn("__bucket", F.explode(F.array(*replicas)))
         .drop("__rb")
     )
     cond = (

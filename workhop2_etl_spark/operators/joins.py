@@ -120,9 +120,17 @@ def fuzzy_enrich(
         # raw1 feeds three consumers (hit branch, miss branch, and the
         # pass-2 probe); without a materialization barrier Spark
         # re-runs the whole pass-1 NLJ+aggregate subtree for each. It
-        # is one slim row per probe row — cheap to cache, expensive to
-        # recompute.
-        raw1 = probe.join(best_matches(probe, exact_cond), keys, "left").cache()
+        # is one slim row per probe row — cheap to materialize,
+        # expensive to recompute. localCheckpoint instead of cache():
+        # blocks are released when the DataFrame is GC'd (cache()
+        # pinned them for the session lifetime — every call leaked
+        # executor storage), and the lineage cut guarantees pass 1
+        # runs once. Trade-off: on a real cluster a lost executor
+        # can't recompute checkpoint blocks; acceptable for a slim
+        # intermediate inside one job.
+        raw1 = probe.join(
+            best_matches(probe, exact_cond), keys, "left"
+        ).localCheckpoint(eager=False)
         hit1 = raw1.filter(F.col("__best").isNotNull())
         miss1 = raw1.filter(F.col("__best").isNull()).select(*probe.columns)
         raw2 = miss1.join(best_matches(miss1, fallback_cond), keys, "left")

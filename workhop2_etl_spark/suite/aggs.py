@@ -127,9 +127,9 @@ def a2_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a3_quality_counts",
     oracle="""
     SELECT
-      sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)     AS empty_text,
-      sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END)     AS empty_lang,
-      sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS empty_source,
+      CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT)     AS empty_text,
+      CAST(sum(CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END) AS BIGINT)     AS empty_lang,
+      CAST(sum(CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END) AS BIGINT) AS empty_source,
       count(*)                                                       AS n_rows
     FROM documents
     """,
@@ -457,21 +457,54 @@ def w2_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_percentile. THE scale path for cardinality/quantiles at
 # 100 TB: fixed-size sketch state, one pass, mergeable across
 # partitions (exact distinct shuffles every distinct value; a10's
-# exact percentile materializes per-group sorted arrays). No DuckDB
-# oracle — sketch estimates are implementation-defined, so cross-
-# engine values differ by design; tests/test_suite_oracle.py bounds
-# the relative error against the exact answers instead.
+# exact percentile materializes per-group sorted arrays). Sketch
+# estimates are implementation-defined so the raw estimates can't be
+# hash-compared cross-engine; instead the query emits the EXACT
+# answers plus within-bound booleans (|est-exact|/exact <= 5%), and
+# the oracle asserts the exact values and `true` for both bounds —
+# a real hash row, not a rows-only check.
 # ---------------------------------------------------------------------------
-@query("a11_approx_sketches")
+@query(
+    "a11_approx_sketches",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           true AS parts_within_bound,
+           true AS p50_within_bound
+    FROM lineitem
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias(
+            "approx_p50"
+        ),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50_raw"),
+    )
+    bound = F.lit(0.05)
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
-            F.round(
-                F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)), 2
-            ).alias("approx_p50"),
+        approx.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            F.round("exact_p50_raw", 2).alias("exact_p50"),
+            (
+                F.abs(F.col("approx_parts") - F.col("exact_parts"))
+                / F.col("exact_parts")
+                <= bound
+            ).alias("parts_within_bound"),
+            (
+                F.abs(F.col("approx_p50") - F.col("exact_p50_raw"))
+                / F.col("exact_p50_raw")
+                <= bound
+            ).alias("p50_within_bound"),
         )
         .orderBy("l_returnflag")
     )

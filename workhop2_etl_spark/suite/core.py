@@ -42,7 +42,7 @@ _PART_SCHEMA = T.StructType(
 @query(
     "s1_csv_roundtrip",
     oracle="""
-    SELECT p_brand, count(*) AS n, sum(p_size) AS sum_size,
+    SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
            round(sum(p_retailprice), 2) AS sum_price
     FROM part GROUP BY p_brand ORDER BY p_brand
     """,
@@ -323,7 +323,7 @@ def f6_timestamp_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f7_cast_sentinel",
     oracle="""
     SELECT count(*) AS n_rows,
-           sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN price IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            round(sum(price), 2) AS sum_price
     FROM (
       SELECT try_cast(nullif(CASE WHEN p_size < 5 THEN 'N/A'
@@ -536,7 +536,7 @@ def sql1_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS v_priority_format
       FROM orders
     )
-    SELECT rule, n AS n_rows, v AS n_violations, v = 0 AS pass FROM (
+    SELECT rule, n AS n_rows, CAST(v AS BIGINT) AS n_violations, v = 0 AS pass FROM (
       SELECT n, 'custkey_not_null' AS rule, v_custkey_not_null AS v FROM agg
       UNION ALL SELECT n, 'price_positive', v_price_positive FROM agg
       UNION ALL SELECT n, 'status_domain', v_status_domain FROM agg

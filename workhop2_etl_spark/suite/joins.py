@@ -443,7 +443,7 @@ def j8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_nationkey, count(*) AS n,
            round(sum(c_acctbal), 2) AS total_bal,
-           sum(CASE WHEN c_name LIKE 'upd:%' THEN 1 ELSE 0 END) AS n_updated
+           CAST(sum(CASE WHEN c_name LIKE 'upd:%' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
     FROM merged GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 )

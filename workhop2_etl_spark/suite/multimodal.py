@@ -47,7 +47,7 @@ def m1_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "m2_meta_filter",
     oracle="""
-    SELECT source, count(*) AS n, sum(n_chars) AS total_chars
+    SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM documents
     WHERE n_chars BETWEEN 100 AND 400
     GROUP BY source ORDER BY source
