@@ -52,7 +52,11 @@ HEADLINE = [
     # LLM-pipeline extensions
     "d2_minhash_lsh_pairs",
     "d4_simhash_groups",
+    # ANN: the bucketed scale paths (v2 LSH / v5 IVF) are the
+    # production defaults; v1 brute force is the exact baseline.
     "v1_topk_cosine_bruteforce",
+    "v2_topk_cosine_lsh",
+    "v5_topk_cosine_ivf",
     "t2_quality_profile",
     "m1_image_meta",
     # event-time windows

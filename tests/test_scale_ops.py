@@ -175,6 +175,11 @@ def test_ann_recall_planted_neighbors(spark):
     lsh = planted_recall(
         SIM.topk_cosine_lsh(emb, queries, dim=DIM, k=k, num_planes=NUM_PLANES)
     )
+    lsh_mp = planted_recall(
+        SIM.topk_cosine_lsh(
+            emb, queries, dim=DIM, k=k, num_planes=NUM_PLANES, hamming_probe=1
+        )
+    )
     rows = (
         emb.filter(F.col("vec_id") % 37 == 0)
         .orderBy("vec_id")
@@ -189,6 +194,11 @@ def test_ann_recall_planted_neighbors(spark):
     # are the documented single-probe trade-off
     assert lsh >= 0.5, f"LSH planted recall collapsed: {lsh:.2f}"
     assert ivf >= 0.5, f"IVF planted recall collapsed: {ivf:.2f}"
+    # multi-probe (Hamming-1 bucket union) is the recall knob: it must
+    # dominate single-probe and clear a strictly tighter gate, without
+    # widening buckets (same signature width).
+    assert lsh_mp >= lsh, f"multi-probe lost recall: {lsh_mp:.2f} < {lsh:.2f}"
+    assert lsh_mp >= 0.8, f"multi-probe LSH recall too low: {lsh_mp:.2f}"
 
 
 def test_violation_rows_quarantine(spark):
@@ -280,3 +290,34 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_ann_plan_size_flat_at_production_dims(spark):
+    """Hyperplanes/centroids ride as a broadcast relation, not
+    expression-tree literals — at dim=1024 with 64 planes the
+    optimized plan must stay small (the literal formulation was
+    O(planes*dim) ~ 50k plan nodes) and still execute."""
+    import time
+
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    dim, planes = 1024, 48
+    df = spark.createDataFrame(
+        [(i, [float((i * 31 + d) % 7) - 3.0 for d in range(dim)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    t0 = time.time()
+    sigs = SIM.with_hyperplane_signature(df, "embedding", dim, planes, out_col="sig")
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"plan blew up: {len(plan)} chars"
+    rows = sigs.collect()
+    assert len(rows) == 8 and all(r.sig is not None for r in rows)
+
+    cents = [(i, [float((i + d) % 5) - 2.0 for d in range(dim)]) for i in range(16)]
+    assigned = SIM.ivf_assign(df, cents, "vec_id", "embedding")
+    plan2 = assigned._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan2) < 20_000, f"ivf plan blew up: {len(plan2)} chars"
+    arows = assigned.collect()
+    assert len(arows) == 8 and all(r.centroid_id is not None for r in arows)
+    # plan construction + both executions comfortably interactive
+    assert time.time() - t0 < 120

@@ -167,3 +167,92 @@ def test_foreach_batch_upsert_and_checkpoint_exactly_once(spark, events_path):
     a = {(r.event_id, r.event_type) for r in got.select("event_id", "event_type").collect()}
     b = {(r.event_id, r.event_type) for r in src.select("event_id", "event_type").collect()}
     assert a == b
+
+
+def test_late_rows_dropped_by_watermark_accounting(spark):
+    """Out-of-order data BEYOND the watermark: rows must be dropped,
+    with exact accounting. Three single-file micro-batches
+    (maxFilesPerTrigger=1): batch 0 carries the event times that set
+    the watermark, batch 1 advances it, batch 2 plants one event older
+    than the committed watermark plus an on-time event. (The planted
+    row sits two batches after the data that outdates it because the
+    aggregation's late filter uses the watermark committed from
+    batches ≤ N-2 — the documented one-batch propagation lag.)
+    Asserts (a) the state operator reports exactly the planted late
+    row via numRowsDroppedByWatermark, and (b) the finalized windows
+    emitted in append mode equal the batch aggregate over on-time
+    rows for every window at-or-below the final watermark."""
+    import datetime as dt
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def ev(eid, minute, etype="click", value=1.0):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute),
+                7, etype, value, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = tempfile.mkdtemp(prefix="w2e_late_")
+    batches = [
+        # b0: max ts 01:55 -> watermark 01:25 once committed
+        [ev(1, 5), ev(2, 10), ev(3, 40), ev(4, 75), ev(5, 115)],
+        # b1: on-time, advances the watermark further (02:20 -> 01:50)
+        [ev(50, 125), ev(51, 140)],
+        # b2: 00:12 is beyond the in-effect watermark 01:25 (late ->
+        # dropped); 02:30 is on time and closes out [01:00, 02:00)
+        [ev(100, 12), ev(101, 150)],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+    parts = [os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")]
+    parts.sort(key=os.path.getmtime)
+    assert len(parts) == 3
+    # deterministic micro-batch order: file mtimes far apart
+    for i, p in enumerate(parts):
+        os.utime(p, (1_700_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = SW.tumbling_counts(stream, "1 hour", watermark="30 minutes")
+    ckpt = tempfile.mkdtemp(prefix="w2e_late_ckpt_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_acct")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    dropped = 0
+    final_wm = None
+    for p in q.recentProgress:
+        prog = json.loads(p.json)
+        for op in prog.get("stateOperators", []):
+            dropped += op.get("numRowsDroppedByWatermark", 0)
+        final_wm = prog.get("eventTime", {}).get("watermark", final_wm)
+    assert dropped == 1, f"expected exactly the planted late row dropped, got {dropped}"
+
+    # append mode emits only windows finalized at-or-below the final
+    # watermark (02:00): [00:00, 01:00) and [01:00, 02:00). They must
+    # equal the batch aggregate over on-time rows — late row excluded.
+    emitted = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in spark.table("late_acct").collect()
+    }
+    wm_ts = dt.datetime.fromisoformat(final_wm.replace("Z", ""))
+    on_time = [r for b in batches for r in b if r[0] != 100]
+    batch_ref = SW.tumbling_counts(
+        spark.createDataFrame(on_time, schema), "1 hour", watermark=None
+    ).filter(F.col("window_end") <= F.lit(wm_ts))
+    ref = {
+        (str(r.window_start), r.event_type): (r.n, r.sum_value)
+        for r in batch_ref.collect()
+    }
+    assert emitted == ref, (emitted, ref)

@@ -101,20 +101,52 @@ def _plane_weight(plane: int, dim: int) -> float:
     return int(h, 16) / float(1 << 31) - 1.0
 
 
-def hyperplane_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
-    """Bit signature: bit p = sign(vec · plane_p). Computed as pure
-    expressions over the array column; the planes are literal arrays
-    (constant-folded by Catalyst, broadcast with the plan)."""
-    sig = F.lit(0)
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(_plane_weight(p, d)) for d in range(dim)])
-        proj = F.aggregate(
-            F.zip_with(vec, plane, lambda x, w: x.cast("double") * w),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        sig = sig + F.when(proj >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    return sig.cast("int")
+def with_hyperplane_signature(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int = 8,
+    out_col: str = "sig",
+) -> DataFrame:
+    """Append the bit signature column: bit p = sign(vec · plane_p).
+
+    The planes travel as a broadcast one-row relation (an array of
+    (plane, bit, weights) structs), NOT as expression-tree literals:
+    an inlined-literal formulation is O(planes×dim) plan nodes, which
+    at production embedding dims (768–1536) and 64+ planes risks
+    Catalyst plan-size/codegen blow-up. Here the plan carries one
+    BroadcastNestedLoopJoin of a 1-row build side regardless of
+    dim×planes, and the signature is a single F.aggregate fold over
+    the struct array — plan size flat in both parameters.
+
+    The signature packs into one signed 64-bit bucket key, so
+    ``num_planes`` ≤ 63; for more bits, band into multiple signature
+    columns (as the MinHash-LSH operator does).
+    """
+    if not 1 <= num_planes <= 63:
+        raise ValueError(f"num_planes must be in [1, 63], got {num_planes}")
+    spark = df.sparkSession
+    rows = [
+        (p, 1 << p, [_plane_weight(p, d) for d in range(dim)])
+        for p in range(num_planes)
+    ]
+    planes = spark.createDataFrame(rows, "p int, bit long, w array<double>")
+    one = planes.agg(
+        F.sort_array(F.collect_list(F.struct("p", "bit", "w"))).alias("__planes")
+    )
+    sig = F.aggregate(
+        F.col("__planes"),
+        F.lit(0).cast("long"),
+        lambda acc, pl: acc
+        + F.when(dot(F.col(vec_col), pl["w"]) >= 0, pl["bit"]).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+    return (
+        df.crossJoin(F.broadcast(one))
+        .withColumn(out_col, sig.cast("long"))
+        .drop("__planes")
+    )
 
 
 def ivf_assign(
@@ -124,25 +156,34 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its nearest
-    centroid (max cosine, centroid-id tiebreak), as a pure expression
-    over literal centroid arrays.
+    centroid (max cosine, centroid-id tiebreak).
 
     ``centroids`` are (centroid_id, vector) pairs the caller obtained
     from a bounded driver-side step (a sampled k-means, or — as in the
-    suite — a deterministic data subset). The centroid table is tiny
-    and rides into the plan as literals; assignment is a per-row
-    argmax, no shuffle. Search then probes only the query's cell —
-    the inverted-file structure that keeps ANN linear at corpus scale.
+    suite — a deterministic data subset). The centroid table rides as
+    a broadcast one-row array-of-structs relation (not plan literals —
+    same rationale as ``with_hyperplane_signature``); assignment is a
+    per-row argmin over that array, no shuffle. Search then probes
+    only the query's cell — the inverted-file structure that keeps
+    ANN linear at corpus scale.
     """
-    entries = []
-    for cid, vec in centroids:
-        cvec = F.array(*[F.lit(float(x)) for x in vec])
-        score = cosine(F.col(vec_col), cvec)
-        # min over (-score, cid): highest cosine, then smallest id.
-        entries.append(F.struct((-score).alias("neg"), F.lit(cid).alias("cid")))
-    best = F.array_min(F.array(*entries))
-    return df.select(
-        F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id")
+    spark = df.sparkSession
+    rows = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    cdf = spark.createDataFrame(rows, "cid int, cv array<double>")
+    one = cdf.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("__cents")
+    )
+    # min over (-score, cid): highest cosine, then smallest id.
+    entries = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (-cosine(F.col(vec_col), c["cv"])).alias("neg"), c["cid"].alias("cid")
+        ),
+    )
+    best = F.array_min(entries)
+    return (
+        df.crossJoin(F.broadcast(one))
+        .select(F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id"))
     )
 
 
@@ -198,23 +239,54 @@ def topk_cosine_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    hamming_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine *within* the query's LSH bucket.
 
     Equi-join on the signature replaces the cross join — at corpus
-    scale each query touches ~n/2^planes candidates. Recall can be
-    raised with multi-probe (flip one bit) or more tables; this is
-    the single-table baseline. Queries broadcast as in brute force.
+    scale each query touches ~n/2^planes candidates.
+
+    ``hamming_probe=1`` is the multi-probe recall knob: each query
+    additionally probes the ``num_planes`` buckets at Hamming
+    distance 1 (one bit flipped). The probe signatures explode on the
+    QUERY side — the small broadcast side — so the corpus is never
+    replicated and the join stays a signature equi-join; candidate
+    volume grows ~(planes+1)× per query, still ∝ collisions, never n.
+    A (query, neighbor) pair matches via at most one probe (the
+    neighbor has one signature and the probe set is distinct), so no
+    dedup pass is needed.
     """
-    sig = hyperplane_signature(F.col(vec_col), dim, num_planes)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), sig.alias("__csig")
+    if hamming_probe not in (0, 1):
+        raise ValueError(f"hamming_probe must be 0 or 1, got {hamming_probe}")
+    c = with_hyperplane_signature(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ),
+        "__cvec",
+        dim,
+        num_planes,
+        out_col="__csig",
     )
-    q = F.broadcast(
+    q = with_hyperplane_signature(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"), sig.alias("__qsig")
-        )
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ),
+        "__qvec",
+        dim,
+        num_planes,
+        out_col="__sig0",
     )
+    if hamming_probe == 1:
+        probes = F.array(
+            F.col("__sig0"),
+            *[F.col("__sig0").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
+        )
+        q = q.select(
+            "query_id", "__qvec", F.explode(probes).alias("__qsig")
+        )
+    else:
+        q = q.withColumnRenamed("__sig0", "__qsig")
+    q = F.broadcast(q)
     scored = c.join(
         q, (F.col("__csig") == F.col("__qsig")) & (F.col("query_id") != F.col("neighbor_id"))
     ).select(

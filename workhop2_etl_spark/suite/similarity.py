@@ -161,11 +161,15 @@ def v3_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def v4_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from workhop2_etl_spark.operators.similarity import cosine, hyperplane_signature
+    from workhop2_etl_spark.operators.similarity import (
+        cosine,
+        with_hyperplane_signature,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    sig = hyperplane_signature(F.col("embedding"), DIM, NUM_PLANES)
-    s = emb.select("vec_id", F.col("embedding").alias("v"), sig.alias("sig"))
+    s = with_hyperplane_signature(
+        emb.select("vec_id", F.col("embedding").alias("v")), "v", DIM, NUM_PLANES
+    )
     a = s.select(F.col("vec_id").alias("id_a"), F.col("v").alias("qv"), F.col("sig").alias("sa"))
     b = s.select(F.col("vec_id").alias("id_b"), F.col("v").alias("cv"), F.col("sig").alias("sb"))
     pairs = a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
@@ -243,3 +247,51 @@ def v5_topk_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
     queries = emb.filter(F.col("vec_id") % 100 == 0)
     return SIM.topk_cosine_ivf(emb, queries, centroids, k=K).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# v6: multi-probe LSH — same signature equi-join as v2, but each query
+# also probes the NUM_PLANES buckets at Hamming distance 1. The recall
+# knob that does NOT widen buckets: candidates grow ~(planes+1)× per
+# query (still ∝ collisions), the corpus-side plan is unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _probe_list_sql(sig: str) -> str:
+    flips = ", ".join(f"xor({sig}, {1 << p})" for p in range(NUM_PLANES))
+    return f"[{sig}, {flips}]"
+
+
+@query(
+    "v6_topk_cosine_lsh_multiprobe",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv, {_sig_sql('embedding')}::BIGINT AS qsig
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv, {_sig_sql('embedding')}::BIGINT AS csig
+      FROM embeddings
+    ),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(CASE WHEN {_NQ} * {_NC} > 0
+                   THEN {_DOT} / ({_NQ} * {_NC}) ELSE 0.0 END, 6) AS score
+      FROM q JOIN c
+        ON list_contains({_probe_list_sql('qsig')}, csig)
+       AND query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v6_topk_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.topk_cosine_lsh(
+        emb, queries, dim=DIM, k=K, num_planes=NUM_PLANES, hamming_probe=1
+    ).orderBy("query_id", "rank")
