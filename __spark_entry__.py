@@ -83,12 +83,15 @@ _PRIORITY = [
     "x1_word_count",
     "x2_array_agg",
     "x3_hash_sample",
-    # (d) round-1-green regression canaries
-    "d2_minhash_lsh_pairs",
-    "d6_dup_clusters",
-    "j3_fuzzy_two_pass",
-    "w1_running_and_lag",
-    "g1_pivot",
+    # (d) round-2 star-join additions (star2.py) — the five most
+    # distinctive new plan shapes; the other seven run in pytest +
+    # verify_local, and the round-1-green families keep their r01
+    # verdicts.
+    "q2_best_value_supplier",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q19_disjunctive_revenue",
+    "q21_waiting_supplier",
 ]
 
 

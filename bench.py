@@ -49,6 +49,8 @@ HEADLINE = [
     "q5_local_volume",
     "q18_large_orders",
     "q4_order_priority",
+    "q9_product_profit",
+    "q19_disjunctive_revenue",
     # LLM-pipeline extensions
     "d2_minhash_lsh_pairs",
     "d4_simhash_groups",

@@ -111,3 +111,38 @@ def test_q18_having_aggregates_before_join(spark):
     assert "functions=[sum(l_quantity" in plan and agg > join, (
         "expected the lineitem aggregate deeper in the tree than the joins"
     )
+
+
+def test_star2_broadcasts_and_pushdown(spark):
+    # q7: both nation-tagged sides broadcast; the shipdate range
+    # reaches the lineitem scan.
+    plan = plan_of(suite.QUERIES["q7_nation_volume"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan
+    # q19: the disjunction evaluates after a broadcast part join —
+    # the fact table must not shuffle at all before the final 1-row agg.
+    plan19 = plan_of(suite.QUERIES["q19_disjunctive_revenue"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan19
+    assert "SortMergeJoin" not in plan19
+
+
+def test_star2_topk_and_aggregate_argmin(spark):
+    # q2: limit-20 over the argmin result plans as TakeOrdered, and
+    # the per-part argmin is an aggregate, not a window over offers.
+    plan = plan_of(suite.QUERIES["q2_best_value_supplier"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    # q21: unique-latest is aggregates + re-join, never a window over
+    # the raw lineitem join product.
+    plan21 = plan_of(suite.QUERIES["q21_waiting_supplier"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan21
+    assert "Window" not in plan21
+
+
+def test_q17_correlated_avg_is_aggregate_join(spark):
+    # the correlated scalar subquery must become aggregate + equi-join
+    # (one pass over lineitem for the averages), not a per-row
+    # subquery execution.
+    plan = plan_of(suite.QUERIES["q17_small_qty_revenue"](spark, SF_DIR))
+    assert "partial_avg" in plan
+    assert "Window" not in plan

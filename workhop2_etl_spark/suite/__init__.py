@@ -47,6 +47,7 @@ def load_all() -> None:
         multimodal,
         similarity,
         star,
+        star2,
         streaming,
         text,
     )
