@@ -45,6 +45,7 @@ def load_all() -> None:
         dedup,
         joins,
         multimodal,
+        pipeline2,
         similarity,
         star,
         star2,

@@ -1,0 +1,415 @@
+"""Training-data pipeline operators II — the corpus-preparation ops a
+100 TB pretraining pipeline runs after dedup (suite/dedup.py) and
+quality profiling (suite/text.py):
+
+* t5 repetition detection — intra-document duplicate n-gram ratio,
+  the Gopher/C4-style quality gate for degenerate boilerplate;
+* t6 PII scrubbing — regex redaction (emails/phones) with exact
+  redaction accounting and a residual-matches proof;
+* t7 benchmark-contamination check — shingle-hash join between the
+  training corpus and a held-out eval set (never all-pairs text
+  compare — the same banded-join scale posture as MinHash dedup);
+* x4 stratified split — deterministic per-stratum train/val split on
+  the md5 keyspace (portable across engines, pushdown-friendly);
+* x5 domain mixing — per-source cap with a deterministic-uniform
+  keep decision, the "balance the domains" resample;
+* x6 sequence packing — running-token-count windows assigning docs
+  to fixed-budget packs per shard, the batch-assembly primitive;
+* s3 ORC round-trip — the third columnar interchange format after
+  parquet/CSV/JSON (Spark-native ORC writer/reader).
+
+Every query is oracle-checked. Scale notes: t5/t6/x4/x5/x6 are
+single-scan (one shuffle at most — the final aggregate or the pack
+window's per-shard sort); t7 shuffles exploded shingles, bounded by
+corpus token count, and the eval side is tiny by construction (an
+eval set always is), so Spark broadcasts it.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators.dedup_text import word_shingles
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _toks() -> "F.Column":
+    t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, " ")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t5: repetition ratio — 1 - distinct/total word-3-grams per doc.
+# All-grams (not distinct) via the same arrays_zip trick as
+# word_shingles: the token array is evaluated once per row, never
+# inside a per-element lambda (the O(k²) regex pitfall).
+# ---------------------------------------------------------------------------
+@query(
+    "t5_repetition_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+               THEN list_transform(range(1, len(t)-1),
+                                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+               ELSE [] END AS g
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_grams,
+           CASE WHEN len(g) > 0
+             THEN round(1.0 - len(list_distinct(g)) * 1.0 / len(g), 6)
+             ELSE 0.0 END AS rep_ratio
+    FROM grams ORDER BY doc_id
+    """,
+)
+def t5_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    k = F.size(toks)
+    shifted = [toks.alias("t0")] + [
+        F.slice(toks, 1 + j, k).alias(f"t{j}") for j in range(1, 3)
+    ]
+    grams_all = F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
+    )
+    grams = F.when(k >= 3, F.slice(grams_all, 1, k - 2)).otherwise(
+        F.array().cast("array<string>")
+    )
+    g = F.col("g")
+    return (
+        docs.select("doc_id", grams.alias("g"))
+        .select(
+            "doc_id",
+            F.size(g).cast("long").alias("n_grams"),
+            F.when(
+                F.size(g) > 0,
+                F.round(
+                    1.0 - F.size(F.array_distinct(g)) / F.size(g), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("rep_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t6: PII scrub — inject synthetic emails/phones deterministically
+# (the corpus has none), redact with anchored regexes, and account:
+# per source, how many docs carried PII, how many redactions of each
+# kind, and a residual-matches column proving the scrub got them all.
+# ---------------------------------------------------------------------------
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@query(
+    "t6_pii_scrub",
+    oracle=f"""
+    WITH seeded AS (
+      SELECT source,
+             text
+               || CASE WHEN doc_id % 7 = 0
+                  THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@mail.example now'
+                  ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                  THEN ' or call 555-123-4567 today' ELSE '' END AS text
+      FROM documents
+    ),
+    counted AS (
+      SELECT source,
+             len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_email,
+             len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phone,
+             len(regexp_extract_all(
+               regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_EMAIL_RE}|{_PHONE_RE}')) AS residual
+      FROM seeded
+    )
+    SELECT source,
+           count(*) FILTER (WHERE n_email + n_phone > 0) AS docs_with_pii,
+           CAST(sum(n_email) AS BIGINT) AS n_emails,
+           CAST(sum(n_phone) AS BIGINT) AS n_phones,
+           CAST(sum(residual) AS BIGINT) AS residual_matches
+    FROM counted GROUP BY source ORDER BY source
+    """,
+)
+def t6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" reach me at user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.example now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" or call 555-123-4567 today")).otherwise(
+            F.lit("")
+        ),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    counted = docs.select("source", seeded.alias("t")).select(
+        "source",
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), 0)).alias("n_phone"),
+        F.size(
+            F.regexp_extract_all(scrubbed, F.lit(f"{_EMAIL_RE}|{_PHONE_RE}"), 0)
+        ).alias("residual"),
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.count(F.when(F.col("n_email") + F.col("n_phone") > 0, 1)).alias(
+                "docs_with_pii"
+            ),
+            F.sum("n_email").cast("long").alias("n_emails"),
+            F.sum("n_phone").cast("long").alias("n_phones"),
+            F.sum("residual").cast("long").alias("residual_matches"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t7: benchmark contamination — train docs sharing >=3 distinct
+# 3-grams with any eval doc (eval = every 50th doc). The check is a
+# shingle equi-join (explode distinct grams, hash-join, count per
+# pair) — candidate volume ∝ shared-shingle collisions, never
+# |train|×|eval| text comparisons. The eval side broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "t7_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 3
+        THEN list_transform(range(1, len(t)-1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        ELSE [array_to_string(t, ' ')] END)) AS g
+      FROM toks
+    ),
+    ev AS (SELECT doc_id AS eval_id, g FROM grams WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+    ov AS (
+      SELECT tr.doc_id, ev.eval_id, count(*) AS shared
+      FROM tr JOIN ev USING (g) GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT doc_id, eval_id, shared,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY shared DESC, eval_id) AS rn
+      FROM ov
+    )
+    SELECT doc_id, eval_id AS matched_eval_id, CAST(shared AS BIGINT) AS shared_grams
+    FROM best WHERE rn = 1 AND shared >= 3
+    ORDER BY doc_id
+    """,
+)
+def t7_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("g")
+    )
+    ev = F.broadcast(
+        grams.filter(F.col("doc_id") % 50 == 0).select(
+            F.col("doc_id").alias("eval_id"), "g"
+        )
+    )
+    tr = grams.filter(F.col("doc_id") % 50 != 0)
+    ov = (
+        tr.join(ev, "g")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    # argmax per train doc: most-shared eval doc, smallest id on ties
+    best = ov.groupBy("doc_id").agg(
+        F.min(F.struct((-F.col("shared")).alias("neg"), F.col("eval_id"))).alias("b")
+    )
+    return (
+        best.select(
+            "doc_id",
+            F.col("b.eval_id").alias("matched_eval_id"),
+            (-F.col("b.neg")).cast("long").alias("shared_grams"),
+        )
+        .filter(F.col("shared_grams") >= 3)
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x4: stratified train/val split — deterministic 10%-of-keyspace val
+# per source stratum (md5 prefix <= '19' ≈ 26/256). Portable across
+# engines; the split predicate is a scan-level projection, no shuffle
+# before the count aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "x4_stratified_split",
+    oracle="""
+    SELECT source,
+           CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) <= '19'
+                THEN 'val' ELSE 'train' END AS split,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x4_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    return (
+        docs.select(
+            "source", F.when(h <= "19", "val").otherwise("train").alias("split")
+        )
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("source", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x5: domain mixing — cap every source at ~20 docs by keeping each doc
+# with probability min(1, 20/n_source), decided by a deterministic
+# md5-uniform (exact in both engines: 32-bit hex / 2^32 is a
+# power-of-two division). Per-source rates come from one tiny
+# aggregate broadcast back onto the scan.
+# ---------------------------------------------------------------------------
+@query(
+    "x5_domain_mix",
+    oracle="""
+    WITH rates AS (
+      SELECT source, count(*) AS n_total,
+             least(1.0, 20.0 / count(*)) AS keep_rate
+      FROM documents GROUP BY source
+    )
+    SELECT d.source, r.n_total,
+           count(*) FILTER (WHERE
+             CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 < r.keep_rate) AS n_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def x5_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rates = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.least(F.lit(1.0), 20.0 / F.count(F.lit(1))).alias("keep_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_total")
+        .agg(F.count(F.when(u < F.col("keep_rate"), 1)).alias("n_kept"))
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x6: sequence packing — per-lang shards ordered by doc_id, documents
+# assigned to fixed-budget packs by running token count (pack budget
+# 512 tokens; a doc belongs to the pack its cumulative start falls
+# in). THE window-cumsum shape: one sort per shard, no joins; at
+# 100 TB the shard key is the partition key and each pack fits an
+# executor.
+# ---------------------------------------------------------------------------
+@query(
+    "x6_sequence_pack",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, len(string_split({_NORM}, ' ')) AS n_tok
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 512.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def x6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = docs.select("lang", "doc_id", n_tok.alias("n_tok")).withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("lang", "pack_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s3: ORC round-trip — Spark-native columnar format beyond
+# parquet/CSV/JSON; write-then-read must preserve the aggregate
+# exactly (same probe as s1's CSV round-trip).
+# ---------------------------------------------------------------------------
+@query(
+    "s3_orc_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n, CAST(sum(p_size) AS BIGINT) AS sum_size,
+           round(sum(p_retailprice), 2) AS sum_price
+    FROM part GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def s3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    out = os.path.join(tempfile.gettempdir(), "workhop2_io", "part_orc")
+    part.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("p_size").alias("sum_size"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
+        )
+        .orderBy("p_brand")
+    )
