@@ -183,3 +183,59 @@ def st6_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.interval_join_pairs(views, clicks, within="30 minutes").orderBy(
         "user_id", "l_event_id", "r_event_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# st7: custom stateful operator — per-user running totals via
+# applyInPandasWithState (streaming-only API, so this query actually
+# runs a Structured-Streaming job: re-materialize the events table as
+# a µs-precision stream source, replay with availableNow into a
+# memory sink, keep each user's final emission). The oracle is the
+# batch groupBy the final state must equal. State is one (count, sum)
+# pair per user in the state store — bounded by key cardinality, the
+# scale property that makes this the template for custom stateful
+# logic at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "st7_stateful_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """,
+)
+def st7_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    tag = uuid.uuid4().hex[:8]
+    src = os.path.join(tempfile.mkdtemp(prefix="w2e_st7_"), "events_us.parquet")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = SW.running_user_totals(stream)
+    ckpt = tempfile.mkdtemp(prefix=f"w2e_st7_ckpt_{tag}_")
+    name = f"st7_totals_{tag}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table(name)
+    # update mode re-emits a user's refreshed totals each micro-batch;
+    # n_events grows monotonically, so the final state is the argmax.
+    final = (
+        emitted.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "sum_value")).alias("b"))
+        .select(
+            "user_id",
+            F.col("b.n_events").alias("n_events"),
+            F.col("b.sum_value").alias("sum_value"),
+        )
+    )
+    return final.orderBy("user_id")
