@@ -321,3 +321,43 @@ def test_ann_plan_size_flat_at_production_dims(spark):
     assert len(arows) == 8 and all(r.centroid_id is not None for r in arows)
     # plan construction + both executions comfortably interactive
     assert time.time() - t0 < 120
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Spark's runtime bloom-filter injection (on by default, gated at
+    a 10 GB application-side scan) must fire on the engine's star-join
+    shape: a selective dim filter builds a bloom filter that prunes
+    the fact side BEFORE its shuffle. At 100 TB this is the gate that
+    turns a full fact shuffle into a pruned one; at test scale we
+    lower the application-side minimum to prove plan eligibility.
+    creationSideThreshold is a MAXIMUM (creation side must be small) —
+    do not zero it or injection silently disables."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        part = (
+            load_table(spark, SF_DIR, "part")
+            .filter(F.col("p_brand") == "Brand#12")
+            .select("p_partkey")
+        )
+        li = load_table(spark, SF_DIR, "lineitem").select("l_partkey", "l_quantity")
+        j = li.join(part, li.l_partkey == part.p_partkey).agg(
+            F.sum("l_quantity").alias("s")
+        )
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter built on the dim side"
+        assert "might_contain" in plan, "no runtime filter applied to the fact side"
+        j.collect()
+        assert "might_contain" in j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
