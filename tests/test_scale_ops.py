@@ -361,3 +361,43 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_compact_parquet_fixes_small_files(spark):
+    """Compaction: a fragmented table (64 tiny part files) rewrites
+    into the planned file count with identical contents; the
+    range-clustered variant leaves each output file covering a tight
+    key range (the property that makes footer min/max stats prune
+    filtered scans)."""
+    import pyarrow.parquet as pq
+
+    from workhop2_etl_spark.sources.compaction import compact_parquet, plan_file_count
+
+    src = os.path.join(tempfile.mkdtemp(prefix="w2e_compact_"), "frag")
+    dst = src + "_compact"
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.repartition(64).write.mode("overwrite").parquet(src)
+    n_src_files = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_src_files == 64
+
+    n = compact_parquet(spark, src, dst, target_mb=1, sort_by=["o_orderkey"])
+    assert n == plan_file_count(src, 1)
+    out_files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(out_files) == n < n_src_files
+
+    # contents identical
+    a = spark.read.parquet(dst)
+    assert a.count() == orders.count()
+    s1 = {tuple(r) for r in a.collect()}
+    s2 = {tuple(r) for r in orders.collect()}
+    assert s1 == s2
+
+    # range clustering: per-file key ranges must not overlap
+    ranges = []
+    for f in out_files:
+        t = pq.read_table(os.path.join(dst, f), columns=["o_orderkey"])
+        ks = t.column("o_orderkey").to_pylist()
+        ranges.append((min(ks), max(ks)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file key ranges: {(lo1, hi1)} vs {(lo2, hi2)}"

@@ -1,0 +1,65 @@
+"""Small-file compaction — the table-maintenance op every long-lived
+100 TB lake needs (streaming sinks, incremental upserts, and
+per-trigger appends all fragment a table into thousands of tiny part
+files; each file costs a task + open + footer read, so scan cost
+degrades from bytes to file count).
+
+``compact_parquet`` rewrites a parquet directory into
+~``target_mb``-sized files, optionally range-clustered on sort keys
+so min/max row-group statistics become selective (the poor man's
+clustering: a filtered scan skips whole files via footer stats).
+
+The file count is derived from the table's ACTUAL on-disk bytes, not
+a guess — the same rule works at any scale. Output goes to a new
+directory + atomic-ish swap is left to the caller / table format;
+rewriting in place would lose the table on failure.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def plan_file_count(path: str, target_mb: int = 128) -> int:
+    """Number of output files so each is ~target_mb of the SOURCE's
+    on-disk (compressed) bytes. Local paths only; on object stores,
+    list via the FileSystem API instead."""
+    return max(1, -(-_dir_bytes(path) // (target_mb * 1024 * 1024)))
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_mb: int = 128,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite ``src`` parquet into ``dst`` as ~target_mb files.
+    Returns the planned file count.
+
+    With ``sort_by``: repartitionByRange + sortWithinPartitions, so
+    each output file covers a tight key range and its row-group
+    min/max stats prune filtered scans (data skipping). Without:
+    a plain repartition (round-robin) that just fixes file sizes.
+    """
+    n = plan_file_count(src, target_mb)
+    df = spark.read.parquet(src)
+    if sort_by:
+        cols = [F.col(c) for c in sort_by]
+        df = df.repartitionByRange(n, *cols).sortWithinPartitions(*cols)
+    else:
+        df = df.repartition(n)
+    df.write.mode("overwrite").parquet(dst)
+    return n
