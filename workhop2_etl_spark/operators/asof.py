@@ -18,7 +18,7 @@ one bucket. Shuffle ∝ |R|·(window/bucket) + |L| — never |L|×|R|.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 

@@ -213,7 +213,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q11-shaped: revenue concentration — parts whose revenue from
-# NATION_3 suppliers exceeds a fraction of that nation's total.
+# NATION_3 suppliers exceeds 3x the mean per-part revenue
+# (scale-invariant: the mean grows with lines-per-part, so the query
+# stays non-vacuous at every SF).
 # The HAVING threshold is a scalar subquery: Spark computes the total
 # once and broadcasts it as a 1-row cross join (no second scan of the
 # aggregate — same dataframe, Catalyst reuses the exchange).
@@ -231,7 +233,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS p_key, round(sum(v), 2) AS part_value
     FROM nat
     GROUP BY l_partkey
-    HAVING sum(v) > (SELECT sum(v) * 0.002 FROM nat)
+    HAVING sum(v) > 3 * (SELECT avg(pv) FROM (SELECT sum(v) AS pv FROM nat GROUP BY l_partkey))
     ORDER BY part_value DESC, p_key
     """,
 )
@@ -255,7 +257,7 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("p_key"), _rev().alias("v")
     )
     per_part = nat.groupBy("p_key").agg(F.sum("v").alias("raw_value"))
-    total = per_part.agg((F.sum("raw_value") * 0.002).alias("threshold"))
+    total = per_part.agg((F.avg("raw_value") * 3).alias("threshold"))
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("raw_value") > F.col("threshold"))
@@ -484,7 +486,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q20-shaped: excess-volume suppliers — suppliers in NATION_7 who
-# shipped >100 units of any 'small *' part. Semi-join chain: part
+# shipped >3x the mean pair volume of any 'small *' part
+# (scale-invariant threshold). Semi-join chain: part
 # names -> (supplier, part) volumes -> supplier list; each hop is a
 # semi-join so no fan-out survives past its stage.
 # ---------------------------------------------------------------------------
@@ -495,10 +498,17 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_7'
       AND s_suppkey IN (
-        SELECT l_suppkey FROM lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
-        GROUP BY l_suppkey, l_partkey
-        HAVING sum(l_quantity) > 100
+        SELECT l_suppkey FROM (
+          SELECT l_suppkey, l_partkey, sum(l_quantity) AS q FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+          GROUP BY l_suppkey, l_partkey
+        ) WHERE q > 3 * (
+          SELECT avg(q) FROM (
+            SELECT sum(l_quantity) AS q FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+            GROUP BY l_suppkey, l_partkey
+          )
+        )
       )
     ORDER BY s_name
     """,
@@ -512,11 +522,15 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_quantity"
     )
-    heavy = (
+    pairs = (
         li.join(small_parts, li.l_partkey == small_parts.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("qty"))
-        .filter(F.col("qty") > 100)
+    )
+    thr = pairs.agg((F.avg("qty") * 3).alias("thr"))
+    heavy = (
+        pairs.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("thr"))
         .select("l_suppkey")
         .distinct()
     )
