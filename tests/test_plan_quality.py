@@ -146,3 +146,15 @@ def test_q17_correlated_avg_is_aggregate_join(spark):
     plan = plan_of(suite.QUERIES["q17_small_qty_revenue"](spark, SF_DIR))
     assert "partial_avg" in plan
     assert "Window" not in plan
+
+
+def test_lsh_signature_join_is_hash_join(spark):
+    # the multi-probe LSH search must stay a signature equi-join:
+    # Catalyst extracts csig == qsig into a BroadcastHashJoin. The two
+    # BroadcastNestedLoopJoins in the plan are the 1-row hyperplane
+    # relations (bounded build side by construction) — the assertion
+    # is that no unbounded cartesian/NLJ appears for the search join.
+    plan = plan_of(suite.QUERIES["v6_topk_cosine_lsh_multiprobe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan

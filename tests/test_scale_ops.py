@@ -401,3 +401,26 @@ def test_compact_parquet_fixes_small_files(spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file key ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """A hive-partitioned fact joined to a selectively-filtered dim on
+    the partition column must plan a dynamicpruning subquery on the
+    fact scan — at 100 TB this is what keeps a star join from reading
+    every date/status partition. Requires the dim to be a real source
+    with a filter (a bare LocalRelation doesn't trigger it)."""
+    out = os.path.join(tempfile.mkdtemp(prefix="w2e_dpp_"), "orders_p")
+    load_table(spark, SF_DIR, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dimdir = os.path.join(tempfile.mkdtemp(prefix="w2e_dpp_"), "dim")
+    spark.createDataFrame(
+        [("O", "open"), ("F", "final"), ("P", "pending")], "st string, label string"
+    ).write.parquet(dimdir)
+    dim = spark.read.parquet(dimdir).filter(F.col("label") == "open")
+    j = fact.join(dim, fact.o_orderstatus == dim.st).agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:1500]
+    # and the pruned count equals the filtered scan
+    assert j.collect()[0].n == fact.filter(F.col("o_orderstatus") == "O").count()
