@@ -116,3 +116,50 @@ def test_dedupe_exact_row_math(spark):
     assert kept.count() == n_fp
     # idempotence: deduping the deduped corpus is a no-op
     assert dedupe_exact(kept).count() == n_fp
+
+
+def test_asof_join_invariants(spark):
+    """asof_join row-count and correctness invariants on generated
+    event sets: output rows == left rows exactly (no fan-out, no
+    drops), and each matched payload is the true latest right row
+    at-or-before the left time — checked against a Python replay."""
+    import datetime as dt
+    import random
+
+    r = random.Random(20240813)
+    keys = [1, 2, 3]
+    base = dt.datetime(2024, 1, 1)
+
+    def times(n):
+        return [base + dt.timedelta(minutes=r.randrange(0, 500)) for _ in range(n)]
+
+    left = [(k, t) for k in keys for t in times(40)]
+    right = [(k, t, f"p{k}:{i}") for k in keys for i, t in enumerate(times(25))]
+    # inject NULL-time right rows — must never match
+    right += [(k, None, "leak") for k in keys]
+
+    ldf = spark.createDataFrame(left, "k long, t timestamp")
+    rdf = spark.createDataFrame(right, "k long, t timestamp, tag string")
+
+    from workhop2_etl_spark.operators.asof import asof_join
+
+    out = asof_join(
+        ldf, rdf, left_key="k", right_key="k",
+        left_time="t", right_time="t", payload=["tag"],
+    ).collect()
+    assert len(out) == len(left)
+
+    by_key: dict = {}
+    for k, t, tag in right:
+        if t is not None:
+            by_key.setdefault(k, []).append((t, tag))
+    for row in out:
+        cands = [(t, tag) for (t, tag) in by_key.get(row.k, []) if t <= row.t]
+        want = max(cands)[1] if cands else None
+        # ties at the same instant: engine picks the union-order last;
+        # accept any tag at the winning timestamp
+        if cands:
+            best_t = max(cands)[0]
+            assert row.tag in {tag for (t, tag) in cands if t == best_t}
+        else:
+            assert row.tag is None

@@ -478,19 +478,20 @@ def w2_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    approx = li.groupBy("l_returnflag").agg(
+    # approx and exact ride ONE aggregate — one scan, one shuffle
+    # (the exact pair exists only to certify the sketches; in a pure
+    # production query you would keep just the sketch columns).
+    both = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10_000)).alias(
             "approx_p50"
         ),
-    )
-    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("exact_parts"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50_raw"),
     )
     bound = F.lit(0.05)
     return (
-        approx.join(exact, "l_returnflag")
+        both
         .select(
             "l_returnflag",
             "exact_parts",
