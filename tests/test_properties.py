@@ -163,3 +163,43 @@ def test_asof_join_invariants(spark):
             assert row.tag in {tag for (t, tag) in cands if t == best_t}
         else:
             assert row.tag is None
+
+
+def test_range_join_matches_naive_on_random_intervals(spark):
+    """range_join vs the naive inequality join on randomized times and
+    asymmetric spans, across bucket sizes smaller, equal to, and
+    larger than the window — the replication-count derivation must be
+    exact in every regime."""
+    import datetime as dt
+    import random
+
+    r = random.Random(20260813)
+    base = dt.datetime(2024, 3, 1)
+    left = [
+        (i, r.choice([1, 2]), base + dt.timedelta(minutes=r.randrange(0, 2000)))
+        for i in range(60)
+    ]
+    right = [
+        (100 + i, r.choice([1, 2]), base + dt.timedelta(minutes=r.randrange(0, 2000)))
+        for i in range(60)
+    ]
+    ldf = spark.createDataFrame(left, "lid long, k long, lt timestamp")
+    rdf = spark.createDataFrame(right, "rid long, rk long, rt timestamp")
+
+    from workhop2_etl_spark.operators.asof import range_join
+
+    naive = ldf.join(
+        rdf,
+        (F.col("k") == F.col("rk"))
+        & (F.col("rt") >= F.col("lt") - F.expr("INTERVAL 45 minutes"))
+        & (F.col("rt") <= F.col("lt") + F.expr("INTERVAL 100 minutes")),
+        "inner",
+    )
+    want = sorted((row.lid, row.rid) for row in naive.collect())
+    assert want  # non-vacuous
+    for bucket in ("20 minutes", "45 minutes", "100 minutes", "3 hours"):
+        got = range_join(
+            ldf, rdf, on_key=("k", "rk"), left_time="lt", right_time="rt",
+            lower="45 minutes", upper="100 minutes", bucket=bucket,
+        )
+        assert sorted((row.lid, row.rid) for row in got.collect()) == want, bucket
