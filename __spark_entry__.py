@@ -27,72 +27,75 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness pass covers exactly the first 50 registry
 # entries in insertion order, so ordering decides which queries get an
-# oracle verdict. Round-2 window: (a) the flagship, (b) every query
-# whose oracle changed since r01 and needs a fresh verdict, (c) every
-# family with NO verdict yet — incl. the round-2 training-pipeline ops
-# (PII scrub, contamination, repetition, split/mix/pack), ORC source,
-# multi-probe LSH, and the st7 custom stateful operator — then (d) the
-# most distinctive star-join plan shapes. Queries left outside the
-# window either hold a hash-green r01 verdict or are near-duplicates
-# of an in-window plan shape (x1-x3, q4/q6/q10/q14/q19, v3); they
-# still run in pytest + tools/verify_local.py and rotate into the r03
-# window.
+# oracle verdict. Round-3 window: (a) the 16 queries that have never
+# been in any round's window (VERDICT r02 "Next round" #1) — after
+# this round the r01+r02+r03 union covers every registered query;
+# (b) queries whose operator or oracle changed this round and need a
+# fresh verdict (x6 pack window now sharded, st7 emits raw sums,
+# q11 rounds before its threshold — q11 is also in group (a));
+# (c) the queries NEW this round (IVF nprobe, stream-stream left
+# outer interval join, JDBC round-trip); (d) the flagship; (e) the
+# remaining slots re-confirm the highest-value r01-only greens
+# (joins, dedup, aggregates, grouping sets, window functions).
+# Everything outside the window holds a hash-green r01/r02 verdict
+# and still runs in pytest + tools/verify_local.py.
 _PRIORITY = [
-    # (a) flagship
-    "q1_pricing_summary",
-    # (b) oracle fixed this round (CAST AS BIGINT / new a11 bound oracle)
-    "a3_quality_counts",
-    "s1_csv_roundtrip",
-    "f7_cast_sentinel",
-    "dq1_constraints",
-    "a11_approx_sketches",
-    "u4_upsert",
-    "m2_meta_filter",
-    "st4_json_props",
-    # (c) families without a verdict yet
-    "j5_semi_join",
-    "j6_anti_join",
-    "j7_asof_join",
-    "j8_range_join",
-    "j9_full_outer_reconcile",
-    "u2_intersect",
-    "u3_except",
-    "m1_image_meta",
-    "m3_resize_plumbing",
-    "m4_frame_sample",
-    "v1_topk_cosine_bruteforce",
-    "v2_topk_cosine_lsh",
-    "v4_embedding_near_dup",
-    "v5_topk_cosine_ivf",
-    "v6_topk_cosine_lsh_multiprobe",
-    "q3_shipping_priority",
-    "q5_local_volume",
-    "q13_order_count_dist",
-    "q18_large_orders",
-    "q22_idle_rich_customers",
-    "st1_tumbling_counts",
-    "st2_sliding_counts",
-    "st3_session_windows",
-    "st5_stream_dedup",
-    "st6_interval_join",
-    "st7_stateful_running_totals",
-    "t1_token_counts",
-    "t2_quality_profile",
-    "t3_lang_id",
-    "t4_fingerprint",
-    # (c') round-2 training-data-pipeline ops — first-class per brief
-    "t5_repetition_ratio",
-    "t6_pii_scrub",
-    "t7_contamination",
-    "x4_stratified_split",
-    "x5_domain_mix",
+    # (a) never driver-checked before this round
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_revenue_concentration",
+    "q12_late_shipping",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "x1_word_count",
+    "x2_array_agg",
+    "x3_hash_sample",
+    "v3_embedding_norms",
+    # (b) operator/oracle changed this round
     "x6_sequence_pack",
-    "s3_orc_roundtrip",
-    # (d) round-2 star-join additions — most distinctive plan shapes
-    "q2_best_value_supplier",
-    "q7_nation_volume",
-    "q9_product_profit",
-    "q21_waiting_supplier",
+    "st7_stateful_running_totals",
+    # (c) new this round
+    "v7_topk_cosine_ivf_nprobe",
+    "st8_left_outer_interval_join",
+    "s5_jdbc_roundtrip",
+    # (d) flagship
+    "q1_pricing_summary",
+    # (e) re-confirm high-value r01-only greens
+    "j1_impute_left_join",
+    "j2_fanout_argmax_join",
+    "j3_fuzzy_two_pass",
+    "j4_argmax_dedupe",
+    "d1_exact_dup_groups",
+    "d2_minhash_lsh_pairs",
+    "d3_near_dup_pairs",
+    "d4_simhash_groups",
+    "d5_ngram_jaccard_sample",
+    "d6_dup_clusters",
+    "d7_canonical_docs",
+    "a1_topk_group_count",
+    "a2_count_distinct",
+    "a4_dup_counts",
+    "a5_histogram",
+    "a6_full_dedupe",
+    "a8_top_entities",
+    "a9_flag_influence",
+    "a10_percentiles",
+    "f1_normalize_text",
+    "g1_pivot",
+    "g2_cube",
+    "g3_rollup",
+    "g4_unpivot",
+    "w1_running_and_lag",
+    "w2_rank_per_group",
+    "w3_range_frame",
+    "s2_json_roundtrip",
+    "sql1_text_query",
 ]
 
 

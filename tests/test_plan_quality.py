@@ -158,3 +158,26 @@ def test_lsh_signature_join_is_hash_join(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ivf_nprobe_search_is_hash_join(spark):
+    # v7 (nprobe=2): probe-cell explosion happens on the broadcast
+    # query side; the search must remain a centroid equi-join
+    # (BroadcastHashJoin), never a cartesian — same guard as LSH
+    # multi-probe. The BroadcastNestedLoopJoins in the plan are the
+    # 1-row centroid relations (bounded build side by construction).
+    plan = plan_of(suite.QUERIES["v7_topk_cosine_ivf_nprobe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_window_sharded(spark):
+    # x6: the running-sum window must partition by (lang, shard), not
+    # lang alone — `lang` has a handful of values, so a lang-only
+    # window serializes the dominant language into ONE task at scale.
+    # The exchange feeding the Window must hash-partition on BOTH keys.
+    plan = plan_of(suite.QUERIES["x6_sequence_pack"](spark, SF_DIR))
+    assert re.search(r"hashpartitioning\(lang#\d+[^)]*shard#\d+", plan), (
+        "pack window exchange is not keyed by (lang, shard):\n" + plan[:2000]
+    )

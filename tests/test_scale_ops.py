@@ -189,6 +189,9 @@ def test_ann_recall_planted_neighbors(spark):
     )
     centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
     ivf = planted_recall(SIM.topk_cosine_ivf(emb, queries, centroids, k=k))
+    ivf_np = planted_recall(
+        SIM.topk_cosine_ivf(emb, queries, centroids, k=k, nprobe=2)
+    )
 
     # small perturbations: most signatures/cells survive; the misses
     # are the documented single-probe trade-off
@@ -199,6 +202,10 @@ def test_ann_recall_planted_neighbors(spark):
     # widening buckets (same signature width).
     assert lsh_mp >= lsh, f"multi-probe lost recall: {lsh_mp:.2f} < {lsh:.2f}"
     assert lsh_mp >= 0.8, f"multi-probe LSH recall too low: {lsh_mp:.2f}"
+    # nprobe=2 IVF must dominate nprobe=1 at equal centroid count and
+    # clear a strictly tighter gate — the IVF recall knob, same shape.
+    assert ivf_np >= ivf, f"nprobe=2 lost recall: {ivf_np:.2f} < {ivf:.2f}"
+    assert ivf_np >= 0.8, f"nprobe=2 IVF recall too low: {ivf_np:.2f}"
 
 
 def test_violation_rows_quarantine(spark):

@@ -69,12 +69,14 @@ def test_stateful_running_totals(spark, events_path):
     final = (
         streamed.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
     )
+    # the operator emits RAW sums (rounding is the consumer's job) —
+    # compare raw against raw, rounded only for the set compare
     batch = (
         spark.read.parquet(events_path)
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum("value").alias("sum_value"),
         )
     )
     a = {(r.user_id, r.n_events, round(r.sum_value, 3)) for r in final.collect()}
@@ -141,6 +143,72 @@ def test_stream_interval_join_equals_batch(spark, events_path):
     )
     streamed_q.awaitTermination()
     assert _rows(spark.table("stream_ij")) == _rows(batch)
+
+
+def test_stream_left_outer_interval_join_emits_nulls_after_watermark(spark):
+    """LEFT OUTER stream-stream interval join: matched pairs emit as
+    both sides arrive; an unmatched left row emits exactly once with a
+    NULL right side, but only AFTER the watermark passes
+    left.ts + within (state expiry proves no future match). Three
+    single-file micro-batches: batch 0 holds the views + one matching
+    click, batches 1-2 advance the watermark far past every view's
+    horizon so the unmatched view's NULL row flushes (the one-batch
+    watermark-propagation lag needs the second advance). The final
+    emission set must equal the batch left join."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def ev(eid, uid, minute, etype):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute),
+                uid, etype, 1.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = tempfile.mkdtemp(prefix="w2e_loj_")
+    batches = [
+        # v1 gets a click 10 min later; v2 never matches
+        [ev(1, 7, 0, "view"), ev(2, 8, 5, "view"), ev(3, 7, 10, "click")],
+        # far-future clicks for an unviewed user: advance the watermark
+        [ev(100, 999, 600, "click")],
+        [ev(101, 999, 601, "click")],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+    parts = [os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")]
+    parts.sort(key=os.path.getmtime)
+    assert len(parts) == 3
+    for i, p in enumerate(parts):
+        os.utime(p, (1_700_000_000 + i * 1000,) * 2)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    bv, bc = split(spark.read.parquet(src))
+    batch = SW.interval_join_pairs(bv, bc, within="30 minutes", how="leftOuter")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sv, sc = split(stream)
+    q = (
+        SW.interval_join_pairs(
+            sv, sc, within="30 minutes", watermark="10 minutes", how="leftOuter"
+        )
+        .writeStream.format("memory")
+        .queryName("stream_loj")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="w2e_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(spark.table("stream_loj")) == _rows(batch)
 
 
 def test_foreach_batch_upsert_and_checkpoint_exactly_once(spark, events_path):

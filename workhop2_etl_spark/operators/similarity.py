@@ -154,19 +154,26 @@ def ivf_assign(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    centroid (max cosine, centroid-id tiebreak).
+    """IVF coarse quantization: assign every vector to its ``nprobe``
+    nearest centroids (max cosine, centroid-id tiebreak).
 
     ``centroids`` are (centroid_id, vector) pairs the caller obtained
     from a bounded driver-side step (a sampled k-means, or — as in the
     suite — a deterministic data subset). The centroid table rides as
     a broadcast one-row array-of-structs relation (not plan literals —
     same rationale as ``with_hyperplane_signature``); assignment is a
-    per-row argmin over that array, no shuffle. Search then probes
-    only the query's cell — the inverted-file structure that keeps
-    ANN linear at corpus scale.
+    per-row argmin over that array, no shuffle. ``nprobe=1`` (the
+    indexing side) emits one row per vector; ``nprobe>1`` (the search
+    side's recall knob) emits one row per probed cell — sort the
+    per-centroid scores, slice the top p, explode. Ranking is a
+    lexicographic sort over (-cosine, cid) structs, identical to a
+    row_number ORDER BY score DESC, cid — reproducible across engines
+    because the cosine folds sequentially in double precision.
     """
+    if nprobe < 1 or nprobe > len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
     spark = df.sparkSession
     rows = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
     cdf = spark.createDataFrame(rows, "cid int, cv array<double>")
@@ -180,10 +187,17 @@ def ivf_assign(
             (-cosine(F.col(vec_col), c["cv"])).alias("neg"), c["cid"].alias("cid")
         ),
     )
-    best = F.array_min(entries)
+    if nprobe == 1:
+        best = F.array_min(entries)
+        return (
+            df.crossJoin(F.broadcast(one))
+            .select(F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id"))
+        )
+    probes = F.slice(F.array_sort(entries), 1, nprobe)
     return (
         df.crossJoin(F.broadcast(one))
-        .select(F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id"))
+        .select(F.col(id_col), F.col(vec_col), F.explode(probes).alias("__p"))
+        .select(F.col(id_col), F.col(vec_col), F.col("__p.cid").alias("centroid_id"))
     )
 
 
@@ -195,13 +209,20 @@ def topk_cosine_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: exact cosine within the query's cell only (nprobe=1).
+    """IVF ANN: exact cosine within the query's ``nprobe`` nearest
+    cells (the recall knob IVF indexes are actually tuned with).
 
-    Both sides quantize with the same centroids; the search is an
-    equi-join on centroid_id — shuffle ∝ cell populations, never the
-    n×|Q| cross product. Raising recall = probing more cells (union
-    over the next-nearest centroids), same plan shape.
+    Both sides quantize with the same centroids; the corpus is
+    indexed into exactly one cell, each query probes its ``nprobe``
+    nearest cells (exploded on the broadcast query side — mirrors the
+    LSH multi-probe shape: the corpus is never replicated). The
+    search stays an equi-join on centroid_id — shuffle ∝ probed-cell
+    populations (~nprobe/n_cells of the corpus per query), never the
+    n×|Q| cross product. A (query, neighbor) pair matches in at most
+    one cell (the neighbor lives in one cell; the probe set is
+    distinct), so no dedup pass is needed.
     """
     c = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
@@ -209,7 +230,7 @@ def topk_cosine_ivf(
         F.col("centroid_id"),
     )
     q = F.broadcast(
-        ivf_assign(queries, centroids, id_col, vec_col).select(
+        ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
             F.col("centroid_id"),

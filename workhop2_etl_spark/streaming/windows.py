@@ -141,8 +141,13 @@ def running_user_totals(df: DataFrame) -> DataFrame:
             n += len(pdf)
             s += float(pdf["value"].sum())
         state.update((n, s))
+        # Emit the RAW running sum: rounding belongs to the consumer
+        # (e.g. F.round in the st7 query) so both engines round the
+        # same value the same way — Python round() is banker's
+        # rounding and would bake per-batch accumulation noise into
+        # the emitted value.
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
         )
 
     return df.groupBy("user_id").applyInPandasWithState(
@@ -221,6 +226,7 @@ def interval_join_pairs(
     ts_col: str = "ts",
     within: str = "30 minutes",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: (left event, right event) pairs
     for the same key where the right event lands in
@@ -232,6 +238,13 @@ def interval_join_pairs(
     on an unbounded stream. In batch the same plan is an ordinary
     equi-join with a range rider. Output timestamps are NTZ in both
     modes (same convention as the window transforms).
+
+    ``how="leftOuter"`` is the late-result variant: a left row that
+    never finds a match emits once with NULL right side — in
+    streaming only AFTER the watermark passes left.ts + within (the
+    state store then knows no future match can arrive), which is why
+    outer interval joins REQUIRE watermarks on both inputs. In batch
+    it's an ordinary left join with the same condition.
     """
     l = _maybe_watermark(left, ts_col, watermark).select(
         F.col(on).alias("__k"),
@@ -249,6 +262,7 @@ def interval_join_pairs(
         (F.col("__k") == F.col("__rk"))
         & (F.col("r_ts") > F.col("l_ts"))
         & (F.col("r_ts") <= F.expr(f"l_ts + {within_expr}")),
+        how,
     )
     return joined.select(
         F.col("__k").alias(on),

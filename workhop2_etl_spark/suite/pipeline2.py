@@ -338,51 +338,75 @@ def x5_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x6: sequence packing — per-lang shards ordered by doc_id, documents
-# assigned to fixed-budget packs by running token count (pack budget
-# 512 tokens; a doc belongs to the pack its cumulative start falls
-# in). THE window-cumsum shape: one sort per shard, no joins; at
-# 100 TB the shard key is the partition key and each pack fits an
-# executor.
+# x6: sequence packing — per-(lang, shard) streams ordered by doc_id,
+# documents assigned to fixed-budget packs by running token count
+# (pack budget 512 tokens; a doc belongs to the pack its cumulative
+# start falls in). THE window-cumsum shape: one sort per shard, no
+# joins. `lang` alone is a handful of values — at 100 TB the dominant
+# language would land in ONE window partition (single-task sort), so
+# the window key is (lang, shard) with shard = md5(doc_id) % N: pack
+# ids (lang, shard, pack_id) stay deterministic and oracle-
+# expressible, and parallelism scales with N, not language count.
+# Tokens count 0 for empty/whitespace-only text on BOTH engines
+# (DuckDB's string_split('') is [''] — guarded with CASE).
 # ---------------------------------------------------------------------------
+_PACK_SHARDS = 8
+
+
 @query(
     "x6_sequence_pack",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, lang, len(string_split({_NORM}, ' ')) AS n_tok
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % {_PACK_SHARDS} AS shard,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tok
       FROM documents
     ),
     packed AS (
-      SELECT lang, n_tok,
-             CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+      SELECT lang, shard, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
                                           ROWS UNBOUNDED PRECEDING) - n_tok)
                         / 512.0) AS BIGINT) AS pack_id
       FROM toks
     )
-    SELECT lang, pack_id, count(*) AS n_docs,
+    SELECT lang, shard, pack_id, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS pack_tokens
-    FROM packed GROUP BY 1, 2 ORDER BY 1, 2
+    FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
 )
 def x6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_tok = F.size(_toks())
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _PACK_SHARDS
+    )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    packed = docs.select("lang", "doc_id", n_tok.alias("n_tok")).withColumn(
+    packed = docs.select(
+        "lang", "doc_id", shard.alias("shard"), n_tok.alias("n_tok")
+    ).withColumn(
         "pack_id",
         F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("long"),
     )
     return (
-        packed.groupBy("lang", "pack_id")
+        packed.groupBy("lang", "shard", "pack_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").cast("long").alias("pack_tokens"),
         )
-        .orderBy("lang", "pack_id")
+        .orderBy("lang", "shard", "pack_id")
     )
 
 
@@ -412,4 +436,59 @@ def s3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("p_retailprice"), 2).alias("sum_price"),
         )
         .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# s5: JDBC round-trip — the S2/S5 surface (reference reads from and
+# overwrites MySQL, dags/etl_grammy_spotify.py:56-58, 374-375)
+# executed end-to-end against embedded Apache Derby (ships inside the
+# Spark distribution, driver already on the classpath): Spark write →
+# Derby → partitioned Spark read (the fan-out scale path: 4 parallel
+# range queries on the key) → aggregate. The oracle is the same
+# aggregate over the parquet source — equal iff the DB round-trip
+# preserved every row and value.
+# ---------------------------------------------------------------------------
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@query(
+    "s5_jdbc_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n,
+           CAST(sum(n_nationkey) AS BIGINT) AS sum_key,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def s5_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.sources.readers import read_jdbc
+    from workhop2_etl_spark.sources.writers import write_jdbc
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    db = os.path.join(tempfile.mkdtemp(prefix="w2e_s5_derby_"), "db")
+    url = f"jdbc:derby:{db};create=true"
+    write_jdbc(nation, url, "NATION_RT", mode="overwrite", driver=_DERBY_DRIVER)
+
+    lo, hi = nation.agg(F.min("n_nationkey"), F.max("n_nationkey")).first()
+    back = read_jdbc(
+        spark,
+        url,
+        table="NATION_RT",
+        partition_column='"n_nationkey"',
+        lower_bound=int(lo),
+        upper_bound=int(hi),
+        num_partitions=4,
+        driver=_DERBY_DRIVER,
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").cast("long").alias("sum_key"),
+            F.min("n_name").alias("first_name"),
+        )
+        .orderBy("n_regionkey")
     )

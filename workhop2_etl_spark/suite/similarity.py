@@ -295,3 +295,60 @@ def v6_topk_cosine_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame
     return SIM.topk_cosine_lsh(
         emb, queries, dim=DIM, k=K, num_planes=NUM_PLANES, hamming_probe=1
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# v7: IVF with nprobe>1 — same centroid equi-join as v5, but each
+# query searches its NPROBE nearest cells (probe list exploded on the
+# broadcast query side, corpus still indexed into exactly one cell).
+# This is how IVF recall is actually tuned at scale: candidates grow
+# ~nprobe×, the plan shape and the corpus-side layout don't change.
+# ---------------------------------------------------------------------------
+NPROBE = 2
+
+
+@query(
+    "v7_topk_cosine_ivf_nprobe",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cid FROM scored_c WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid
+          FROM scored_c WHERE rn <= {NPROBE} AND vec_id % 100 = 0),
+    c2 AS (SELECT vec_id AS neighbor_id, v AS cv, cid FROM cells),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM q JOIN c2 USING (cid)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v7_topk_cosine_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.topk_cosine_ivf(emb, queries, centroids, k=K, nprobe=NPROBE).orderBy(
+        "query_id", "rank"
+    )

@@ -233,7 +233,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS p_key, round(sum(v), 2) AS part_value
     FROM nat
     GROUP BY l_partkey
-    HAVING sum(v) > 3 * (SELECT avg(pv) FROM (SELECT sum(v) AS pv FROM nat GROUP BY l_partkey))
+    HAVING round(sum(v), 2)
+           > round(3 * (SELECT avg(pv) FROM (SELECT sum(v) AS pv FROM nat GROUP BY l_partkey)), 2)
     ORDER BY part_value DESC, p_key
     """,
 )
@@ -258,9 +259,13 @@ def q11_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = nat.groupBy("p_key").agg(F.sum("v").alias("raw_value"))
     total = per_part.agg((F.avg("raw_value") * 3).alias("threshold"))
+    # Round BOTH sides to 2dp before the threshold compare — the sums
+    # are double accumulations whose last ulps depend on engine
+    # summation order, so an unrounded `>` could flip near the cut
+    # (module rule: round before any equality-sensitive step).
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("raw_value") > F.col("threshold"))
+        .filter(F.round("raw_value", 2) > F.round("threshold", 2))
         .select("p_key", F.round("raw_value", 2).alias("part_value"))
         .orderBy(F.desc("part_value"), "p_key")
     )

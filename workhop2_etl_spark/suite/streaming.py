@@ -227,15 +227,58 @@ def st7_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     emitted = spark.table(name)
+    # TEST-HARNESS SHAPE ONLY: the memory sink collects every
+    # update-mode emission to the driver (bounded here by
+    # users × batches). A production pipeline would use the
+    # foreachBatch upsert path (streaming/windows.py
+    # stream_upsert_to_parquet), never a driver-side memory sink.
+    #
     # update mode re-emits a user's refreshed totals each micro-batch;
     # n_events grows monotonically, so the final state is the argmax.
+    # The operator emits RAW sums; rounding happens HERE with F.round
+    # so both engines round the same single-pass value the same way.
     final = (
         emitted.groupBy("user_id")
         .agg(F.max(F.struct("n_events", "sum_value")).alias("b"))
         .select(
             "user_id",
             F.col("b.n_events").alias("n_events"),
-            F.col("b.sum_value").alias("sum_value"),
+            F.round(F.col("b.sum_value"), 4).alias("sum_value"),
         )
     )
     return final.orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# st8: stream-stream LEFT OUTER interval join (batch face) — every
+# view emits exactly once: paired with each click within 30 minutes,
+# or alone with a NULL right side if no click ever lands. In
+# streaming the NULL-side row is emitted only after the watermark
+# passes view.ts + 30min (state expiry proves no match can arrive) —
+# asserted stream ≡ batch in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+@query(
+    "st8_left_outer_interval_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events
+    ),
+    v AS (SELECT * FROM ev WHERE event_type = 'view'),
+    c AS (SELECT * FROM ev WHERE event_type = 'click')
+    SELECT v.user_id, v.event_id AS l_event_id, c.event_id AS r_event_id,
+           v.ts AS l_ts, c.ts AS r_ts
+    FROM v LEFT JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY v.user_id, l_event_id, r_event_id
+    """,
+)
+def st8_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return SW.interval_join_pairs(
+        views, clicks, within="30 minutes", how="leftOuter"
+    ).orderBy("user_id", "l_event_id", "r_event_id")
