@@ -28,6 +28,18 @@ CASES = sorted(suite.QUERIES)
 @pytest.mark.parametrize("name", CASES)
 def test_query_matches_oracle(name, spark, duck):
     sdf = suite.QUERIES[name](spark, SF_DIR)
+    # The driver's canonicalizer sorts every column through pandas
+    # (Categorical factorize), which raises on unhashable cells —
+    # nested result columns must be serialized to scalars (x2 learned
+    # this the hard way in round 3's driver run).
+    from pyspark.sql import types as T
+
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not nested, f"driver-unfriendly nested result columns: {nested}"
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     if name not in suite.ORACLES:

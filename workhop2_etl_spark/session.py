@@ -88,25 +88,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver-generated parquet table (lazy scan; column
     pruning + predicate pushdown reach the footer via Catalyst).
 
-    `events.ts` is physically TIMESTAMP(NANOS), which the Spark
-    parquet reader rejects; it is read as raw nanos (legacy conf,
-    runtime-settable) and floored to a microsecond timestamp — the
-    same `epoch_ns // 1000` convention the oracles use.
+    `events.ts` has shipped in two physical spellings across driver
+    testdata generations: TIMESTAMP(NANOS) — which the Spark parquet
+    reader rejects, so it is read as raw nanos (legacy conf,
+    runtime-settable) and floored to microseconds, the same
+    `epoch_ns // 1000` convention the oracles use — and plain
+    TIMESTAMP(MICROS), which Spark reads natively. Both normalize to
+    TIMESTAMP_NTZ here so downstream code sees one type.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name != "events":
         return spark.read.parquet(path)
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(path)
-    # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
-    # 53-bit mantissa, so float division would corrupt microseconds.
-    # Cast to NTZ so downstream values are session-timezone-independent
-    # (matches the other tables' timestamp_ntz physical type).
-    return raw.withColumn(
-        "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-    )
+    if isinstance(raw.schema["ts"].dataType, T.LongType):
+        # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
+        # 53-bit mantissa, so float division would corrupt microseconds.
+        ts = F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
+    return raw.withColumn("ts", ts)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -188,8 +188,9 @@ def x1_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x2_array_agg",
     oracle="""
     SELECT source, lang, count(*) AS n_docs,
-           coalesce(list(doc_id ORDER BY doc_id) FILTER (doc_id % 100 = 0),
-                    []) AS sample_ids
+           coalesce(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+                      FILTER (doc_id % 100 = 0),
+                    '') AS sample_ids
     FROM documents
     GROUP BY source, lang
     ORDER BY source, lang
@@ -198,15 +199,22 @@ def x1_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x2_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nest rows into per-group arrays (collect_list + sort for a
     deterministic value). The FILTER keeps the arrays bounded — the
-    pattern for 'carry a sample of members per group' at scale."""
+    pattern for 'carry a sample of members per group' at scale.
+
+    The nested array is serialized to a comma-joined string for the
+    result: the driver's canonicalizer hashes scalar cells (a raw
+    list column is unhashable in its pandas sort), and a delimited
+    string carries the identical information.
+    """
     docs = load_table(spark, sf_dir, "documents")
+    sample = F.sort_array(
+        F.collect_list(F.when(F.col("doc_id") % 100 == 0, F.col("doc_id")))
+    )
     return (
         docs.groupBy("source", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("doc_id") % 100 == 0, F.col("doc_id")))
-            ).alias("sample_ids"),
+            F.array_join(sample.cast("array<string>"), ",").alias("sample_ids"),
         )
         .orderBy("source", "lang")
     )
