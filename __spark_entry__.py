@@ -27,75 +27,71 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness pass covers exactly the first 50 registry
 # entries in insertion order, so ordering decides which queries get an
-# oracle verdict. Round-3 window: (a) the 16 queries that have never
-# been in any round's window (VERDICT r02 "Next round" #1) — after
-# this round the r01+r02+r03 union covers every registered query;
-# (b) queries whose operator or oracle changed this round and need a
-# fresh verdict (x6 pack window now sharded, st7 emits raw sums,
-# q11 rounds before its threshold — q11 is also in group (a));
-# (c) the queries NEW this round (IVF nprobe, stream-stream left
-# outer interval join, JDBC round-trip); (d) the flagship; (e) the
-# remaining slots re-confirm the highest-value r01-only greens
-# (joins, dedup, aggregates, grouping sets, window functions).
-# Everything outside the window holds a hash-green r01/r02 verdict
+# oracle verdict. Round-4 window: (a) never-verified queries — the 8
+# NEW this round (event analytics e1–e5, corpus stats t8/t9, chunking
+# x7) plus x2_array_agg (r03's one red row: the driver canonicalizer
+# can't hash list cells; x2 now emits a joined string); (b) every
+# query that reads `events` — the loader changed this round (testdata
+# regenerated with a timestamp-typed ts column) and each needs a
+# fresh verdict on the new code path; (c) the 16 queries whose only
+# green is r01 (oldest verdicts); (d) 14 of the oldest r02 greens.
+# Everything outside the window holds a hash-green r02/r03 verdict
 # and still runs in pytest + tools/verify_local.py.
 _PRIORITY = [
-    # (a) never driver-checked before this round
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_revenue_concentration",
-    "q12_late_shipping",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "x1_word_count",
+    # (a) never driver-verified
     "x2_array_agg",
-    "x3_hash_sample",
-    "v3_embedding_norms",
-    # (b) operator/oracle changed this round
-    "x6_sequence_pack",
+    "e1_sessionize",
+    "e2_funnel",
+    "e3_cohort_retention",
+    "e4_event_transitions",
+    "e5_scd2_runs",
+    "t8_tfidf_top_terms",
+    "t9_unigram_logprob",
+    "x7_doc_chunks",
+    # (b) events-loader code path changed this round
+    "st1_tumbling_counts",
+    "st2_sliding_counts",
+    "st3_session_windows",
+    "st4_json_props",
+    "st5_stream_dedup",
+    "st6_interval_join",
     "st7_stateful_running_totals",
-    # (c) new this round
-    "v7_topk_cosine_ivf_nprobe",
     "st8_left_outer_interval_join",
-    "s5_jdbc_roundtrip",
-    # (d) flagship
-    "q1_pricing_summary",
-    # (e) re-confirm high-value r01-only greens
-    "j1_impute_left_join",
-    "j2_fanout_argmax_join",
-    "j3_fuzzy_two_pass",
-    "j4_argmax_dedupe",
-    "d1_exact_dup_groups",
-    "d2_minhash_lsh_pairs",
-    "d3_near_dup_pairs",
-    "d4_simhash_groups",
-    "d5_ngram_jaccard_sample",
-    "d6_dup_clusters",
-    "d7_canonical_docs",
-    "a1_topk_group_count",
-    "a2_count_distinct",
-    "a4_dup_counts",
-    "a5_histogram",
-    "a6_full_dedupe",
-    "a8_top_entities",
+    "j7_asof_join",
+    "j8_range_join",
     "a9_flag_influence",
-    "a10_percentiles",
-    "f1_normalize_text",
-    "g1_pivot",
-    "g2_cube",
-    "g3_rollup",
-    "g4_unpivot",
-    "w1_running_and_lag",
-    "w2_rank_per_group",
-    "w3_range_frame",
-    "s2_json_roundtrip",
+    # (c) r01-only greens (stalest verdicts)
+    "a7_key_dup_rows",
+    "a7_operator_key_dups",
+    "f10_date_functions",
+    "f3_separator_variants",
+    "f4_sentinel_roundtrip",
+    "f5_str_to_bool",
+    "f6_timestamp_coerce",
+    "f8_prefix_extract",
+    "f9_conditional_impute",
+    "o2_sort_limit",
+    "p1_conj_filter",
+    "p4_keyword_filter",
+    "p6_isin_filter",
+    "p7_split_branches",
     "sql1_text_query",
+    "u1_union_by_name",
+    # (d) oldest r02 greens
+    "a11_approx_sketches",
+    "a3_quality_counts",
+    "dq1_constraints",
+    "f7_cast_sentinel",
+    "j5_semi_join",
+    "j6_anti_join",
+    "j9_full_outer_reconcile",
+    "s1_csv_roundtrip",
+    "s3_orc_roundtrip",
+    "u4_upsert",
+    "v4_embedding_near_dup",
+    "v6_topk_cosine_lsh_multiprobe",
+    "x4_stratified_split",
+    "x5_domain_mix",
 ]
 
 

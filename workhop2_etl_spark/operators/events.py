@@ -1,0 +1,180 @@
+"""Batch event-analytics operators over an event log.
+
+The reference has no event analytics (its workload is the
+grammy×spotify merge), but an analytics engine aimed at large-scale
+pipelines needs the classic event-log shapes: sessionization,
+funnels, cohort retention, transition matrices, and SCD2 run
+compaction. All five are expressed with hash aggregations,
+equi-joins, and per-key windows only:
+
+- ``sessionize`` / ``scd2_runs`` / ``transition_counts`` window over
+  the *high-cardinality* entity key (user_id), so parallelism scales
+  with the number of users — never a global sort.
+- ``funnel_counts`` and ``cohort_retention`` are pure
+  filter→hash-agg→equi-join pipelines: map-side partial aggregation
+  applies, nothing is all-pairs, and at 100 TB every shuffle is keyed
+  by user_id (high cardinality, no skew hot-spot by construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Assign gap-based session ids: a new session starts when the
+    time since the previous event of the same user exceeds ``gap``.
+
+    Returns the input plus a ``session_seq`` column (1-based, per
+    user, in time order). Window partitions by the entity key, so the
+    per-partition state is one user's history — bounded and parallel.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    prev_ts = F.lag(ts_col).over(w)
+    new_session = (
+        prev_ts.isNull()
+        | (F.col(ts_col) > prev_ts + F.expr(f"INTERVAL {gap}"))
+    ).cast("int")
+    return events.withColumn(
+        "session_seq",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel conversion: for each step i, count users whose
+    earliest step-i event follows their earliest qualifying step-(i-1)
+    event (strictly increasing timestamps through the funnel).
+
+    One filter→min-agg per step plus an equi-join on the user key —
+    no windows, no collect; each stage's cardinality is ≤ distinct
+    users, so the join inputs only shrink down the funnel.
+    """
+    reached: DataFrame | None = None
+    rows: list[DataFrame] = []
+    for i, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step)
+        if reached is not None:
+            stage = stage.join(reached, user_col).filter(
+                F.col(ts_col) > F.col("_prev_ts")
+            )
+        reached = stage.groupBy(user_col).agg(F.min(ts_col).alias("_prev_ts"))
+        rows.append(
+            reached.agg(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("event_type"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort = period of a user's first event; retention cell
+    (cohort, offset) = distinct users of that cohort active ``offset``
+    periods later. Two hash aggregations and one broadcast-size join
+    keyed by user — the classic scale-safe retention plan."""
+    cohorts = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(ts_col)).alias("cohort_start")
+    )
+    activity = (
+        events.select(
+            user_col, F.date_trunc(period, F.col(ts_col)).alias("active_period")
+        )
+        .distinct()
+    )
+    days = F.datediff(F.to_date("active_period"), F.to_date("cohort_start"))
+    per_period = 7 if period == "week" else 1
+    return (
+        activity.join(cohorts, user_col)
+        .withColumn("offset", (days / per_period).cast("int"))
+        .groupBy("cohort_start", "offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Markov-style bigram counts of consecutive event types per user
+    (the "what do users do next" matrix). Per-user lag window + one
+    hash aggregation over a tiny (|types|²) key space."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    return (
+        events.withColumn("_prev", F.lag(type_col).over(w))
+        .filter(F.col("_prev").isNotNull())
+        .groupBy(F.col("_prev").alias("from_type"), F.col(type_col).alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def scd2_runs(
+    events: DataFrame,
+    state_col: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Compact an event log into SCD2-style state intervals: one row
+    per run of equal ``state_col`` per user, with ``valid_from`` /
+    ``valid_to`` (NULL = current) and an ``is_current`` flag.
+
+    Run detection is the lag≠current trick + running sum — the same
+    per-key window shape as sessionize, so the same scale story.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
+    changed = (
+        F.lag(state_col).over(w).isNull()
+        | (F.lag(state_col).over(w) != F.col(state_col))
+    ).cast("int")
+    run = F.sum(changed).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = (
+        events.withColumn("_run", run)
+        .groupBy(user_col, "_run", state_col)
+        .agg(F.min(ts_col).alias("valid_from"), F.count(F.lit(1)).alias("n_events"))
+    )
+    w2 = Window.partitionBy(user_col).orderBy("valid_from")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("_run")
+    )
+
+
+def interval_overlap_seconds(start1: Column, end1: Column, start2: Column, end2: Column) -> Column:
+    """Seconds of overlap between [start1,end1) and [start2,end2); 0 if disjoint."""
+    lo = F.greatest(start1, start2)
+    hi = F.least(end1, end2)
+    return F.greatest(
+        F.lit(0).cast("long"),
+        F.unix_timestamp(hi) - F.unix_timestamp(lo),
+    )

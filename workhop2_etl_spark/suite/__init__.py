@@ -42,7 +42,9 @@ def load_all() -> None:
     from workhop2_etl_spark.suite import (  # noqa: F401
         aggs,
         core,
+        corpus,
         dedup,
+        events,
         joins,
         multimodal,
         pipeline2,

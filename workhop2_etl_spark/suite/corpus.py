@@ -1,0 +1,188 @@
+"""Corpus-statistics text queries over `documents` — TF-IDF term
+extraction, unigram language-model scoring, fixed-window chunking.
+
+These are the training-data-pipeline ops that need *corpus-level*
+state (document frequencies, unigram counts), unlike the per-row
+t1–t7 kernels. The corpus state is itself a DataFrame joined back on
+the term key — at 100 TB that's a shuffled equi-join on a
+high-cardinality key with map-side partial aggregation, never a
+driver-side vocabulary.
+
+Tokenization matches pipeline2's convention exactly (lowercase,
+whitespace-collapse, empty → 0 tokens) so token counts agree across
+query families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _toks() -> F.Column:
+    t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
+
+
+# ---------------------------------------------------------------------------
+# t8: per-document top-3 terms by TF-IDF. Ranking keys are integers
+# (tf desc, df asc, term asc) so cross-engine order never depends on
+# float ties; the tfidf value itself is reported rounded.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t8_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+      FROM documents WHERE {_NORM} <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             round(tf.tf * ln(n.n_docs / df.df), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+               AS rank
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
+    FROM scored WHERE rank <= 3
+    ORDER BY doc_id, rank
+    """,
+)
+def t8_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# t9: unigram-LM quality score — per-doc mean log probability under
+# the corpus unigram distribution (the classic cheap fluency /
+# outlier signal when no external LM is available).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t9_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+      FROM documents WHERE {_NORM} <> ''
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ), uni AS (
+      SELECT term, sum(tf) AS cnt FROM tf GROUP BY term
+    ), tot AS (
+      SELECT sum(cnt) AS total FROM uni
+    )
+    SELECT tf.doc_id,
+           CAST(sum(tf.tf) AS BIGINT) AS n_tok,
+           round(sum(tf.tf * ln(uni.cnt / tot.total)) / sum(tf.tf), 4)
+             AS avg_logprob
+    FROM tf JOIN uni USING (term) CROSS JOIN tot
+    GROUP BY tf.doc_id
+    ORDER BY tf.doc_id
+    """,
+)
+def t9_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    uni = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    tot = uni.agg(F.sum("cnt").alias("total"))
+    return (
+        tf.join(uni, "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tok"),
+            F.round(
+                F.sum(F.col("tf") * F.log(F.col("cnt") / F.col("total")))
+                / F.sum("tf"),
+                4,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x7: fixed-window document chunking with overlap (chunk 40 tokens,
+# stride 30 → 10-token overlap) — the doc→training-example fan-out.
+# explode(sequence) keeps the fan-out inside the JVM; at scale the
+# output is ~n_tokens/stride rows per doc with no shuffle at all
+# until a downstream op asks for one.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 40
+_STRIDE = 30
+
+
+@query(
+    "x7_doc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t,
+             len(string_split({_NORM}, ' ')) AS n
+      FROM documents WHERE {_NORM} <> ''
+    ), idx AS (
+      SELECT doc_id, t, CAST(unnest(generate_series(0, (n - 1) // {_STRIDE})) AS INTEGER) AS chunk_idx
+      FROM toks
+    )
+    SELECT doc_id, chunk_idx,
+           len(list_slice(t, chunk_idx * {_STRIDE} + 1,
+                             chunk_idx * {_STRIDE} + {_CHUNK})) AS chunk_n_tok,
+           array_to_string(list_slice(t, chunk_idx * {_STRIDE} + 1,
+                                         chunk_idx * {_STRIDE} + {_CHUNK}), ' ')
+             AS chunk_text
+    FROM idx
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def x7_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", _toks().alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    d = d.select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(0), F.expr(f"CAST((n - 1) div {_STRIDE} AS INT)"))
+        ).alias("chunk_idx"),
+    )
+    chunk = F.slice("t", F.col("chunk_idx") * _STRIDE + 1, _CHUNK)
+    return d.select(
+        "doc_id",
+        "chunk_idx",
+        F.size(chunk).alias("chunk_n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")

@@ -1,0 +1,208 @@
+"""Batch event-log analytics over `events` — sessionization, funnel,
+cohort retention, transition matrix, SCD2 run compaction.
+
+The reference pipeline has no event analytics; these are the standard
+shapes a production analytics engine must cover (SURVEY.md north-star
+extensions). Every query is oracle-checked: the Spark side uses
+per-user windows / hash aggs only, and the DuckDB side replays the
+identical logic in ANSI-ish SQL.
+
+Scale notes (100 TB): all window partitions key on ``user_id`` (high
+cardinality — parallelism scales with users, state per partition is
+one user's history); funnel/cohort are filter→agg→equi-join chains
+with map-side partial aggregation and monotonically shrinking
+cardinality down the funnel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators import events as EV
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+# ---------------------------------------------------------------------------
+# e1: gap-based sessionization (batch twin of streaming st3, but
+# with per-session ids surfaced, not just aggregates).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e1_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, value,
+             CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM marked
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 4) AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def e1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        EV.sessionize(ev, gap="30 minutes")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e2: ordered funnel — signup → click → purchase, strictly increasing
+# timestamps through the funnel (earliest qualifying event per step).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e2_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    )
+    SELECT 1 AS step, 'signup' AS event_type, (SELECT count(*) FROM s1) AS n_users
+    UNION ALL
+    SELECT 2, 'click', (SELECT count(*) FROM s2)
+    UNION ALL
+    SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    ORDER BY step
+    """,
+)
+def e2_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return EV.funnel_counts(ev, ["signup", "click", "purchase"]).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# e3: weekly cohort retention (long form — one row per
+# (cohort_week, week_offset) cell; long beats pivot for hashing and
+# for unbounded observation windows).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e3_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_start
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_period
+      FROM events
+    )
+    SELECT CAST(c.cohort_start AS DATE) AS cohort_start,
+           CAST(date_diff('day', c.cohort_start, a.active_period) // 7 AS INTEGER)
+             AS offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def e3_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # DATE on both engines: DuckDB's date_trunc('week', ts) is a DATE,
+    # Spark's a timestamp — the week identity is the date either way.
+    return (
+        EV.cohort_retention(ev, period="week")
+        .withColumn("cohort_start", F.col("cohort_start").cast("date"))
+        .orderBy("cohort_start", "offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e4: event-type transition matrix (consecutive-event bigrams per
+# user) — the "what happens next" Markov counts.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e4_event_transitions",
+    oracle="""
+    WITH lagged AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+    FROM lagged WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def e4_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return EV.transition_counts(ev).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# e5: SCD2 run compaction — event_type as the tracked "state": one
+# row per run of equal state per user with valid_from/valid_to
+# (NULL = current) and is_current.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e5_scd2_runs",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type THEN 1
+                  ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      , ts FROM marked
+    ), grouped AS (
+      SELECT user_id, event_type, run_id,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             IS NULL AS is_current,
+           n_events
+    FROM grouped
+    ORDER BY user_id, valid_from
+    """,
+)
+def e5_scd2_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return EV.scd2_runs(ev, state_col="event_type").select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current", "n_events"
+    ).orderBy("user_id", "valid_from")
