@@ -65,7 +65,47 @@ HEADLINE = [
     "st1_tumbling_counts",
     "st3_session_windows",
     "st6_interval_join",
+    # event-log analytics + corpus stats (round 4)
+    "e1_sessionize",
+    "e3_cohort_retention",
+    "t8_tfidf_top_terms",
+    "x7_doc_chunks",
 ]
+
+
+def bench_reference_pipeline(spark) -> float:
+    """End-to-end grammy×spotify pipeline (the reference's actual
+    workload) at the reference's own scale: 4,810 award rows ×
+    ~114,000 track rows (SURVEY.md §1.4). Fixture generation is
+    driver-side and excluded from the timing; the measured span is
+    the full lazy plan — clean → impute join → fuzzy two-pass match →
+    finalize — through collect."""
+    import tempfile
+
+    import pandas as pd
+
+    from tests.fixtures_grammy import make_grammy, make_spotify
+    from workhop2_etl_spark.plans import grammy_spotify as P
+    from workhop2_etl_spark.plans.schemas import GRAMMY_SCHEMA, SPOTIFY_SCHEMA
+
+    gp = make_grammy(n=4810)
+    sp = make_spotify(n_tracks=91200)  # ~1.25 rows/track → ~114k rows
+    with tempfile.TemporaryDirectory() as tmp:
+        # Stage inputs as parquet (untimed): a pandas-backed
+        # LocalRelation would be inlined at every one of the plan's
+        # self-references, blowing up analysis + re-conversion — and a
+        # real deployment reads from storage anyway.
+        g0 = spark.createDataFrame(gp.where(pd.notnull(gp), None), schema=GRAMMY_SCHEMA)
+        s0 = spark.createDataFrame(sp.where(pd.notnull(sp), None), schema=SPOTIFY_SCHEMA)
+        g0.write.mode("overwrite").parquet(f"{tmp}/grammy")
+        s0.write.mode("overwrite").parquet(f"{tmp}/spotify")
+        g = spark.read.parquet(f"{tmp}/grammy")
+        s = spark.read.parquet(f"{tmp}/spotify")
+        t0 = time.time()
+        rows = P.run_pipeline(g, s, mode="spec").collect()
+        dt = round(time.time() - t0, 3)
+        assert rows
+    return dt
 
 
 def main() -> None:
@@ -84,6 +124,7 @@ def main() -> None:
         rows = fn(spark, SF_DIR).collect()
         times[name] = round(time.time() - t0, 3)
         assert rows is not None
+    times["pipeline_grammy_spotify"] = bench_reference_pipeline(spark)
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

@@ -325,8 +325,19 @@ def run_pipeline(grammy: DataFrame, spotify: DataFrame, mode: str = "spec") -> D
         # mode that would silently route imputed rows through the
         # vacuous-match branch).
         g = g.withColumn("artist_norm", clean.normalize_text(F.col("artist")))
+    # Pin the two intermediates that fan out to multiple downstream
+    # subplans (song/other split × two match passes consume g;
+    # spotify_top feeds both match arms). Spark has no cross-branch
+    # common-subexpression reuse, so without this the impute joins and
+    # the spotify argmax dedup re-execute once per reference — at
+    # reference scale that multiplied end-to-end latency ~4×. Both are
+    # dimension-sized by construction (grammy is the award list;
+    # spotify_top is one row per track key); eager=False defers
+    # materialization to first use and keeps the blocks GC-releasable
+    # (same pattern as the fuzzy-join probe cache, operators/joins.py).
+    g = g.localCheckpoint(eager=False)
     song, other = split_song_other(g)
-    spotify_top = build_spotify_top(s)
+    spotify_top = build_spotify_top(s).localCheckpoint(eager=False)
     merged_song = match_songs(song, spotify_top, mode)
     merged_total = union_by_name(merged_song, other)
     return finalize(merged_total, mode)
