@@ -181,3 +181,43 @@ def test_sequence_pack_window_sharded(spark):
     assert re.search(r"hashpartitioning\(lang#\d+[^)]*shard#\d+", plan), (
         "pack window exchange is not keyed by (lang, shard):\n" + plan[:2000]
     )
+
+
+def test_event_analytics_window_keys_and_no_python(spark):
+    # e1/e5: the per-user windows must hash-partition on user_id (the
+    # high-cardinality entity key — parallelism scales with users);
+    # everything stays JVM-side (no BatchEvalPython).
+    for name in ("e1_sessionize", "e5_scd2_runs"):
+        plan = plan_of(suite.QUERIES[name](spark, SF_DIR))
+        assert re.search(r"hashpartitioning\(user_id#\d+", plan), name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_funnel_is_agg_join_chain(spark):
+    # e2: filter→min-agg→equi-join per step — no windows, no
+    # cartesian; each stage's cardinality is bounded by distinct
+    # users.
+    plan = plan_of(suite.QUERIES["e2_funnel"](spark, SF_DIR))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_tfidf_corpus_stats_join_shape(spark):
+    # t8: the document-frequency relation joins back on the term key
+    # as an equi-join; the only nested-loop join is the 1-row
+    # n_docs scalar (bounded build side by construction).
+    plan = plan_of(suite.QUERIES["t8_tfidf_top_terms"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert re.search(r"(BroadcastHashJoin|SortMergeJoin) \[term", plan)
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    # x7: explode(sequence) fans out inside the stage — the only
+    # exchange allowed is the final deterministic output sort.
+    plan = plan_of(suite.QUERIES["x7_doc_chunks"](spark, SF_DIR))
+    exchanges = re.findall(r"Exchange \w+", plan)
+    assert all("rangepartitioning" in e or "Exchange rangepartitioning" in e
+               for e in exchanges) or len(exchanges) <= 1, exchanges
+    assert "BatchEvalPython" not in plan
