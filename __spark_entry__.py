@@ -57,6 +57,7 @@ _PRIORITY = [
     "st6_interval_join",
     "st7_stateful_running_totals",
     "st8_left_outer_interval_join",
+    "st9_stream_static_enrich",
     "j7_asof_join",
     "j8_range_join",
     "a9_flag_influence",
@@ -91,7 +92,6 @@ _PRIORITY = [
     "v4_embedding_near_dup",
     "v6_topk_cosine_lsh_multiprobe",
     "x4_stratified_split",
-    "x5_domain_mix",
 ]
 
 

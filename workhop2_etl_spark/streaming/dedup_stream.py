@@ -1,0 +1,199 @@
+"""Incremental (streaming) near-duplicate ingestion.
+
+The 100 TB ingestion-dedup story: documents arrive continuously; each
+micro-batch must be near-dup-checked against EVERYTHING already
+accepted without ever re-scanning the accepted corpus pairwise. The
+accumulated state is an LSH *band index* — one row per (band bucket,
+accepted doc) — so the cross-batch candidate check is a bucketed
+equi-join of batch bands against index bands: shuffle ∝ batch size ×
+bands, never corpus².
+
+Dedup rule (deterministic, mirrored by the test oracle):
+
+* a batch doc is DROPPED if its estimated MinHash similarity to any
+  already-accepted doc, or to any lower-id doc of the same batch,
+  reaches ``threshold``;
+* survivors are appended to the output corpus, and their band rows
+  (band_key, doc_id, sig) to the index.
+
+"Lower-id of the same batch, whether or not that doc itself
+survives" is a greedy first-wins rule — cheaper than per-batch
+connected components and the natural semantics for append-only
+ingestion (earlier data wins). Chains therefore differ from the
+batch CC-canonical dedup (d6/d7) by design; the exactly-once
+re-run property comes from the streaming checkpoint.
+
+Similarity is estimated from the stored signatures (fraction of
+equal MinHash components) — the standard index-friendly estimator:
+verifying against raw shingles would require keeping full text in
+the index.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators.dedup_text import lsh_bands, minhash_signatures
+
+
+def _sig_similarity(a: str, b: str, num_hashes: int) -> F.Column:
+    """Fraction of equal signature components (MinHash Jaccard
+    estimate). NULL components (empty docs) never count as equal, so
+    empty docs are always unique."""
+    return (
+        F.size(F.filter(F.expr(f"zip_with({a}, {b}, (x, y) -> x = y)"), lambda m: m))
+        / F.lit(num_hashes)
+    )
+
+
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+) -> DataFrame:
+    """(doc_id, sig, band_id, band_key) — one row per non-NULL band."""
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, num_hashes=num_hashes)
+    return (
+        sigs.select(
+            id_col,
+            "sig",
+            F.explode(lsh_bands(F.col("sig"), num_bands, num_hashes // num_bands)).alias("b"),
+        )
+        .select(id_col, "sig", F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
+        .filter(F.col("band_key").isNotNull())
+    )
+
+
+def neardup_filter_batch(
+    batch: DataFrame,
+    index: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.7,
+) -> tuple[DataFrame, DataFrame]:
+    """Pure (testable) core: returns (survivor rows, survivor band
+    rows to append to the index). ``index`` is the accumulated band
+    store (band_id, band_key, doc_id, sig) or None on first batch."""
+    bands = banded_signatures(
+        batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes, num_bands=num_bands
+    )
+    sigs = bands.select(id_col, "sig").distinct()
+
+    # --- cross-batch: batch bands ⨝ index bands on the bucket key ---
+    dropped_vs_index = None
+    if index is not None:
+        cand = (
+            bands.alias("n")
+            .join(
+                index.alias("i"),
+                (F.col("n.band_id") == F.col("i.band_id"))
+                & (F.col("n.band_key") == F.col("i.band_key")),
+            )
+            .select(
+                F.col(f"n.{id_col}").alias("new_id"),
+                F.col("n.sig").alias("new_sig"),
+                F.col(f"i.{id_col}").alias("old_id"),
+                F.col("i.sig").alias("old_sig"),
+            )
+            .distinct()
+        )
+        dropped_vs_index = (
+            cand.filter(_sig_similarity("new_sig", "old_sig", num_hashes) >= threshold)
+            .select(F.col("new_id").alias(id_col))
+            .distinct()
+        )
+
+    # --- within-batch: greedy first-wins against lower ids ---
+    pair = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("lo_id"),
+            F.col("a.sig").alias("lo_sig"),
+            F.col(f"b.{id_col}").alias("hi_id"),
+            F.col("b.sig").alias("hi_sig"),
+        )
+        .distinct()
+    )
+    dropped_in_batch = (
+        pair.filter(_sig_similarity("lo_sig", "hi_sig", num_hashes) >= threshold)
+        .select(F.col("hi_id").alias(id_col))
+        .distinct()
+    )
+
+    dropped = dropped_in_batch
+    if dropped_vs_index is not None:
+        dropped = dropped.unionByName(dropped_vs_index).distinct()
+
+    survivors = batch.join(dropped, id_col, "left_anti")
+    new_index_rows = bands.join(dropped, id_col, "left_anti").select(
+        "band_id", "band_key", id_col, "sig"
+    )
+    return survivors, new_index_rows
+
+
+def stream_neardup_ingest(
+    spark,
+    stream_dir: str,
+    schema,
+    out_dir: str,
+    index_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    threshold: float = 0.7,
+) -> None:
+    """Run the incremental near-dup ingest over every file currently
+    in ``stream_dir`` (availableNow, one file per micro-batch so
+    arrival order is honored), appending survivors to ``out_dir`` and
+    their band rows to ``index_dir``. Re-running with the same
+    checkpoint is a no-op (exactly-once, asserted in tests)."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        spark_l = batch_df.sparkSession
+        index = None
+        if os.path.isdir(index_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(index_dir)
+        ):
+            index = spark_l.read.parquet(index_dir)
+        survivors, new_rows = neardup_filter_batch(
+            batch_df,
+            index,
+            id_col=id_col,
+            text_col=text_col,
+            num_hashes=num_hashes,
+            num_bands=num_bands,
+            threshold=threshold,
+        )
+        # Materialize survivors before the index append so the two
+        # writes see one consistent decision set.
+        survivors = survivors.localCheckpoint(eager=True)
+        survivors.write.mode("append").parquet(out_dir)
+        new_rows.write.mode("append").parquet(index_dir)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

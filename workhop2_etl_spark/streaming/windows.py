@@ -324,3 +324,24 @@ def stream_upsert_to_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def enrich_with_dim(
+    stream: DataFrame,
+    dim: DataFrame,
+    key: str = "user_id",
+    dim_key: str = "cust_key",
+) -> DataFrame:
+    """Stream-static dimension enrichment: left-join the (unbounded)
+    stream against a bounded dimension table.
+
+    Stream-static joins need no watermark and keep NO join state —
+    each micro-batch joins against the static side as a plain batch
+    join, so the same function body serves batch mode unchanged. The
+    dimension is broadcast: at cluster scale that is one build per
+    executor reused across every micro-batch, versus re-shuffling the
+    stream each trigger. Rows with no dimension match keep NULL
+    attributes (left join) — the enrich-then-segment shape."""
+    return stream.join(
+        F.broadcast(dim), stream[key] == dim[dim_key], "left"
+    ).drop(dim_key)

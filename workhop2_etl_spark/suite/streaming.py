@@ -282,3 +282,33 @@ def st8_left_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SW.interval_join_pairs(
         views, clicks, within="30 minutes", how="leftOuter"
     ).orderBy("user_id", "l_event_id", "r_event_id")
+
+
+# ---------------------------------------------------------------------------
+# st9: stream-static dimension enrichment — events left-joined to the
+# customer dimension (user_id ↔ c_custkey; ids outside the customer
+# range keep a NULL segment), then segmented counts. Stream-static
+# joins hold no state and need no watermark: each micro-batch joins
+# the broadcast dimension as a plain batch join — asserted
+# stream ≡ batch in tests/test_streaming.py.
+# ---------------------------------------------------------------------------
+@query(
+    "st9_stream_static_enrich",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment,
+           count(*) AS n, round(sum(e.value), 4) AS sum_value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def st9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_key"), "c_mktsegment"
+    )
+    return (
+        SW.enrich_with_dim(ev, cust, key="user_id", dim_key="cust_key")
+        .groupBy("event_type", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .orderBy("event_type", "c_mktsegment")
+    )
