@@ -431,3 +431,64 @@ def test_dynamic_partition_pruning_fires(spark):
     assert "dynamicpruning" in plan, plan[:1500]
     # and the pruned count equals the filtered scan
     assert j.collect()[0].n == fact.filter(F.col("o_orderstatus") == "O").count()
+
+
+def test_zorder_write_skips_on_both_dimensions(spark):
+    """Z-order layout: per-file bounding boxes must be selective on
+    BOTH clustered columns — a banded predicate on either key prunes
+    most files via footer min/max — whereas single-key range
+    clustering only prunes its own sort key."""
+    import pyarrow.parquet as pq
+
+    from workhop2_etl_spark.sources.compaction import compact_parquet
+    from workhop2_etl_spark.sources.zorder import write_zordered
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
+    root = tempfile.mkdtemp(prefix="w2e_zorder_")
+    zdir, rdir = os.path.join(root, "z"), os.path.join(root, "r")
+    write_zordered(li, zdir, ["l_orderkey", "l_partkey"], n_files=16, bits=8)
+
+    # contents identical
+    assert spark.read.parquet(zdir).count() == li.count()
+
+    # single-key baseline: 16 files range-clustered on l_orderkey only
+    li.repartitionByRange(16, "l_orderkey").sortWithinPartitions(
+        "l_orderkey"
+    ).write.mode("overwrite").parquet(rdir)
+
+    def file_ranges(d, col):
+        out = []
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                t = pq.read_table(os.path.join(d, f), columns=[col])
+                v = t.column(col).to_pylist()
+                out.append((min(v), max(v)))
+        return out
+
+    row = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).first()
+    lo_o, hi_o, lo_p, hi_p = row[0], row[1], row[2], row[3]
+
+    def avg_pruned(d, col, lo, hi):
+        ranges = file_ranges(d, col)
+        width = (hi - lo) / 10  # 10%-of-domain probe bands
+        fracs = []
+        for i in range(5):
+            b_lo = lo + (hi - lo) * (2 * i + 1) / 11
+            b_hi = b_lo + width
+            hit = sum(1 for mn, mx in ranges if not (mx < b_lo or mn > b_hi))
+            fracs.append(1 - hit / len(ranges))
+        return sum(fracs) / len(fracs)
+
+    z_prune_o = avg_pruned(zdir, "l_orderkey", lo_o, hi_o)
+    z_prune_p = avg_pruned(zdir, "l_partkey", lo_p, hi_p)
+    r_prune_o = avg_pruned(rdir, "l_orderkey", lo_o, hi_o)
+    r_prune_p = avg_pruned(rdir, "l_partkey", lo_p, hi_p)
+
+    # the single-key layout is near-perfect on its own key and blind
+    # on the other; z-order must be usefully selective on BOTH.
+    assert r_prune_o > 0.8
+    assert r_prune_p < 0.2
+    assert z_prune_o > 0.3 and z_prune_p > 0.3
+    assert z_prune_p > r_prune_p + 0.2

@@ -151,9 +151,14 @@ def test_stream_left_outer_interval_join_emits_nulls_after_watermark(spark):
     NULL right side, but only AFTER the watermark passes
     left.ts + within (state expiry proves no future match). Three
     single-file micro-batches: batch 0 holds the views + one matching
-    click, batches 1-2 advance the watermark far past every view's
+    click; batches 1-2 advance the watermark far past every view's
     horizon so the unmatched view's NULL row flushes (the one-batch
-    watermark-propagation lag needs the second advance). The final
+    watermark-propagation lag needs the second advance). The global
+    watermark is the MIN across both join inputs
+    (multipleWatermarkPolicy=min — required for outer-join
+    correctness), so the advancing events must flow through BOTH
+    sides: each advance batch carries a view AND a click that match
+    each other, leaving no pending state of their own. The final
     emission set must equal the batch left join."""
     import datetime as dt
     import tempfile
@@ -169,9 +174,11 @@ def test_stream_left_outer_interval_join_emits_nulls_after_watermark(spark):
     batches = [
         # v1 gets a click 10 min later; v2 never matches
         [ev(1, 7, 0, "view"), ev(2, 8, 5, "view"), ev(3, 7, 10, "click")],
-        # far-future clicks for an unviewed user: advance the watermark
-        [ev(100, 999, 600, "click")],
-        [ev(101, 999, 601, "click")],
+        # far-future matched view+click pairs on BOTH sides: advance
+        # each input's watermark (global wm is the min of the two)
+        # without leaving pending unmatched state of their own
+        [ev(100, 999, 1300, "view"), ev(101, 999, 1305, "click")],
+        [ev(102, 998, 3000, "view"), ev(103, 998, 3005, "click")],
     ]
     for b in batches:
         spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
