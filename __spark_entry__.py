@@ -48,6 +48,8 @@ _PRIORITY = [
     "t8_tfidf_top_terms",
     "t9_unigram_logprob",
     "x7_doc_chunks",
+    "x8_quality_gate",
+    "x9_deterministic_shuffle",
     # (b) events-loader code path changed this round
     "st1_tumbling_counts",
     "st2_sliding_counts",
@@ -89,9 +91,7 @@ _PRIORITY = [
     "s1_csv_roundtrip",
     "s3_orc_roundtrip",
     "u4_upsert",
-    "v4_embedding_near_dup",
     "v6_topk_cosine_lsh_multiprobe",
-    "x4_stratified_split",
 ]
 
 

@@ -492,3 +492,86 @@ def s5_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_regionkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# x8: quality-gate cascade — the filter stage of a training-data
+# pipeline with per-rule accountability: every doc gets pass/fail
+# plus the FIRST rule that failed it (drop accounting is what lets a
+# 100 TB ingest answer "where did my data go"). All thresholds are
+# integer cross-multiplications, so both engines compare exact ints —
+# no float-boundary flakes. One scan, no joins, no shuffles besides
+# the output sort.
+# ---------------------------------------------------------------------------
+@query(
+    "x8_quality_gate",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tok,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE len(list_distinct(string_split({_NORM}, ' '))) END AS n_dtok,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_sym,
+             length(text) AS n_raw
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN n_chars < 50 THEN 'min_len'
+                WHEN n_chars > 20000 THEN 'max_len'
+                WHEN n_tok < 10 THEN 'min_tokens'
+                WHEN n_dtok * 10 < n_tok * 3 THEN 'repetition'
+                WHEN n_sym * 10 > n_raw * 3 THEN 'symbol_ratio'
+           END AS first_failed_rule,
+           (n_chars >= 50 AND n_chars <= 20000 AND n_tok >= 10
+            AND n_dtok * 10 >= n_tok * 3 AND n_sym * 10 <= n_raw * 3) AS passed
+    FROM m ORDER BY doc_id
+    """,
+)
+def x8_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    n_dtok = F.size(F.array_distinct(toks))
+    n_sym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
+    n_raw = F.length(F.col("text"))
+    nc = F.col("n_chars")
+    first_fail = (
+        F.when(nc < 50, "min_len")
+        .when(nc > 20000, "max_len")
+        .when(n_tok < 10, "min_tokens")
+        .when(n_dtok * 10 < n_tok * 3, "repetition")
+        .when(n_sym * 10 > n_raw * 3, "symbol_ratio")
+    )
+    passed = (
+        (nc >= 50) & (nc <= 20000) & (n_tok >= 10)
+        & (n_dtok * 10 >= n_tok * 3) & (n_sym * 10 <= n_raw * 3)
+    )
+    return docs.select(
+        "doc_id", first_fail.alias("first_failed_rule"), passed.alias("passed")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x9: deterministic training-order shuffle — epoch order is the sort
+# order of a seeded hash, so any worker can reproduce any slice
+# without coordination. The query surfaces the first 100 docs of
+# epoch 0: a top-k by hash (TakeOrderedAndProject — never a global
+# sort at scale; a full epoch materialization would instead
+# repartitionByRange on the same key).
+# ---------------------------------------------------------------------------
+@query(
+    "x9_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+    FROM documents ORDER BY shuffle_key LIMIT 100
+    """,
+)
+def x9_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("42|"), F.col("doc_id").cast("string")))
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(100)
+    )
