@@ -91,7 +91,7 @@ _PRIORITY = [
     "s1_csv_roundtrip",
     "s3_orc_roundtrip",
     "u4_upsert",
-    "v6_topk_cosine_lsh_multiprobe",
+    "sql2_sessions_sql",
 ]
 
 

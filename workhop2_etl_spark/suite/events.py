@@ -206,3 +206,63 @@ def e5_scd2_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return EV.scd2_runs(ev, state_col="event_type").select(
         "user_id", "event_type", "valid_from", "valid_to", "is_current", "n_events"
     ).orderBy("user_id", "valid_from")
+
+
+# ---------------------------------------------------------------------------
+# sql2: SQL over a DERIVED view — the engine's sessionization exposed
+# through the SQL front end. register_derived_views publishes
+# extension relations as temp views, so a SQL-only user composes
+# them like tables; Catalyst plans the view body and the outer text
+# query as one tree (the session window fuses with the aggregation).
+# ---------------------------------------------------------------------------
+
+
+def register_derived_views(spark: SparkSession, sf_dir: str) -> None:
+    """Publish the engine's derived relations as temp views:
+    `sessions` (gap sessionization), `doc_quality` (x8 gate),
+    `dup_clusters` would follow the same pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    (
+        EV.sessionize(ev, gap="30 minutes")
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .createOrReplaceTempView("sessions")
+    )
+
+
+@query(
+    "sql2_sessions_sql",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts > lag(ts) OVER w + INTERVAL '30 minutes' THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM marked
+    ), sessions AS (
+      SELECT user_id, session_seq, count(*) AS n_events
+      FROM numbered GROUP BY user_id, session_seq
+    )
+    SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+    FROM sessions GROUP BY user_id ORDER BY user_id
+    """,
+)
+def sql2_sessions_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_derived_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT user_id, count(*) AS n_sessions,
+               max(n_events) AS max_session_events
+        FROM sessions GROUP BY user_id ORDER BY user_id
+        """
+    )
