@@ -84,7 +84,7 @@ _PRIORITY = [
     "a11_approx_sketches",
     "a3_quality_counts",
     "dq1_constraints",
-    "f7_cast_sentinel",
+    "e6_funnel_latency",
     "j5_semi_join",
     "j6_anti_join",
     "j9_full_outer_reconcile",

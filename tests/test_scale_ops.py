@@ -492,3 +492,59 @@ def test_zorder_write_skips_on_both_dimensions(spark):
     assert r_prune_p < 0.2
     assert z_prune_o > 0.3 and z_prune_p > 0.3
     assert z_prune_p > r_prune_p + 0.2
+
+
+def test_incremental_rollup_matches_full_recompute(spark):
+    """Incremental refresh of a day-partitioned rollup: folding two
+    deltas (the second overlapping the first's last day) must equal a
+    full recompute over the union, and partitions untouched by the
+    second delta must keep their exact files (neither read path nor
+    rewrite touches them)."""
+    from workhop2_etl_spark.operators.incremental import (
+        refresh_daily_rollup,
+        rollup_events_daily,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    cut = "2024-01-15"
+    overlap_lo, overlap_hi = "2024-01-14", "2024-01-16"
+    first = ev.filter(F.to_date("ts") < cut)
+    second = ev.filter(
+        (F.to_date("ts") >= overlap_lo) & (F.to_date("ts") <= overlap_hi)
+    )
+    union = first.unionByName(second)
+
+    table = os.path.join(tempfile.mkdtemp(prefix="w2e_rollup_"), "daily")
+    refresh_daily_rollup(spark, table, first)
+
+    def part_files(d):
+        out = {}
+        for p in os.listdir(d):
+            if p.startswith("day="):
+                full = os.path.join(d, p)
+                out[p] = sorted(
+                    (f, os.path.getsize(os.path.join(full, f)))
+                    for f in os.listdir(full)
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    before = part_files(table)
+    days = refresh_daily_rollup(spark, table, second)
+    after = part_files(table)
+
+    # only the delta's days were rewritten
+    touched = {f"day={d}" for d in days}
+    for part, files in before.items():
+        if part not in touched:
+            assert after[part] == files, f"untouched partition {part} changed"
+
+    got = {tuple(r) for r in spark.read.parquet(table).collect()}
+    want = {tuple(r) for r in rollup_events_daily(union).collect()}
+    # align column order: read-back puts the partition column last
+    cols = spark.read.parquet(table).columns
+    want = {
+        tuple(r[c] for c in cols)
+        for r in rollup_events_daily(union).collect()
+    }
+    assert got == want

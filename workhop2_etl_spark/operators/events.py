@@ -178,3 +178,26 @@ def interval_overlap_seconds(start1: Column, end1: Column, start2: Column, end2:
         F.lit(0).cast("long"),
         F.unix_timestamp(hi) - F.unix_timestamp(lo),
     )
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Wide per-user funnel timeline: one row per user who reached
+    step 1, with ``ts_i`` = earliest qualifying step-i event (NULL
+    once the funnel is abandoned). Same shrinking agg→join chain as
+    funnel_counts, keyed on the user id throughout."""
+    out: DataFrame | None = None
+    prev: DataFrame | None = None
+    for i, step in enumerate(steps):
+        stage = events.filter(F.col(type_col) == step)
+        if prev is not None:
+            stage = stage.join(prev, user_col).filter(F.col(ts_col) > F.col("_prev_ts"))
+        cur = stage.groupBy(user_col).agg(F.min(ts_col).alias(f"ts_{i + 1}"))
+        out = cur if out is None else out.join(cur, user_col, "left")
+        prev = cur.select(user_col, F.col(f"ts_{i + 1}").alias("_prev_ts"))
+    return out

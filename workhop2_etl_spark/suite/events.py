@@ -266,3 +266,74 @@ def sql2_sessions_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sessions GROUP BY user_id ORDER BY user_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# e6: funnel latency — exact p50/p90 + mean of the microsecond gap
+# between consecutive funnel stages, over users who completed the
+# transition. Latencies are exact integer micros on both engines, so
+# the percentile interpolation sees identical inputs.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e6_funnel_latency",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts) AS t FROM events e
+      JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    ), l1 AS (
+      SELECT epoch_us(s2.t) - epoch_us(s1.t) AS us
+      FROM s1 JOIN s2 USING (user_id)
+    ), l2 AS (
+      SELECT epoch_us(s3.t) - epoch_us(s2.t) AS us
+      FROM s2 JOIN s3 USING (user_id)
+    )
+    SELECT 'signup->click' AS transition, count(*) AS n_users,
+           round(quantile_cont(us, 0.5), 4) AS p50_us,
+           round(quantile_cont(us, 0.9), 4) AS p90_us,
+           round(avg(us), 4) AS avg_us
+    FROM l1
+    UNION ALL
+    SELECT 'click->purchase', count(*),
+           round(quantile_cont(us, 0.5), 4),
+           round(quantile_cont(us, 0.9), 4),
+           round(avg(us), 4)
+    FROM l2
+    ORDER BY transition
+    """,
+)
+def e6_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    times = EV.funnel_stage_times(ev, ["signup", "click", "purchase"])
+    # TIMESTAMP_NTZ → exact epoch micros (session tz pinned UTC)
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))
+
+    def stats(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("transition"),
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.percentile("us", F.lit(0.5)), 4).alias("p50_us"),
+            F.round(F.percentile("us", F.lit(0.9)), 4).alias("p90_us"),
+            F.round(F.avg("us"), 4).alias("avg_us"),
+        )
+
+    l1 = times.filter(F.col("ts_2").isNotNull()).select(
+        (us("ts_2") - us("ts_1")).alias("us")
+    )
+    l2 = times.filter(F.col("ts_3").isNotNull()).select(
+        (us("ts_3") - us("ts_2")).alias("us")
+    )
+    return (
+        stats(l1, "signup->click")
+        .unionByName(stats(l2, "click->purchase"))
+        .orderBy("transition")
+    )
