@@ -219,3 +219,33 @@ def test_stream_static_enrich_equals_batch(spark):
     srows = sorted(tuple(str(c) for c in r) for r in streamed.collect())
     brows = sorted(tuple(str(c) for c in r) for r in batch.collect())
     assert srows == brows
+
+
+def test_stream_rollup_equals_batch_and_exactly_once(spark, tmp_path_factory):
+    """Streaming incremental rollup: events replayed as a bounded
+    stream must materialize exactly the batch rollup, and a re-run
+    with the same checkpoint must not double-count."""
+    from workhop2_etl_spark.operators.incremental import rollup_events_daily
+    from workhop2_etl_spark.session import load_table
+
+    root = tmp_path_factory.mktemp("stream_rollup")
+    src = str(root / "events.parquet")
+    table = str(root / "daily")
+    ckpt = str(root / "ckpt")
+    ev = load_table(spark, SF_DIR, "events")
+    # several files so availableNow replays multiple micro-batches
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    SW.stream_rollup_to_parquet(spark, src, table, ckpt)
+
+    cols = spark.read.parquet(table).columns
+    got = {tuple(r[c] for c in cols) for r in spark.read.parquet(table).collect()}
+    want = {
+        tuple(r[c] for c in cols)
+        for r in rollup_events_daily(spark.read.parquet(src)).collect()
+    }
+    assert got == want
+
+    SW.stream_rollup_to_parquet(spark, src, table, ckpt)
+    again = {tuple(r[c] for c in cols) for r in spark.read.parquet(table).collect()}
+    assert again == got

@@ -345,3 +345,33 @@ def enrich_with_dim(
     return stream.join(
         F.broadcast(dim), stream[key] == dim[dim_key], "left"
     ).drop(dim_key)
+
+
+def stream_rollup_to_parquet(
+    spark,
+    parquet_path: str,
+    table_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """foreachBatch sink maintaining the day-partitioned rollup
+    (operators/incremental.py): each micro-batch folds its partial
+    aggregates into only the day partitions it touches — the
+    streaming materialized view without a full-table rewrite per
+    trigger. Exactly-once via the streaming checkpoint: re-running
+    over already-committed input adds no batches, so the rollup is
+    not double-counted (asserted in tests)."""
+    from workhop2_etl_spark.operators.incremental import refresh_daily_rollup
+
+    schema = spark.read.parquet(parquet_path).schema
+    stream = spark.readStream.schema(schema).parquet(parquet_path)
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        refresh_daily_rollup(batch_df.sparkSession, table_dir, batch_df)
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
