@@ -83,7 +83,7 @@ _PRIORITY = [
     # (d) oldest r02 greens
     "a11_approx_sketches",
     "a3_quality_counts",
-    "dq1_constraints",
+    "g5_grouping_sets",
     "e6_funnel_latency",
     "j5_semi_join",
     "j6_anti_join",

@@ -635,3 +635,46 @@ def w3_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5000)
         .drop("o_orderdate")
     )
+
+
+# ---------------------------------------------------------------------------
+# g5: explicit GROUPING SETS with grouping_id — the generalized form
+# underlying cube/rollup (g2/g3): only the requested combinations are
+# aggregated (one expand + one hash agg; at scale you pay exactly for
+# the sets you ask for, not the full 2^k cube).
+# ---------------------------------------------------------------------------
+@query(
+    "g5_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CASE WHEN o_orderstatus IS NULL AND o_orderpriority IS NULL THEN 3
+                WHEN o_orderpriority IS NULL THEN 1
+                WHEN o_orderstatus IS NULL THEN 2
+                ELSE 0 END AS gid,
+           count(*) AS n, round(sum(o_totalprice), 2) AS spend
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+    """,
+)
+def g5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB has no grouping_id(); both engines derive gid from the
+    NULL pattern instead. Testdata has no NULL status/priority, so
+    the pattern is unambiguous (the standard caveat: with nullable
+    group keys you'd need grouping_id proper)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CASE WHEN o_orderstatus IS NULL AND o_orderpriority IS NULL THEN 3
+                    WHEN o_orderpriority IS NULL THEN 1
+                    WHEN o_orderstatus IS NULL THEN 2
+                    ELSE 0 END AS gid,
+               count(*) AS n, round(sum(o_totalprice), 2) AS spend
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        ORDER BY gid, o_orderstatus, o_orderpriority
+        """
+    )
