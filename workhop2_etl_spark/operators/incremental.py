@@ -72,7 +72,14 @@ def refresh_daily_rollup(
     else:
         merged = d
 
-    # dynamic mode: only partitions present in `merged` are replaced
+    # dynamic mode: only partitions present in `merged` are replaced.
+    # Restored afterwards — leaving it set would silently change
+    # overwrite semantics for every other partitioned write in the
+    # session.
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy("day").parquet(table_dir)
+    try:
+        merged.write.mode("overwrite").partitionBy("day").parquet(table_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return days
