@@ -218,6 +218,6 @@ def test_doc_chunking_is_shuffle_free(spark):
     # exchange allowed is the final deterministic output sort.
     plan = plan_of(suite.QUERIES["x7_doc_chunks"](spark, SF_DIR))
     exchanges = re.findall(r"Exchange \w+", plan)
-    assert all("rangepartitioning" in e or "Exchange rangepartitioning" in e
-               for e in exchanges) or len(exchanges) <= 1, exchanges
+    assert len(exchanges) <= 1, exchanges
+    assert all("rangepartitioning" in e for e in exchanges), exchanges
     assert "BatchEvalPython" not in plan

@@ -440,7 +440,6 @@ def test_zorder_write_skips_on_both_dimensions(spark):
     clustering only prunes its own sort key."""
     import pyarrow.parquet as pq
 
-    from workhop2_etl_spark.sources.compaction import compact_parquet
     from workhop2_etl_spark.sources.zorder import write_zordered
 
     li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey")
@@ -539,10 +538,9 @@ def test_incremental_rollup_matches_full_recompute(spark):
         if part not in touched:
             assert after[part] == files, f"untouched partition {part} changed"
 
-    got = {tuple(r) for r in spark.read.parquet(table).collect()}
-    want = {tuple(r) for r in rollup_events_daily(union).collect()}
     # align column order: read-back puts the partition column last
     cols = spark.read.parquet(table).columns
+    got = {tuple(r[c] for c in cols) for r in spark.read.parquet(table).collect()}
     want = {
         tuple(r[c] for c in cols)
         for r in rollup_events_daily(union).collect()

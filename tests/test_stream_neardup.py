@@ -33,8 +33,15 @@ def _corpus() -> tuple[list[dict], list[dict]]:
     - doc 5 ≈ doc 2 (within batch 1 → 5 dropped)
     - doc 13 ≈ doc 2 (cross-batch → 13 dropped via the index)
     - doc 15 ≈ doc 14 (within batch 2 → 15 dropped)
-    - doc 20 ≈ doc 5 only (5 was dropped and is NOT in the index →
-      20 survives: greedy first-wins, not transitive closure)
+    - doc 17 is empty (NULL signature → always unique)
+
+    Greedy first-wins and transitive closure agree on every pair in
+    this corpus (each dup family has one kept canonical and its
+    satellites are all within threshold of it), so the test pins the
+    documented greedy rule via the Python replay in
+    _expected_survivors rather than via a distinguishing fixture —
+    building an A~B~C chain with A≁C that is STABLE under a
+    16-hash MinHash estimate proved too fragile at 40-token docs.
     """
     base = [f"w{k}" for k in range(40)]
 
@@ -53,21 +60,6 @@ def _corpus() -> tuple[list[dict], list[dict]]:
         _doc(4, uniq(4)),
         _doc(5, variant((7, "x5"))),              # ≈ doc 2
     ]
-    # doc 20's text: similar to doc 5's variant but far from doc 2 —
-    # impossible with 1-word edits (5 is 1 edit from 2), so instead
-    # make 20 ≈ 5 via a mid-similarity chain: 20 shares 5's edit plus
-    # more edits, pushing 20's similarity to 2 below threshold while
-    # keeping 20~5 above it is fragile with tiny shingle counts;
-    # simpler and still chain-proving: 20 is an exact copy of 5.
-    # 20 vs index: 5 absent (dropped) and 2 present — 20 ≈ 2 at one
-    # edit distance, so to prove greedy (not closure) semantics we
-    # instead copy a batch-1 doc that was dropped for a *different*
-    # family: see doc 21 below copying doc 15 (dropped in batch 2
-    # AFTER 21 is processed? no — same batch). Keep it simple: the
-    # chain property is already covered by doc 13 (dup of the KEPT
-    # canonical) vs doc 21 (dup of doc 5's text — equivalently one
-    # edit from doc 2, dropped the same way; greedy and closure agree
-    # on every pair here by construction).
     batch2 = [
         _doc(12, uniq(12)),
         _doc(13, variant((11, "y13"))),           # ≈ doc 2 (cross-batch)
@@ -236,16 +228,36 @@ def test_stream_rollup_equals_batch_and_exactly_once(spark, tmp_path_factory):
     # several files so availableNow replays multiple micro-batches
     ev.repartition(4).write.mode("overwrite").parquet(src)
 
-    SW.stream_rollup_to_parquet(spark, src, table, ckpt)
+    SW.stream_rollup_to_parquet(spark, src, table, ckpt, max_files_per_trigger=1)
 
-    cols = spark.read.parquet(table).columns
-    got = {tuple(r[c] for c in cols) for r in spark.read.parquet(table).collect()}
-    want = {
-        tuple(r[c] for c in cols)
-        for r in rollup_events_daily(spark.read.parquet(src)).collect()
-    }
+    cols = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
+
+    def canon(rows):
+        # sum_value is a float accumulated in different orders by the
+        # partial-combine and single-pass paths — compare rounded
+        return {
+            tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in cols)
+            for r in rows
+        }
+
+    got = canon(SW.read_rollup(spark, table).collect())
+    want = canon(rollup_events_daily(spark.read.parquet(src)).collect())
     assert got == want
 
-    SW.stream_rollup_to_parquet(spark, src, table, ckpt)
-    again = {tuple(r[c] for c in cols) for r in spark.read.parquet(table).collect()}
+    # committed re-run adds no batches
+    SW.stream_rollup_to_parquet(spark, src, table, ckpt, max_files_per_trigger=1)
+    again = canon(SW.read_rollup(spark, table).collect())
     assert again == got
+
+    # retry idempotence: replaying one epoch's write (the at-least-
+    # once failure mode) must not change what readers combine
+    import os as _os
+
+    epochs = sorted(d for d in _os.listdir(table) if d.startswith("epoch="))
+    assert len(epochs) > 1  # several micro-batches actually ran
+    one = spark.read.parquet(_os.path.join(table, epochs[0]))
+    one.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        _os.path.join(table, epochs[0])
+    )
+    retried = canon(SW.read_rollup(spark, table).collect())
+    assert retried == got

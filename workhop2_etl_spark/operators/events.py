@@ -18,7 +18,7 @@ equi-joins, and per-key windows only:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -162,21 +162,14 @@ def scd2_runs(
         .groupBy(user_col, "_run", state_col)
         .agg(F.min(ts_col).alias("valid_from"), F.count(F.lit(1)).alias("n_events"))
     )
-    w2 = Window.partitionBy(user_col).orderBy("valid_from")
+    # tiebreak by run id: two adjacent runs CAN share a valid_from
+    # (same-timestamp events tiebroken into separate runs by
+    # event_id), and lead() over a tied orderBy is nondeterministic
+    w2 = Window.partitionBy(user_col).orderBy("valid_from", "_run")
     return (
         runs.withColumn("valid_to", F.lead("valid_from").over(w2))
         .withColumn("is_current", F.col("valid_to").isNull())
         .drop("_run")
-    )
-
-
-def interval_overlap_seconds(start1: Column, end1: Column, start2: Column, end2: Column) -> Column:
-    """Seconds of overlap between [start1,end1) and [start2,end2); 0 if disjoint."""
-    lo = F.greatest(start1, start2)
-    hi = F.least(end1, end2)
-    return F.greatest(
-        F.lit(0).cast("long"),
-        F.unix_timestamp(hi) - F.unix_timestamp(lo),
     )
 
 

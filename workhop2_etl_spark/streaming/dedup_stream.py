@@ -84,7 +84,6 @@ def neardup_filter_batch(
     bands = banded_signatures(
         batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes, num_bands=num_bands
     )
-    sigs = bands.select(id_col, "sig").distinct()
 
     # --- cross-batch: batch bands ⨝ index bands on the bucket key ---
     dropped_vs_index = None
@@ -159,9 +158,17 @@ def stream_neardup_ingest(
 ) -> None:
     """Run the incremental near-dup ingest over every file currently
     in ``stream_dir`` (availableNow, one file per micro-batch so
-    arrival order is honored), appending survivors to ``out_dir`` and
-    their band rows to ``index_dir``. Re-running with the same
-    checkpoint is a no-op (exactly-once, asserted in tests)."""
+    arrival order is honored), writing survivors under ``out_dir``
+    and their band rows under ``index_dir``.
+
+    Idempotence under retry: foreachBatch is at-least-once, so both
+    sinks partition by epoch (``epoch=N/``) and each epoch OVERWRITES
+    its own directory. A batch replayed after a mid-epoch failure (a)
+    sees only index rows from epochs < N — its own partial rows are
+    excluded, so survivors never match themselves — and (b) rewrites
+    epoch N's output in place instead of appending duplicates. With
+    the checkpoint committed, a re-run adds no batches at all (both
+    properties asserted in tests)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
@@ -171,10 +178,16 @@ def stream_neardup_ingest(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark_l = batch_df.sparkSession
         index = None
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(index_dir)
-        ):
-            index = spark_l.read.parquet(index_dir)
+        if os.path.isdir(index_dir):
+            prior = [
+                d
+                for d in os.listdir(index_dir)
+                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+            ]
+            if prior:
+                index = spark_l.read.parquet(
+                    *[os.path.join(index_dir, d) for d in prior]
+                )
         survivors, new_rows = neardup_filter_batch(
             batch_df,
             index,
@@ -184,11 +197,15 @@ def stream_neardup_ingest(
             num_bands=num_bands,
             threshold=threshold,
         )
-        # Materialize survivors before the index append so the two
-        # writes see one consistent decision set.
+        # Materialize survivors before the index write so the two
+        # sinks see one consistent decision set.
         survivors = survivors.localCheckpoint(eager=True)
-        survivors.write.mode("append").parquet(out_dir)
-        new_rows.write.mode("append").parquet(index_dir)
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+        new_rows.write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={epoch_id}")
+        )
 
     (
         stream.writeStream.foreachBatch(apply_batch)

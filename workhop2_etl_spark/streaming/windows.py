@@ -352,21 +352,33 @@ def stream_rollup_to_parquet(
     parquet_path: str,
     table_dir: str,
     checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> None:
-    """foreachBatch sink maintaining the day-partitioned rollup
-    (operators/incremental.py): each micro-batch folds its partial
-    aggregates into only the day partitions it touches — the
-    streaming materialized view without a full-table rewrite per
-    trigger. Exactly-once via the streaming checkpoint: re-running
-    over already-committed input adds no batches, so the rollup is
-    not double-counted (asserted in tests)."""
-    from workhop2_etl_spark.operators.incremental import refresh_daily_rollup
+    """foreachBatch sink maintaining a streaming materialized rollup
+    as per-epoch PARTIALS: each micro-batch writes its combinable
+    partial aggregates (operators/incremental.py shape) to its own
+    ``epoch=N/`` directory with overwrite. foreachBatch is
+    at-least-once, so an in-place merge (refresh_daily_rollup) would
+    double-count a replayed batch; per-epoch overwrite makes the
+    retry idempotent — the replay rewrites exactly its own partial.
+    Readers combine partials via ``read_rollup`` (counts/sums add,
+    min/min, max/max); a periodic compaction can fold old epochs into
+    one without changing reader semantics. Stream ≡ batch and
+    retry/re-run no-double-count are asserted in tests."""
+    import os as _os
+
+    from workhop2_etl_spark.operators.incremental import rollup_events_daily
 
     schema = spark.read.parquet(parquet_path).schema
-    stream = spark.readStream.schema(schema).parquet(parquet_path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(parquet_path)
 
     def apply_batch(batch_df, epoch_id: int) -> None:
-        refresh_daily_rollup(batch_df.sparkSession, table_dir, batch_df)
+        rollup_events_daily(batch_df).write.mode("overwrite").parquet(
+            _os.path.join(table_dir, f"epoch={epoch_id}")
+        )
 
     (
         stream.writeStream.foreachBatch(apply_batch)
@@ -374,4 +386,19 @@ def stream_rollup_to_parquet(
         .trigger(availableNow=True)
         .start()
         .awaitTermination()
+    )
+
+
+def read_rollup(spark, table_dir: str) -> DataFrame:
+    """Combine the per-epoch rollup partials into the current totals
+    (counts/sums add, min/min, max/max) — the reader half of
+    stream_rollup_to_parquet."""
+    from workhop2_etl_spark.operators.incremental import _KEYS
+
+    parts = spark.read.parquet(table_dir)
+    return parts.groupBy(*_KEYS).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
     )

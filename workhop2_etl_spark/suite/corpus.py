@@ -21,12 +21,10 @@ from pyspark.sql import functions as F
 from workhop2_etl_spark.session import load_table
 from workhop2_etl_spark.suite import query
 
-_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
-
-
-def _toks() -> F.Column:
-    t = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
+# the ONE tokenization convention, shared with the x4-x9 pipeline
+# family — importing (not copying) is what keeps t8/t9/x7 token
+# counts in exact agreement with the packing/gating queries
+from workhop2_etl_spark.suite.pipeline2 import _NORM, _toks
 
 
 # ---------------------------------------------------------------------------

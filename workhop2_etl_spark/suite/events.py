@@ -192,9 +192,9 @@ def e4_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM runs GROUP BY user_id, event_type, run_id
     )
     SELECT user_id, event_type, valid_from,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run_id)
              AS valid_to,
-           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, run_id)
              IS NULL AS is_current,
            n_events
     FROM grouped
