@@ -261,3 +261,34 @@ def test_stream_rollup_equals_batch_and_exactly_once(spark, tmp_path_factory):
     )
     retried = canon(SW.read_rollup(spark, table).collect())
     assert retried == got
+
+
+def test_rollup_epoch_compaction_preserves_totals(spark, tmp_path_factory):
+    """Folding per-epoch partials into one must not change what
+    read_rollup returns, and must leave exactly one epoch dir."""
+    from workhop2_etl_spark.operators.incremental import compact_rollup_epochs
+    from workhop2_etl_spark.session import load_table
+
+    root = tmp_path_factory.mktemp("rollup_compact")
+    src = str(root / "events.parquet")
+    table = str(root / "daily")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    SW.stream_rollup_to_parquet(
+        spark, src, table, str(root / "ckpt"), max_files_per_trigger=1
+    )
+
+    cols = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
+
+    def canon(rows):
+        return {
+            tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in cols)
+            for r in rows
+        }
+
+    before = canon(SW.read_rollup(spark, table).collect())
+    n = compact_rollup_epochs(spark, table)
+    assert n >= 2
+    after = canon(SW.read_rollup(spark, table).collect())
+    assert after == before
+    assert sum(1 for d in os.listdir(table) if d.startswith("epoch=")) == 1

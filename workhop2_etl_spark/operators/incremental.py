@@ -83,3 +83,42 @@ def refresh_daily_rollup(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return days
+
+
+def compact_rollup_epochs(spark: SparkSession, table_dir: str) -> int:
+    """Fold all per-epoch rollup partials (streaming/windows.py::
+    stream_rollup_to_parquet layout) into a single combined epoch so
+    reader-side combine cost stays bounded as epochs accumulate.
+    Readers see identical totals before and after (combinable
+    measures only). The combined partial is written to a NEW epoch
+    directory named after the highest epoch folded (so a concurrent
+    late retry of an older epoch cannot resurrect folded data under a
+    distinct name), then the old epoch dirs are removed. Returns the
+    number of epochs folded."""
+    import os
+    import shutil
+
+    epochs = sorted(
+        (d for d in os.listdir(table_dir) if d.startswith("epoch=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    if len(epochs) <= 1:
+        return len(epochs)
+    parts = spark.read.parquet(*[os.path.join(table_dir, d) for d in epochs])
+    combined = (
+        parts.groupBy(*_KEYS)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .localCheckpoint(eager=True)  # materialize before deleting inputs
+    )
+    top = epochs[-1]
+    tmp = os.path.join(table_dir, "_compact_tmp")
+    combined.write.mode("overwrite").parquet(tmp)
+    for d in epochs:
+        shutil.rmtree(os.path.join(table_dir, d))
+    os.rename(tmp, os.path.join(table_dir, top))
+    return len(epochs)
