@@ -203,3 +203,57 @@ def test_range_join_matches_naive_on_random_intervals(spark):
             lower="45 minutes", upper="100 minutes", bucket=bucket,
         )
         assert sorted((row.lid, row.rid) for row in got.collect()) == want, bucket
+
+
+def test_sessionize_invariants(spark):
+    """Structural invariants of gap sessionization on real events:
+    within a session every inter-event gap ≤ the threshold; between
+    consecutive sessions of the same user the gap is > threshold;
+    session_seq is dense starting at 1."""
+    import datetime as dt
+
+    from workhop2_etl_spark.operators.events import sessionize
+    from workhop2_etl_spark.session import load_table
+
+    from tests.conftest import SF_DIR
+
+    gap = dt.timedelta(minutes=30)
+    ev = load_table(spark, SF_DIR, "events")
+    rows = (
+        sessionize(ev, gap="30 minutes")
+        .select("user_id", "session_seq", "ts")
+        .collect()
+    )
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.session_seq))
+    for user, evs in by_user.items():
+        evs.sort()
+        seqs = [s for _, s in evs]
+        assert seqs[0] == 1
+        assert max(seqs) == len(set(seqs))  # dense
+        for (t0, s0), (t1, s1) in zip(evs, evs[1:]):
+            if s0 == s1:
+                assert t1 - t0 <= gap, (user, t0, t1)
+            else:
+                assert s1 == s0 + 1
+                assert t1 - t0 > gap, (user, t0, t1)
+
+
+def test_funnel_counts_consistent_with_stage_times(spark):
+    """Cross-operator consistency: funnel_counts step counts must
+    equal the non-NULL column counts of funnel_stage_times, and be
+    non-increasing down the funnel."""
+    from workhop2_etl_spark.operators.events import funnel_counts, funnel_stage_times
+    from workhop2_etl_spark.session import load_table
+
+    from tests.conftest import SF_DIR
+
+    steps = ["signup", "click", "purchase"]
+    ev = load_table(spark, SF_DIR, "events")
+    counts = {r.step: r.n_users for r in funnel_counts(ev, steps).collect()}
+    times = funnel_stage_times(ev, steps)
+    for i in range(len(steps)):
+        n = times.filter(F.col(f"ts_{i + 1}").isNotNull()).count()
+        assert counts[i + 1] == n
+    assert counts[1] >= counts[2] >= counts[3]
