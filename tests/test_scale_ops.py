@@ -546,3 +546,38 @@ def test_incremental_rollup_matches_full_recompute(spark):
         for r in rollup_events_daily(union).collect()
     }
     assert got == want
+
+
+def test_multimodal_embed_to_ann_end_to_end(spark):
+    """Integration: binary payloads → stub embeddings (mapInPandas)
+    → brute-force top-k cosine. Identical payloads must embed
+    identically (their mutual cosine is 1.0 and each retrieves the
+    other at rank 1); the plumbing—schema, Arrow batching, unit
+    norms—is real even though the kernel is a stub."""
+    from workhop2_etl_spark.operators.multimodal import attach_binary_payload, embed_images
+    from workhop2_etl_spark.operators.similarity import topk_cosine_bruteforce
+
+    docs = load_table(spark, SF_DIR, "documents").limit(40)
+    # duplicate payloads: doc N and doc N+1000 share text → same bytes
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1000)
+    corpus = attach_binary_payload(docs.unionByName(dup))
+    emb = embed_images(corpus, dim=16)
+
+    norms = emb.select(
+        F.round(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 4).alias("n2")
+    ).collect()
+    assert all(abs(r.n2 - 1.0) < 1e-3 for r in norms)  # unit vectors
+
+    queries = emb.filter(F.col("doc_id") < 1000).limit(5).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    base = emb.select(F.col("doc_id").alias("vec_id"), "embedding")
+    top = topk_cosine_bruteforce(base, queries, k=2)
+    got = {}
+    for r in top.collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.score))
+    for q, neigh in got.items():
+        ids = [n for n, _ in neigh]
+        assert q + 1000 in ids, (q, neigh)  # twin payload retrieved
+        twin_cos = dict(neigh)[q + 1000]
+        assert abs(twin_cos - 1.0) < 1e-5

@@ -178,3 +178,48 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def embed_images(df: DataFrame, id_col: str = "doc_id", dim: int = 16) -> DataFrame:
+    """Feature-extraction plumbing: binary payload → embedding vector
+    via Arrow-batched mapInPandas — the shape a real vision encoder
+    plugs into (swap the kernel, keep the plumbing). The stub kernel
+    derives a deterministic unit-norm vector from the payload's md5
+    (no codecs/models in this container), so downstream similarity
+    ops are testable end-to-end.
+
+    At scale this is the GPU-batching stage: one Arrow batch per
+    kernel call, no shuffle (narrow transform), partition count =
+    inference parallelism.
+    """
+    import hashlib
+    import math
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = []
+            for payload in pdf["payload"]:
+                h = hashlib.md5(bytes(payload)).digest()
+                raw = [((h[i % 16] * 31 + i * 17) % 255) / 127.5 - 1.0 for i in range(dim)]
+                norm = math.sqrt(sum(v * v for v in raw)) or 1.0
+                vecs.append([float(v / norm) for v in raw])
+            yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
+
+    return df.select(id_col, "payload").mapInPandas(kernel, schema)
