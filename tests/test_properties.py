@@ -257,3 +257,50 @@ def test_funnel_counts_consistent_with_stage_times(spark):
         n = times.filter(F.col(f"ts_{i + 1}").isNotNull()).count()
         assert counts[i + 1] == n
     assert counts[1] >= counts[2] >= counts[3]
+
+
+def test_cohort_and_scd2_invariants(spark):
+    """Cohort: offset-0 cell of each cohort counts exactly its users
+    (everyone is active in their first week); total cohort sizes sum
+    to the distinct user count. SCD2: per user exactly one current
+    run; intervals chain without gaps (valid_to == next valid_from)
+    and n_events sums to the user's event count."""
+    from workhop2_etl_spark.operators.events import cohort_retention, scd2_runs
+    from workhop2_etl_spark.session import load_table
+
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+
+    cohorts = cohort_retention(ev).collect()
+    zero = {r.cohort_start: r.n_users for r in cohorts if r.offset == 0}
+    sizes = {
+        r.cohort_start: r.n_users
+        for r in (
+            ev.groupBy("user_id")
+            .agg(F.date_trunc("week", F.min("ts")).alias("cohort_start"))
+            .groupBy("cohort_start")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+            .collect()
+        )
+    }
+    assert zero == sizes
+    assert sum(sizes.values()) == n_users
+    for r in cohorts:
+        assert r.n_users <= sizes[r.cohort_start]  # retention ≤ cohort size
+
+    runs = scd2_runs(ev, state_col="event_type").collect()
+    by_user: dict[int, list] = {}
+    for r in runs:
+        by_user.setdefault(r.user_id, []).append(r)
+    event_counts = {
+        r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: (r.valid_from, r.valid_to is None))
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # gapless chain
+        assert sum(r.n_events for r in rs) == event_counts[user]
