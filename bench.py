@@ -55,10 +55,15 @@ HEADLINE = [
     "d2_minhash_lsh_pairs",
     "d4_simhash_groups",
     # ANN: the bucketed scale paths (v2 LSH / v5 IVF) are the
-    # production defaults; v1 brute force is the exact baseline.
+    # production defaults; v1 brute force is the exact baseline; the
+    # recall knobs (v6 multi-probe, v7 nprobe — recall gates in
+    # tests/test_scale_ops.py) are benched so their extra cost vs the
+    # non-probe siblings has round-over-round signal.
     "v1_topk_cosine_bruteforce",
     "v2_topk_cosine_lsh",
     "v5_topk_cosine_ivf",
+    "v6_topk_cosine_lsh_multiprobe",
+    "v7_topk_cosine_ivf_nprobe",
     "t2_quality_profile",
     "m1_image_meta",
     # event-time windows
@@ -73,13 +78,21 @@ HEADLINE = [
 ]
 
 
-def bench_reference_pipeline(spark) -> float:
+def bench_reference_pipeline(spark) -> dict[str, float]:
     """End-to-end grammy×spotify pipeline (the reference's actual
     workload) at the reference's own scale: 4,810 award rows ×
     ~114,000 track rows (SURVEY.md §1.4). Fixture generation is
     driver-side and excluded from the timing; the measured span is
     the full lazy plan — clean → impute join → fuzzy two-pass match →
-    finalize — through collect."""
+    finalize — through collect.
+
+    Each mode is collected TWICE and the second (warm) time is
+    recorded: a single cold collect after 35+ other queries mixes JVM
+    churn (GC pressure, code-cache state) into the number — r04
+    measured the same plan at 16.4s cold vs ~5.5s warm, a 3×
+    self-disagreement that hid regression signal. Warm-vs-warm is the
+    comparable series; both §3.2 modes ('spec' and the
+    reference-strict replay) are reported."""
     import tempfile
 
     import pandas as pd
@@ -90,6 +103,7 @@ def bench_reference_pipeline(spark) -> float:
 
     gp = make_grammy(n=4810)
     sp = make_spotify(n_tracks=91200)  # ~1.25 rows/track → ~114k rows
+    out: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as tmp:
         # Stage inputs as parquet (untimed): a pandas-backed
         # LocalRelation would be inlined at every one of the plan's
@@ -101,11 +115,18 @@ def bench_reference_pipeline(spark) -> float:
         s0.write.mode("overwrite").parquet(f"{tmp}/spotify")
         g = spark.read.parquet(f"{tmp}/grammy")
         s = spark.read.parquet(f"{tmp}/spotify")
-        t0 = time.time()
-        rows = P.run_pipeline(g, s, mode="spec").collect()
-        dt = round(time.time() - t0, 3)
-        assert rows
-    return dt
+        for label, mode in (
+            ("pipeline_grammy_spotify", "spec"),
+            ("pipeline_strict_mode", "strict"),
+        ):
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                rows = P.run_pipeline(g, s, mode=mode).collect()
+                best = round(time.time() - t0, 3)
+                assert rows
+            out[label] = best
+    return out
 
 
 def main() -> None:
@@ -124,7 +145,7 @@ def main() -> None:
         rows = fn(spark, SF_DIR).collect()
         times[name] = round(time.time() - t0, 3)
         assert rows is not None
-    times["pipeline_grammy_spotify"] = bench_reference_pipeline(spark)
+    times.update(bench_reference_pipeline(spark))
     total = round(sum(times.values()), 3)
     print(
         json.dumps(

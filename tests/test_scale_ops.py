@@ -581,3 +581,79 @@ def test_multimodal_embed_to_ann_end_to_end(spark):
         assert q + 1000 in ids, (q, neigh)  # twin payload retrieved
         twin_cos = dict(neigh)[q + 1000]
         assert abs(twin_cos - 1.0) < 1e-5
+
+def test_zorder_wide_span_and_type_validation(spark):
+    """64-bit keys spanning ≳2^55 used to overflow the long bucket
+    arithmetic (wrapped Morton keys → useless layout); bucketing in
+    double must keep per-file bounding boxes selective. Non-numeric
+    clustering columns must fail loudly, not in span arithmetic."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from workhop2_etl_spark.sources.zorder import write_zordered
+
+    n = 4000
+    # keys spread across ~2^62: (col - mn) * 256 overflows long
+    wide = spark.range(n).select(
+        (F.col("id") * F.lit((1 << 62) // n)).alias("a"),
+        ((F.lit(n) - F.col("id")) * F.lit((1 << 62) // n)).alias("b"),
+    )
+    root = tempfile.mkdtemp(prefix="w2e_zwide_")
+    zdir = os.path.join(root, "z")
+    write_zordered(wide, zdir, ["a", "b"], n_files=8, bits=8)
+    assert spark.read.parquet(zdir).count() == n
+
+    # each file's bounding box must cover ≪ the full domain on both
+    # keys (overflowed Morton keys scatter rows → boxes ≈ full span)
+    spans = []
+    for f in sorted(os.listdir(zdir)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(zdir, f), columns=["a", "b"])
+            a, b = t.column("a").to_pylist(), t.column("b").to_pylist()
+            spans.append(
+                ((max(a) - min(a)) / (1 << 62), (max(b) - min(b)) / (1 << 62))
+            )
+    assert len(spans) >= 4
+    avg_a = sum(s[0] for s in spans) / len(spans)
+    avg_b = sum(s[1] for s in spans) / len(spans)
+    assert avg_a < 0.5 and avg_b < 0.5, (avg_a, avg_b)
+
+    with _pytest.raises(TypeError, match="must be numeric"):
+        write_zordered(
+            wide.withColumn("s", F.lit("x")), os.path.join(root, "bad"),
+            ["a", "s"], n_files=4,
+        )
+
+
+def test_cohort_retention_month_and_period_validation(spark):
+    """period='month' must bucket by calendar months (months_between),
+    and an unknown period must raise."""
+    import datetime as _dt
+
+    import pytest as _pytest
+
+    from workhop2_etl_spark.operators.events import cohort_retention
+
+    rows = [
+        # user 1: first event Jan 31 → active Feb 1 is offset 1 month
+        # (a day/7 division would call 1 day "offset 0")
+        (1, _dt.datetime(2024, 1, 31, 12), "a"),
+        (1, _dt.datetime(2024, 2, 1, 9), "b"),
+        # user 2: Jan → Mar = offset 2 despite only 59 days (≠ 2×30)
+        (2, _dt.datetime(2024, 1, 1, 0), "a"),
+        (2, _dt.datetime(2024, 2, 29, 23), "b"),
+        (2, _dt.datetime(2024, 3, 1, 1), "c"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    got = {
+        (r["cohort_start"].strftime("%Y-%m-%d"), r["offset"]): r["n_users"]
+        for r in cohort_retention(ev, period="month").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 2,
+        ("2024-01-01", 2): 1,
+    }
+
+    with _pytest.raises(ValueError, match="period must be"):
+        cohort_retention(ev, period="fortnight")

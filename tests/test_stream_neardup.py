@@ -13,6 +13,7 @@ import time
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from workhop2_etl_spark.streaming import dedup_stream as DS
 from workhop2_etl_spark.streaming import windows as SW
@@ -291,4 +292,147 @@ def test_rollup_epoch_compaction_preserves_totals(spark, tmp_path_factory):
     assert n >= 2
     after = canon(SW.read_rollup(spark, table).collect())
     assert after == before
+    # layout: one base generation + the live top epoch only
+    assert sum(1 for d in os.listdir(table) if d.startswith("base=")) == 1
     assert sum(1 for d in os.listdir(table) if d.startswith("epoch=")) == 1
+
+    # a second compaction with nothing below the top is a no-op
+    assert compact_rollup_epochs(spark, table) == 0
+    assert canon(SW.read_rollup(spark, table).collect()) == before
+
+
+def test_folded_epoch_replay_after_compaction(spark, tmp_path_factory):
+    """The at-least-once failure mode the compaction protocol must
+    survive: after epochs are folded into base=<k>, a late retry
+    re-creates a folded ``epoch=e`` (e <= k). Readers must ignore it
+    — totals unchanged — and the next compaction must clean it up."""
+    from workhop2_etl_spark.operators.incremental import (
+        compact_rollup_epochs,
+        rollup_events_daily,
+    )
+    from workhop2_etl_spark.session import load_table
+
+    root = tmp_path_factory.mktemp("rollup_replay")
+    src = str(root / "events.parquet")
+    table = str(root / "daily")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+    SW.stream_rollup_to_parquet(
+        spark, src, table, str(root / "ckpt"), max_files_per_trigger=1
+    )
+
+    cols = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
+
+    def canon(rows):
+        return {
+            tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in cols)
+            for r in rows
+        }
+
+    epochs = sorted(
+        (d for d in os.listdir(table) if d.startswith("epoch=")),
+        key=lambda d: int(d.split("=", 1)[1]),
+    )
+    assert len(epochs) >= 3
+    folded = epochs[0]
+    # keep a copy of a to-be-folded epoch's partial (what a replayed
+    # foreachBatch of that epoch would rewrite)
+    replay_partial = spark.read.parquet(
+        os.path.join(table, folded)
+    ).localCheckpoint(eager=True)
+
+    before = canon(SW.read_rollup(spark, table).collect())
+    assert compact_rollup_epochs(spark, table) >= 2
+
+    # late retry resurrects the folded epoch dir
+    replay_partial.write.mode("overwrite").parquet(os.path.join(table, folded))
+    assert canon(SW.read_rollup(spark, table).collect()) == before
+
+    # worst case: the replayed partial differs (e.g. a bigger batch) —
+    # still ignored, because the reader rule excludes e <= k entirely
+    rollup_events_daily(spark.read.parquet(src)).write.mode("overwrite").parquet(
+        os.path.join(table, folded)
+    )
+    assert canon(SW.read_rollup(spark, table).collect()) == before
+
+    # next compaction sweeps the stale dir without changing totals
+    compact_rollup_epochs(spark, table)
+    assert not os.path.isdir(os.path.join(table, folded))
+    assert canon(SW.read_rollup(spark, table).collect()) == before
+
+
+def test_rollup_and_compaction_on_file_uri(spark, tmp_path_factory):
+    """The epoch sinks' directory protocol runs through the Hadoop
+    FileSystem API (sources/fs.py): exercising an explicit ``file:``
+    URI — a path os.listdir cannot handle — proves the scheme-resolved
+    code path end to end (refresh, streaming sink, reader, compaction)."""
+    from workhop2_etl_spark.operators.incremental import (
+        compact_rollup_epochs,
+        refresh_daily_rollup,
+        rollup_events_daily,
+    )
+    from workhop2_etl_spark.session import load_table
+    from workhop2_etl_spark.sources import fs
+
+    root = tmp_path_factory.mktemp("rollup_uri")
+    src = str(root / "events.parquet")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    # refresh path on a file: URI (bootstrap + incremental fold)
+    table_uri = "file://" + str(root / "daily_refresh")
+    lt_cut = F.to_date("ts") < F.lit("2024-01-15").cast("date")
+    refresh_daily_rollup(spark, table_uri, ev.filter(lt_cut))
+    refresh_daily_rollup(spark, table_uri, ev.filter(~lt_cut))
+    got = {
+        tuple(str(r[c]) for c in ["day", "event_type", "n"])
+        for r in spark.read.parquet(table_uri).collect()
+    }
+    want = {
+        tuple(str(r[c]) for c in ["day", "event_type", "n"])
+        for r in rollup_events_daily(ev).collect()
+    }
+    assert got == want
+
+    # streaming epoch sink + compaction on a file: URI
+    stream_uri = "file://" + str(root / "daily_stream")
+    SW.stream_rollup_to_parquet(
+        spark, src, stream_uri, str(root / "ckpt"), max_files_per_trigger=1
+    )
+    cols = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
+    canon = lambda rows: {
+        tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in cols)
+        for r in rows
+    }
+    before = canon(SW.read_rollup(spark, stream_uri).collect())
+    assert compact_rollup_epochs(spark, stream_uri) >= 2
+    assert canon(SW.read_rollup(spark, stream_uri).collect()) == before
+    names = fs.list_child_dirs(spark, stream_uri)
+    assert sum(1 for d in names if d.startswith("base=")) == 1
+    assert sum(1 for d in names if d.startswith("epoch=")) == 1
+
+
+def test_stream_neardup_ingest_on_file_uri(spark, staged):
+    """Dedup ingest with out/index dirs as file: URIs — the index
+    discovery inside foreachBatch must list via the Hadoop FS API."""
+    root, stream_dir, batch1, batch2 = staged
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    out_uri = "file://" + str(root / "out_uri")
+    index_uri = "file://" + str(root / "index_uri")
+    DS.stream_neardup_ingest(
+        spark,
+        stream_dir,
+        schema,
+        out_uri,
+        index_uri,
+        str(root / "ckpt_uri"),
+        num_hashes=NUM_HASHES,
+        num_bands=NUM_BANDS,
+        threshold=THRESHOLD,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(out_uri).collect()}
+    assert got == _expected_survivors(spark, [batch1, batch2])

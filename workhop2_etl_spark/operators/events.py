@@ -96,7 +96,16 @@ def cohort_retention(
     """Cohort = period of a user's first event; retention cell
     (cohort, offset) = distinct users of that cohort active ``offset``
     periods later. Two hash aggregations and one broadcast-size join
-    keyed by user — the classic scale-safe retention plan."""
+    keyed by user — the classic scale-safe retention plan.
+
+    ``period`` ∈ {'day', 'week', 'month'}. Day/week offsets come from
+    datediff (fixed-length periods); month offsets use months_between
+    — a day-count division would silently mis-bucket variable-length
+    months."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(
+            f"period must be 'day', 'week' or 'month', got {period!r}"
+        )
     cohorts = events.groupBy(user_col).agg(
         F.date_trunc(period, F.min(ts_col)).alias("cohort_start")
     )
@@ -106,11 +115,18 @@ def cohort_retention(
         )
         .distinct()
     )
-    days = F.datediff(F.to_date("active_period"), F.to_date("cohort_start"))
-    per_period = 7 if period == "week" else 1
+    if period == "month":
+        # both sides are month-start timestamps → whole month counts
+        offset = F.round(
+            F.months_between(F.to_date("active_period"), F.to_date("cohort_start"))
+        ).cast("int")
+    else:
+        days = F.datediff(F.to_date("active_period"), F.to_date("cohort_start"))
+        per_period = 7 if period == "week" else 1
+        offset = (days / per_period).cast("int")
     return (
         activity.join(cohorts, user_col)
-        .withColumn("offset", (days / per_period).cast("int"))
+        .withColumn("offset", offset)
         .groupBy("cohort_start", "offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )

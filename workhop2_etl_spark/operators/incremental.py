@@ -13,12 +13,46 @@ partitions are neither read (partition pruning on the day filter)
 nor rewritten (dynamic overwrite mode). The one driver-side action
 collects the delta's DISTINCT partition keys — bounded by the number
 of partitions a batch touches (hours/days), not by row count.
+
+All directory manipulation goes through the Hadoop FileSystem API
+(sources/fs.py), so the rollup table can live on HDFS / S3A / local
+disk interchangeably.
+
+Epoch layout and compaction protocol
+------------------------------------
+streaming/windows.py::stream_rollup_to_parquet writes one combinable
+partial per micro-batch under ``epoch=N/``. Readers fold partials, so
+reader cost grows with epoch count; ``compact_rollup_epochs``
+periodically folds old epochs into a ``base=<k>`` generation where
+``k`` is the highest epoch folded. The reader rule (shared by
+``rollup_part_dirs``) is:
+
+    take the base=<k> with the LARGEST k (if any), plus every
+    epoch=<e> with e > k; ignore everything else.
+
+This rule makes every failure and replay scenario read correctly:
+
+* crash after writing ``_compact_tmp``: readers ignore
+  underscore-prefixed dirs — state unchanged;
+* crash after renaming tmp → ``base=<k_new>`` but before deleting the
+  folded inputs: folded epochs all have e <= k_new and any older base
+  has k_old < k_new, so readers already use only the new base —
+  no double count, and a re-run of compaction finishes the deletes;
+* an at-least-once REPLAY of a folded epoch (foreachBatch retries
+  exactly when a crash interrupted an epoch) re-creates ``epoch=<e>``
+  with e <= k — readers ignore it, so folded data can neither be
+  double-counted nor resurrected. Only epochs STRICTLY BELOW the
+  current top are folded, so the live top epoch keeps its own dir and
+  its replay stays a same-data overwrite, as in the uncompacted
+  layout.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from workhop2_etl_spark.sources import fs
 
 #: rollup grain: (day, event_type) with combinable measures
 _KEYS = ["day", "event_type"]
@@ -52,23 +86,35 @@ def combine_rollups(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def _combine_parts(parts: DataFrame) -> DataFrame:
+    return parts.groupBy(*_KEYS).agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_value").alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+    )
+
+
 def refresh_daily_rollup(
     spark: SparkSession, table_dir: str, delta: DataFrame
 ) -> list:
     """Fold an event delta into the day-partitioned rollup at
     ``table_dir``. Returns the list of affected days (for logging /
-    test assertions). First call bootstraps the table."""
-    import os
+    test assertions). First call bootstraps the table.
 
+    The merged partial is materialized (localCheckpoint) BEFORE the
+    overwrite: the merge reads the same partitions the write replaces,
+    and without a plan barrier the overwrite would depend on the files
+    it is deleting — fine only while dynamic overwrite defers deletion
+    to commit, and unsafe on a mid-commit failure. With the barrier the
+    write consumes already-materialized blocks, never the input files.
+    """
     d = rollup_events_daily(delta)
     days = [r["day"] for r in d.select("day").distinct().collect()]
 
-    exists = os.path.isdir(table_dir) and any(
-        not f.startswith(("_", ".")) for f in os.listdir(table_dir)
-    )
-    if exists:
+    if fs.has_data(spark, table_dir):
         base = spark.read.parquet(table_dir).filter(F.col("day").isin(days))
-        merged = combine_rollups(base, d)
+        merged = combine_rollups(base, d).localCheckpoint(eager=True)
     else:
         merged = d
 
@@ -85,40 +131,74 @@ def refresh_daily_rollup(
     return days
 
 
-def compact_rollup_epochs(spark: SparkSession, table_dir: str) -> int:
-    """Fold all per-epoch rollup partials (streaming/windows.py::
-    stream_rollup_to_parquet layout) into a single combined epoch so
-    reader-side combine cost stays bounded as epochs accumulate.
-    Readers see identical totals before and after (combinable
-    measures only). The combined partial is written to a NEW epoch
-    directory named after the highest epoch folded (so a concurrent
-    late retry of an older epoch cannot resurrect folded data under a
-    distinct name), then the old epoch dirs are removed. Returns the
-    number of epochs folded."""
-    import os
-    import shutil
-
+def _scan_generations(
+    spark: SparkSession, table_dir: str
+) -> tuple[int, list[int]]:
+    """(best base generation k or -1, sorted live epoch ids > k)."""
+    names = fs.list_child_dirs(spark, table_dir)
+    bases = sorted(
+        int(n.split("=", 1)[1]) for n in names if n.startswith("base=")
+    )
+    k = bases[-1] if bases else -1
     epochs = sorted(
-        (d for d in os.listdir(table_dir) if d.startswith("epoch=")),
-        key=lambda d: int(d.split("=", 1)[1]),
+        e
+        for n in names
+        if n.startswith("epoch=")
+        for e in [int(n.split("=", 1)[1])]
+        if e > k
     )
-    if len(epochs) <= 1:
-        return len(epochs)
-    parts = spark.read.parquet(*[os.path.join(table_dir, d) for d in epochs])
-    combined = (
-        parts.groupBy(*_KEYS)
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("sum_value").alias("sum_value"),
-            F.min("min_value").alias("min_value"),
-            F.max("max_value").alias("max_value"),
-        )
-        .localCheckpoint(eager=True)  # materialize before deleting inputs
-    )
-    top = epochs[-1]
-    tmp = os.path.join(table_dir, "_compact_tmp")
+    return k, epochs
+
+
+def rollup_part_dirs(spark: SparkSession, table_dir: str) -> list[str]:
+    """Directories a reader must combine: the newest base generation
+    (if any) plus every live epoch above it — the reader half of the
+    compaction protocol documented in the module docstring."""
+    k, epochs = _scan_generations(spark, table_dir)
+    dirs = []
+    if k >= 0:
+        dirs.append(fs.join(table_dir, f"base={k}"))
+    dirs.extend(fs.join(table_dir, f"epoch={e}") for e in epochs)
+    if not dirs:
+        raise FileNotFoundError(f"no rollup partials under {table_dir}")
+    return dirs
+
+
+def compact_rollup_epochs(spark: SparkSession, table_dir: str) -> int:
+    """Fold every live epoch STRICTLY BELOW the current top epoch
+    (plus the previous base generation, if any) into a new
+    ``base=<k>`` dir, then delete the superseded inputs. Readers see
+    identical totals at every point (combinable measures only); see
+    the module docstring for the crash/replay analysis. Returns the
+    number of epoch dirs folded (0 = nothing to do)."""
+    def sweep_stale(best_k: int) -> None:
+        # dirs a crash or late replay left below the published base:
+        # readers already ignore them; reclaim the storage.
+        for n in fs.list_child_dirs(spark, table_dir):
+            if n.startswith("epoch=") and int(n.split("=", 1)[1]) <= best_k:
+                fs.delete(spark, fs.join(table_dir, n))
+            if n.startswith("base=") and int(n.split("=", 1)[1]) < best_k:
+                fs.delete(spark, fs.join(table_dir, n))
+
+    k, epochs = _scan_generations(spark, table_dir)
+    foldable = epochs[:-1]  # keep the top epoch live
+    if not foldable:
+        sweep_stale(k)
+        return 0
+
+    in_dirs = []
+    if k >= 0:
+        in_dirs.append(fs.join(table_dir, f"base={k}"))
+    in_dirs.extend(fs.join(table_dir, f"epoch={e}") for e in foldable)
+
+    combined = _combine_parts(spark.read.parquet(*in_dirs))
+    new_k = foldable[-1]
+    tmp = fs.join(table_dir, "_compact_tmp")
     combined.write.mode("overwrite").parquet(tmp)
-    for d in epochs:
-        shutil.rmtree(os.path.join(table_dir, d))
-    os.rename(tmp, os.path.join(table_dir, top))
-    return len(epochs)
+    # Publish first (rename), delete superseded inputs after — every
+    # intermediate state reads correctly under the base=<k> rule.
+    fs.rename(spark, tmp, fs.join(table_dir, f"base={new_k}"))
+    for d in in_dirs:
+        fs.delete(spark, d)
+    sweep_stale(new_k)
+    return len(foldable)

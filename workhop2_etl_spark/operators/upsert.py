@@ -39,3 +39,27 @@ def merge_upsert_large(base: DataFrame, updates: DataFrame, keys: list[str]) -> 
     even this shuffle disappears."""
     cond = [base[k] == updates[k] for k in keys]
     return base.join(updates.select(*keys), cond, "left_anti").unionByName(updates)
+
+
+def merge_apply_changes(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC-style change feed: rows with ``op='u'`` upsert
+    (last-writer-wins, like merge_upsert), rows with ``op='d'``
+    delete the matching base key. ``changes`` must hold at most one
+    row per key (pre-compact a multi-op feed by sequence number
+    first); the op column is dropped from the result.
+
+    Same shuffle shape as merge_upsert: one broadcast anti join on
+    the change keys (touched rows leave the base) plus a union of the
+    surviving upserts — deletes cost nothing beyond the anti join.
+    """
+    if not keys:
+        raise ValueError("merge_apply_changes requires at least one key column")
+    cond = [base[k] == changes[k] for k in keys]
+    kept = base.join(F.broadcast(changes.select(*keys)), cond, "left_anti")
+    upserts = changes.filter(F.col(op_col) == "u").drop(op_col)
+    return kept.unionByName(upserts)

@@ -63,6 +63,15 @@ def write_zordered(
     stats (same class of bounded collect as the IVF centroid seed —
     documented, O(cols), independent of row count).
     """
+    from pyspark.sql.types import NumericType
+
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, NumericType):
+            raise TypeError(
+                f"Z-order clustering column {c!r} must be numeric, got "
+                f"{df.schema[c].dataType.simpleString()}; map dates/strings "
+                "to a numeric key first"
+            )
     n = 1 << bits
     stats = df.agg(
         *[F.min(c).alias(f"__mn_{c}") for c in cols],
@@ -71,8 +80,14 @@ def write_zordered(
     buckets = []
     for c in cols:
         mn, mx = stats[f"__mn_{c}"], stats[f"__mx_{c}"]
-        span = (mx - mn) or 1
-        b = F.floor((F.col(c) - F.lit(mn)) * n / (F.lit(span) + 1)).cast("long")
+        # Bucket in DOUBLE: long arithmetic overflows once
+        # span × 2^bits exceeds 2^63 (any key spanning ≳2^55), and a
+        # rounding-loss of a few ULPs only blurs a bucket boundary —
+        # harmless for clustering, unlike a wrapped Morton key.
+        span = float(mx - mn) or 1.0
+        b = F.floor(
+            (F.col(c).cast("double") - float(mn)) * n / (span + 1.0)
+        ).cast("long")
         buckets.append(F.least(b, F.lit(n - 1)))
     z = df.withColumn("__z", zorder_key(buckets, bits))
     (

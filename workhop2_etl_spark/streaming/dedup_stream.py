@@ -31,12 +31,11 @@ the index.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from workhop2_etl_spark.operators.dedup_text import lsh_bands, minhash_signatures
+from workhop2_etl_spark.sources import fs
 
 
 def _sig_similarity(a: str, b: str, num_hashes: int) -> F.Column:
@@ -178,16 +177,17 @@ def stream_neardup_ingest(
     def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark_l = batch_df.sparkSession
         index = None
-        if os.path.isdir(index_dir):
-            prior = [
-                d
-                for d in os.listdir(index_dir)
-                if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
-            ]
-            if prior:
-                index = spark_l.read.parquet(
-                    *[os.path.join(index_dir, d) for d in prior]
-                )
+        # Hadoop-FS listing (sources/fs.py): the index can live on
+        # HDFS / S3A / local disk interchangeably.
+        prior = [
+            d
+            for d in fs.list_child_dirs(spark_l, index_dir)
+            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        ]
+        if prior:
+            index = spark_l.read.parquet(
+                *[fs.join(index_dir, d) for d in prior]
+            )
         survivors, new_rows = neardup_filter_batch(
             batch_df,
             index,
@@ -201,10 +201,10 @@ def stream_neardup_ingest(
         # sinks see one consistent decision set.
         survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={epoch_id}")
+            fs.join(out_dir, f"epoch={epoch_id}")
         )
         new_rows.write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"epoch={epoch_id}")
+            fs.join(index_dir, f"epoch={epoch_id}")
         )
 
     (

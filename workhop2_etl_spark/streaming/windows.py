@@ -362,12 +362,13 @@ def stream_rollup_to_parquet(
     double-count a replayed batch; per-epoch overwrite makes the
     retry idempotent — the replay rewrites exactly its own partial.
     Readers combine partials via ``read_rollup`` (counts/sums add,
-    min/min, max/max); a periodic compaction can fold old epochs into
-    one without changing reader semantics. Stream ≡ batch and
-    retry/re-run no-double-count are asserted in tests."""
-    import os as _os
-
+    min/min, max/max); periodic compaction
+    (operators/incremental.py::compact_rollup_epochs) folds old
+    epochs into a ``base=<k>`` generation without changing reader
+    semantics. Stream ≡ batch and retry/re-run no-double-count are
+    asserted in tests."""
     from workhop2_etl_spark.operators.incremental import rollup_events_daily
+    from workhop2_etl_spark.sources import fs
 
     schema = spark.read.parquet(parquet_path).schema
     reader = spark.readStream.schema(schema)
@@ -377,7 +378,7 @@ def stream_rollup_to_parquet(
 
     def apply_batch(batch_df, epoch_id: int) -> None:
         rollup_events_daily(batch_df).write.mode("overwrite").parquet(
-            _os.path.join(table_dir, f"epoch={epoch_id}")
+            fs.join(table_dir, f"epoch={epoch_id}")
         )
 
     (
@@ -390,12 +391,14 @@ def stream_rollup_to_parquet(
 
 
 def read_rollup(spark, table_dir: str) -> DataFrame:
-    """Combine the per-epoch rollup partials into the current totals
+    """Combine the rollup partials into the current totals
     (counts/sums add, min/min, max/max) — the reader half of
-    stream_rollup_to_parquet."""
-    from workhop2_etl_spark.operators.incremental import _KEYS
+    stream_rollup_to_parquet. Reads the newest ``base=<k>``
+    generation plus every ``epoch>k`` dir (the compaction protocol's
+    reader rule), so replayed folded epochs are ignored."""
+    from workhop2_etl_spark.operators.incremental import _KEYS, rollup_part_dirs
 
-    parts = spark.read.parquet(table_dir)
+    parts = spark.read.parquet(*rollup_part_dirs(spark, table_dir))
     return parts.groupBy(*_KEYS).agg(
         F.sum("n").alias("n"),
         F.sum("sum_value").alias("sum_value"),

@@ -46,6 +46,7 @@ def load_all() -> None:
         dedup,
         events,
         joins,
+        maintenance,
         multimodal,
         pipeline2,
         similarity,

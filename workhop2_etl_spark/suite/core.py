@@ -556,3 +556,50 @@ def dq1_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority_format": Q.matches("o_orderpriority", r"^[1-5]-[A-Z ]+$"),
     }
     return Q.check_constraints(orders, rules).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# s6: schema-evolution round-trip — an older parquet batch lacks a
+# column that a newer batch carries; a mergeSchema read must widen
+# the old rows with NULLs (the lakehouse append-only evolution
+# contract). Previously pytest-only
+# (test_scale_ops::test_parquet_schema_evolution_merge); the oracle
+# replays the widened union in SQL.
+# ---------------------------------------------------------------------------
+@query(
+    "s6_schema_evolution",
+    oracle="""
+    WITH widened AS (
+      SELECT s_suppkey, s_name, s_nationkey, CAST(NULL AS DOUBLE) AS s_acctbal
+      FROM supplier WHERE s_suppkey % 2 = 0
+      UNION ALL
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      FROM supplier WHERE s_suppkey % 2 = 1
+    )
+    SELECT s_nationkey, count(*) AS n,
+           count(s_acctbal) AS n_with_bal,
+           round(sum(coalesce(s_acctbal, 0)), 2) AS total_bal
+    FROM widened GROUP BY 1 ORDER BY 1
+    """,
+)
+def s6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = load_table(spark, sf_dir, "supplier")
+    out = os.path.join(tempfile.gettempdir(), "workhop2_io", "sup_evolve")
+    old_batch = sup.filter(F.col("s_suppkey") % 2 == 0).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    new_batch = sup.filter(F.col("s_suppkey") % 2 == 1).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    old_batch.write.mode("overwrite").parquet(out)
+    new_batch.write.mode("append").parquet(out)
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("s_acctbal").alias("n_with_bal"),
+            F.round(F.sum(F.coalesce("s_acctbal", F.lit(0.0))), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -184,3 +184,48 @@ def x7_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("chunk_n_tok"),
         F.array_join(chunk, " ").alias("chunk_text"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+# ---------------------------------------------------------------------------
+# t10: corpus-wide top-50 bigrams. The bigram array is built row-side
+# with zip_with over two slices of the token array — a NARROW
+# transform (no shuffle, no self-join on (doc, pos)); the only
+# shuffle is the count aggregation on the bigram key, partial-agg
+# bounded. Ranking keys (n desc, bigram asc) are exact, so the top-k
+# is cross-engine deterministic.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t10_bigram_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split({_NORM}, ' ') AS l
+      FROM documents WHERE {_NORM} <> ''
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(l)),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bigram
+      FROM toks WHERE len(l) >= 2
+    )
+    SELECT bigram, count(*) AS n
+    FROM bg GROUP BY 1
+    ORDER BY n DESC, bigram ASC
+    LIMIT 50
+    """,
+)
+def t10_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = _toks()
+    bigrams = F.expr(
+        "zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1), "
+        "(a, b) -> concat(a, ' ', b))"
+    )
+    return (
+        docs.select(t.alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )

@@ -337,3 +337,39 @@ def e6_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats(l2, "click->purchase"))
         .orderBy("transition")
     )
+
+
+# ---------------------------------------------------------------------------
+# e7: monthly cohort retention — variable-length periods, so offsets
+# come from months_between (Spark) / date_diff('month', …) (DuckDB),
+# not a day-count division (which mis-buckets 28-vs-31-day months).
+# Exercises the cohort_retention(period='month') path.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e7_cohort_month",
+    oracle="""
+    WITH cohorts AS (
+      SELECT user_id, date_trunc('month', min(ts)) AS cohort_start
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT user_id, date_trunc('month', ts) AS active_period
+      FROM events
+    )
+    SELECT CAST(c.cohort_start AS DATE) AS cohort_start,
+           CAST(date_diff('month', c.cohort_start, a.active_period) AS INTEGER)
+             AS offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def e7_cohort_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        EV.cohort_retention(ev, period="month")
+        .withColumn("cohort_start", F.col("cohort_start").cast("date"))
+        .orderBy("cohort_start", "offset")
+    )

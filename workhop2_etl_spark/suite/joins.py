@@ -468,3 +468,67 @@ def u4_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# u5: CDC apply-changes — MERGE with upserts AND deletes
+# (operators/upsert.py::merge_apply_changes). BUILDING customers are
+# updated, MACHINERY customers deleted; the result must show updated
+# balances and no MACHINERY segment at all.
+# ---------------------------------------------------------------------------
+@query(
+    "u5_apply_changes",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, 'u' AS op, 'upd:' || c_name AS c_name, c_nationkey,
+             round(c_acctbal + 1000, 2) AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION ALL
+      SELECT c_custkey, 'd', c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ), merged AS (
+      SELECT * FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM changes u WHERE u.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM changes WHERE op = 'u'
+    )
+    SELECT c_mktsegment, count(*) AS n,
+           round(sum(c_acctbal), 2) AS total_bal,
+           CAST(sum(CASE WHEN c_name LIKE 'upd:%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_updated
+    FROM merged GROUP BY 1 ORDER BY 1
+    """,
+)
+def u5_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.upsert import merge_apply_changes
+
+    cust = load_table(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey",
+        F.lit("u").alias("op"),
+        F.concat(F.lit("upd:"), F.col("c_name")).alias("c_name"),
+        "c_nationkey",
+        F.round(F.col("c_acctbal") + 1000, 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    deletes = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey",
+        F.lit("d").alias("op"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    merged = merge_apply_changes(cust, updates.unionByName(deletes), ["c_custkey"])
+    return (
+        merged.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.sum(
+                F.when(F.col("c_name").startswith("upd:"), 1).otherwise(0)
+            ).alias("n_updated"),
+        )
+        .orderBy("c_mktsegment")
+    )

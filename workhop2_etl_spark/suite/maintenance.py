@@ -1,0 +1,202 @@
+"""Oracle-checked queries for the maintenance/layout kernels that
+were previously pytest-only: the incremental-rollup partial shape and
+its combine algebra (operators/incremental.py), the Z-order Morton
+key (sources/zorder.py), and salted two-phase aggregation
+(operators/skew.py).
+
+The *protocols* around these kernels (epoch commit, file layout,
+shuffle shape) stay pytest-proven — they are not SQL-expressible —
+but the VALUE semantics each one rests on are, and an oracle verdict
+on the algebra is strictly stronger than a self-consistent pytest:
+
+* r1: the partial-aggregate shape = a plain GROUP BY (so a reader
+  folding partials reconstructs exactly the batch answer);
+* r2: combine(rollup(A), rollup(B)) = rollup(A ∪ B) — the
+  associativity the whole incremental/streaming design rests on;
+* z1: the bucketize + bit-interleave Morton key, replayed bit-for-bit
+  in DuckDB integer arithmetic;
+* k1: two-phase salted aggregation = the unsalted GROUP BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators.incremental import (
+    combine_rollups,
+    rollup_events_daily,
+)
+from workhop2_etl_spark.operators.skew import salted_aggregate
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+
+# ---------------------------------------------------------------------------
+# r1: the maintained rollup's partial-aggregate shape ≡ plain GROUP BY.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r1_daily_rollup",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def r1_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        rollup_events_daily(ev)
+        .withColumn("sum_value", F.round("sum_value", 4))
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r2: combine algebra — fold two disjoint partials and recover the
+# full answer. The Spark side splits events on event_id parity,
+# rolls each half up independently, and merges with combine_rollups;
+# the oracle is the single-pass GROUP BY over everything. Equality
+# here IS the invariant that lets refresh_daily_rollup /
+# stream_rollup_to_parquet never rescan the fact table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r2_combine_partials",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day, event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           min(value) AS min_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def r2_combine_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    even = rollup_events_daily(ev.filter(F.col("event_id") % 2 == 0))
+    odd = rollup_events_daily(ev.filter(F.col("event_id") % 2 == 1))
+    return (
+        combine_rollups(even, odd)
+        .withColumn("sum_value", F.round("sum_value", 4))
+        .orderBy("day", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# z1: Morton (Z-order) key — min/max-normalize two lineitem keys into
+# 16 equi-width buckets (double arithmetic, the overflow-safe path)
+# and interleave 4 bits of each; DuckDB replays the identical integer
+# bit arithmetic. Grouping by the key keeps the result compact and
+# proves every row's key, not a sample's.
+# ---------------------------------------------------------------------------
+
+_Z1_BITS = 4
+
+
+@query(
+    "z1_zorder_key",
+    oracle=f"""
+    WITH stats AS (
+      SELECT min(l_orderkey) AS mn_o, max(l_orderkey) AS mx_o,
+             min(l_partkey) AS mn_p, max(l_partkey) AS mx_p
+      FROM lineitem
+    ), bucketed AS (
+      SELECT
+        least(CAST(floor((CAST(l_orderkey AS DOUBLE) - mn_o) * {1 << _Z1_BITS}
+                         / (CAST(mx_o - mn_o AS DOUBLE) + 1.0)) AS BIGINT),
+              {(1 << _Z1_BITS) - 1}) AS bo,
+        least(CAST(floor((CAST(l_partkey AS DOUBLE) - mn_p) * {1 << _Z1_BITS}
+                         / (CAST(mx_p - mn_p AS DOUBLE) + 1.0)) AS BIGINT),
+              {(1 << _Z1_BITS) - 1}) AS bp
+      FROM lineitem, stats
+    )
+    SELECT {" + ".join(
+        f"(((b{c} >> {b}) & 1) << {b * 2 + j})"
+        for b in range(_Z1_BITS)
+        for j, c in enumerate("op")
+    )} AS zkey,
+           count(*) AS n
+    FROM bucketed
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def z1_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.sources.zorder import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # scalar min/max as a broadcast 1-row relation (bounded by
+    # construction) so the whole query stays one lazy plan
+    stats = li.agg(
+        F.min("l_orderkey").alias("mn_o"),
+        F.max("l_orderkey").alias("mx_o"),
+        F.min("l_partkey").alias("mn_p"),
+        F.max("l_partkey").alias("mx_p"),
+    )
+    n = 1 << _Z1_BITS
+
+    def bucket(col: str, mn: str, mx: str):
+        span = (F.col(mx) - F.col(mn)).cast("double")
+        b = F.floor(
+            (F.col(col).cast("double") - F.col(mn).cast("double")) * n / (span + 1.0)
+        ).cast("long")
+        return F.least(b, F.lit(n - 1))
+
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            zorder_key(
+                [bucket("l_orderkey", "mn_o", "mx_o"), bucket("l_partkey", "mn_p", "mx_p")],
+                _Z1_BITS,
+            ).alias("zkey")
+        )
+        .groupBy("zkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("zkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# k1: salted two-phase aggregation ≡ the plain GROUP BY it protects.
+# event_type is low-cardinality (the hot-key shape: every group is a
+# potential reducer hot spot), exactly where salting applies.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k1_salted_agg",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           round(sum(value), 4) AS sum_value,
+           max(value) AS max_value
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def k1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        salted_aggregate(
+            ev,
+            ["event_type"],
+            {
+                "n": ("sum", F.count(F.lit(1))),
+                "sum_value": ("sum", F.sum("value")),
+                "max_value": ("max", F.max("value")),
+            },
+        )
+        .withColumn("sum_value", F.round("sum_value", 4))
+        .orderBy("event_type")
+    )
