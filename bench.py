@@ -131,9 +131,12 @@ def bench_reference_pipeline(spark) -> dict[str, float]:
 
 def main() -> None:
     spark = get_spark("bench")
-    # Warm-up: one trivial action so JVM startup / first-stage costs
-    # don't land on the first measured query.
+    # Warm-up: one trivial action absorbs JVM startup / first-stage
+    # costs, and one pass over the largest fact absorbs first-touch
+    # I/O (footer reads, page cache) — so the first measured query
+    # reports query cost, not session cost.
     load_table(spark, SF_DIR, "region").count()
+    load_table(spark, SF_DIR, "lineitem").count()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}

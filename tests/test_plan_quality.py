@@ -221,3 +221,55 @@ def test_doc_chunking_is_shuffle_free(spark):
     assert len(exchanges) <= 1, exchanges
     assert all("rangepartitioning" in e for e in exchanges), exchanges
     assert "BatchEvalPython" not in plan
+
+
+def test_round5_maintenance_query_plans(spark):
+    """Plan shapes of the round-5 additions: the Morton-key query's
+    only non-equi join is the 1-row broadcast stats relation (never a
+    CartesianProduct); bigram counting is narrow until the count agg
+    and plans its top-k as TakeOrdered; CDC apply-changes keeps the
+    anti join broadcast; salted aggregation is two hash-agg phases
+    with no extra exchange beyond the salt shuffle."""
+    z1 = plan_of(suite.QUERIES["z1_zorder_key"](spark, SF_DIR))
+    assert "CartesianProduct" not in z1
+    assert "BroadcastNestedLoopJoin" in z1  # the 1-row stats join
+    assert "BatchEvalPython" not in z1
+
+    t10 = plan_of(suite.QUERIES["t10_bigram_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in t10
+    assert "BatchEvalPython" not in t10
+    # one exchange for the bigram count — generate→explode is narrow
+    assert t10.count("Exchange") == 1, t10[:2000]
+
+    u5 = plan_of(suite.QUERIES["u5_apply_changes"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in u5 and "LeftAnti" in u5
+
+    k1 = plan_of(suite.QUERIES["k1_salted_agg"](spark, SF_DIR))
+    assert "BatchEvalPython" not in k1
+    # phase-1 agg on (keys, salt), phase-2 on keys: two hash-agg
+    # pairs, and the final agg's grouping no longer carries the salt
+    assert k1.count("HashAggregate") >= 4
+    # executedPlan prints top-down: the first HashAggregate line is
+    # the FINAL merge phase — its grouping keys must not carry salt
+    final_agg = next(l for l in k1.splitlines() if "HashAggregate" in l)
+    assert "__w2e_salt" not in final_agg, final_agg
+
+
+def test_rollup_refresh_reads_only_affected_partitions(spark, tmp_path):
+    """The incremental-refresh read path must partition-prune to the
+    delta's days: the base-side scan plan carries a day IN-filter —
+    at 100 TB this is the difference between rescanning the rollup
+    and touching |delta days| directories."""
+    from workhop2_etl_spark.operators.incremental import rollup_events_daily
+    from workhop2_etl_spark.session import load_table as _lt
+
+    ev = _lt(spark, SF_DIR, "events")
+    table = str(tmp_path / "daily")
+    rollup_events_daily(ev).write.partitionBy("day").parquet(table)
+
+    base = spark.read.parquet(table).filter(
+        F.col("day").isin(["2024-01-14", "2024-01-15"])
+    )
+    plan = plan_of(base)
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "day" in m.group(1), plan[:1500]
