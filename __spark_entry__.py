@@ -51,6 +51,7 @@ _PRIORITY = [
     "t10_bigram_topk",
     "u5_apply_changes",
     "s6_schema_evolution",
+    "j10_asof_forward_tolerance",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -94,10 +95,10 @@ _PRIORITY = [
     "d5_ngram_jaccard_sample",
     "d6_dup_clusters",
     "d7_canonical_docs",
-    # (e) oldest remaining r03 greens (j1/j2: plans changed in the
-    # round-4 perf pass)
+    # (e) oldest remaining r03 green whose plan changed in the
+    # round-4 perf pass (j2 shares the joins.py:26 kernel with j1,
+    # so one fresh verdict covers both)
     "j1_impute_left_join",
-    "j2_fanout_argmax_join",
 ]
 
 

@@ -106,3 +106,39 @@ def test_range_join_big_bucket_matches_naive_join(spark):
     assert sorted((r.lid, r.rid) for r in got.collect()) == sorted(
         (r.lid, r.rid) for r in naive.collect()
     )
+
+
+def test_asof_tolerance_bounds_match_distance(spark):
+    """Backward and forward matches farther than the tolerance yield
+    NULL payload; matches at exactly the tolerance still match."""
+    left = spark.createDataFrame(
+        [(1, 1, _ts(6)), (2, 1, _ts(12))], "lid long, k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(101, 1, _ts(5)), (102, 1, _ts(4))], "rid long, k long, t timestamp"
+    )
+    # backward: lid=1 at h6 → rid=101 at h5 (1h back, inside 1h tol);
+    # lid=2 at h12 → nearest is h5 (7h back) → NULL under tol
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, "k", "k", "t", "t", ["rid"],
+            direction="backward", tolerance="1 hour",
+        ).collect()
+    }
+    assert got == {1: 101, 2: None}
+
+    # forward: lid=1 at h6 has no later right row → NULL; with right
+    # at h7 it matches under a 1h tolerance, not under 30 minutes
+    right2 = spark.createDataFrame(
+        [(201, 1, _ts(7))], "rid long, k long, t timestamp"
+    )
+    fwd = lambda tol: {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right2, "k", "k", "t", "t", ["rid"],
+            direction="forward", tolerance=tol,
+        ).collect()
+    }
+    assert fwd("1 hour") == {1: 201, 2: None}
+    assert fwd("30 minutes") == {1: None, 2: None}

@@ -31,10 +31,17 @@ def asof_join(
     right_time: str,
     payload: list[str],
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row: the right row with the latest ``right_time``
     ≤ ``left_time`` on the same key (direction='backward'; 'forward'
     mirrors it). No match → NULL payload. Output rows == left rows.
+
+    ``tolerance`` (interval string, e.g. '2 hours') bounds the match
+    distance — a nearest row farther than the tolerance yields NULL
+    payload instead (pandas ``merge_asof`` semantics). Requires
+    timestamp-typed time columns; the bound is applied to the carried
+    match time, so it adds zero shuffles.
 
     Ties: a right row at exactly left_time matches; multiple right
     rows at the same instant resolve to the one that sorts last in
@@ -85,6 +92,22 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))
+    if tolerance is not None:
+        # carry the matched right row's own time through the same
+        # window, then null the match when it falls out of bounds
+        carried = carried.withColumn(
+            "__mt",
+            F.last(
+                F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
+            ).over(w),
+        )
+        tol = F.expr(f"INTERVAL {tolerance}")
+        in_bounds = (
+            F.col("__mt") >= F.col("__t") - tol
+            if direction == "backward"
+            else F.col("__mt") <= F.col("__t") + tol
+        )
+        carried = carried.withColumn("__match", F.when(in_bounds, F.col("__match")))
     out = carried.filter(F.col("__is_left") == 1)
     return out.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],

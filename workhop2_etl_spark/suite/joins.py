@@ -532,3 +532,57 @@ def u5_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# j10: FORWARD as-of join with a tolerance bound — for each click,
+# the next purchase of the same user within 2 hours (NULL if none).
+# Same union-and-carry plan as j7 (one shuffle, zero fan-out); the
+# tolerance is applied to the carried match time, not via a join.
+# ---------------------------------------------------------------------------
+@query(
+    "j10_asof_forward_tolerance",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             event_type
+      FROM events
+    ),
+    c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+    p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
+          FROM ev WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT c.event_id, c.user_id, c.ts, p.purchase_id,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.pts ASC) AS rn
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.pts >= c.ts AND p.pts <= c.ts + INTERVAL 2 HOUR
+    )
+    SELECT event_id, user_id, ts, purchase_id
+    FROM cand WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def j10_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["purchase_id"],
+        direction="forward",
+        tolerance="2 hours",
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_id").orderBy("event_id")
