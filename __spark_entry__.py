@@ -52,6 +52,7 @@ _PRIORITY = [
     "u5_apply_changes",
     "s6_schema_evolution",
     "j10_asof_forward_tolerance",
+    "w4_ohlc_resample",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -94,7 +95,8 @@ _PRIORITY = [
     "d4_simhash_groups",
     "d5_ngram_jaccard_sample",
     "d6_dup_clusters",
-    "d7_canonical_docs",
+    # d7 composes d6's CC output — the d6 verdict covers the moved
+    # kernel; d7 keeps its r03 green + the local pytest gate
     # (e) oldest remaining r03 green whose plan changed in the
     # round-4 perf pass (j2 shares the joins.py:26 kernel with j1,
     # so one fresh verdict covers both)

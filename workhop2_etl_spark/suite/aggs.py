@@ -678,3 +678,59 @@ def g5_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, o_orderstatus, o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# w4: OHLC resample — per (user, hourly bucket) open/high/low/close
+# over `value`, the standard timeseries downsample. Open/close are
+# min/max over a (ts, event_id, value) struct — the lexicographic
+# struct ordering gives an exact integer tiebreak, so first/last are
+# cross-engine deterministic without a window pass: ONE hash
+# aggregation, no row_number, partial-agg friendly at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "w4_ohlc_resample",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, value,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events
+    ), b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             ts, event_id, value
+      FROM ev
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM b
+    )
+    SELECT user_id, bucket,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           count(*) AS n
+    FROM r GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def w4_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_s = F.min(F.struct("ts", "event_id", "value"))
+    last_s = F.max(F.struct("ts", "event_id", "value"))
+    return (
+        ev.groupBy(
+            "user_id", F.window("ts", "1 hour").start.alias("bucket")
+        )
+        .agg(
+            F.round(first_s.getItem("value"), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(last_s.getItem("value"), 4).alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("user_id", "bucket")
+    )
