@@ -53,6 +53,7 @@ _PRIORITY = [
     "s6_schema_evolution",
     "j10_asof_forward_tolerance",
     "w4_ohlc_resample",
+    "g6_pagerank",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -97,10 +98,9 @@ _PRIORITY = [
     "d6_dup_clusters",
     # d7 composes d6's CC output — the d6 verdict covers the moved
     # kernel; d7 keeps its r03 green + the local pytest gate
-    # (e) oldest remaining r03 green whose plan changed in the
-    # round-4 perf pass (j2 shares the joins.py:26 kernel with j1,
-    # so one fresh verdict covers both)
-    "j1_impute_left_join",
+    # j1/j2/j3/j4 hold r03 greens on kernels unchanged since r03
+    # (their r4 bench gains came from session/bench work, not
+    # operators/joins.py) — they keep the local pytest gate
 ]
 
 

@@ -94,3 +94,71 @@ def connected_components(
         if done:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+    damping: float = 0.85,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the
+    weighted-iterative sibling of connected_components (quality/
+    authority scoring over link or citation graphs, a standard
+    training-data curation signal).
+
+    Returns ``(node, rank)`` for every node appearing as src or dst.
+    Semantics (mirrored exactly by the SQL oracle): uniform init
+    1/N; per iteration rank = (1-d)/N + d·Σ in-contributions, where a
+    node's out-contribution is rank/out_degree; dangling-node mass is
+    NOT redistributed (the simple variant — documented so the oracle
+    can unroll it as plain join+aggregate rounds).
+
+    Scale shape: ranks is a node-sized DataFrame re-joined to the
+    edge list each round — one shuffle by node id per iteration, the
+    same dataflow as the classic MapReduce formulation. The plan is
+    lineage-cut every ``checkpoint_every`` rounds (iterated joins
+    otherwise grow the plan exponentially); a fixed small ``iters``
+    keeps the whole computation deterministic.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()  # bounded driver action: one scalar
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for i in range(iters):
+        # string-aliased column refs: after round 1 every input shares
+        # lineage with `e`, and attribute refs (e["dst"]) would be
+        # ambiguous self-join references
+        contrib = (
+            ranks.alias("r")
+            .join(deg.alias("g"), F.col("r.node") == F.col("g.src"))
+            .join(e.alias("t"), F.col("r.node") == F.col("t.src"))
+            .groupBy(F.col("t.dst").alias("node"))
+            .agg(F.sum(F.col("r.rank") / F.col("g.out_deg")).alias("in_mass"))
+        )
+        ranks = (
+            nodes.alias("n")
+            .join(contrib.alias("c"), F.col("n.node") == F.col("c.node"), "left")
+            .select(
+                F.col("n.node").alias("node"),
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("c.in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

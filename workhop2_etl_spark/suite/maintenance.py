@@ -200,3 +200,64 @@ def k1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sum_value", F.round("sum_value", 4))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# g6: PageRank (operators/graph.py::pagerank) over the nation trade
+# graph (customer nation → supplier nation via orders×lineitem).
+# 3 fixed iterations, damping 0.85, dangling mass not redistributed —
+# the oracle unrolls the identical rounds as plain join+aggregate
+# CTEs, so the iterative DataFrame loop is value-checked exactly.
+# ---------------------------------------------------------------------------
+
+_PR_ROUND = """
+r{next} AS (
+  SELECT nodes.node,
+         0.15 / (SELECT n FROM nn) + 0.85 * coalesce(m.s, 0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node, sum(r{cur}.rank / deg.d) AS s
+    FROM r{cur} JOIN deg ON r{cur}.node = deg.src JOIN e ON e.src = r{cur}.node
+    GROUP BY e.dst
+  ) m ON nodes.node = m.node
+)"""
+
+
+@query(
+    "g6_pagerank",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT c.c_nationkey AS src, s.s_nationkey AS dst
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+    ),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),"""
+    + ",".join(_PR_ROUND.format(cur=i, next=i + 1) for i in range(3))
+    + """
+    SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node
+    """,
+)
+def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    edges = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst"))
+    )
+    return (
+        pagerank(edges, iters=3)
+        .withColumn("rank", F.round("rank", 6))
+        .orderBy("node")
+    )
