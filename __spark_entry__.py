@@ -54,6 +54,7 @@ _PRIORITY = [
     "j10_asof_forward_tolerance",
     "w4_ohlc_resample",
     "g6_pagerank",
+    "e8_scd2_lookup",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -94,7 +95,6 @@ _PRIORITY = [
     "d2_minhash_lsh_pairs",
     "d3_near_dup_pairs",
     "d4_simhash_groups",
-    "d5_ngram_jaccard_sample",
     "d6_dup_clusters",
     # d7 composes d6's CC output — the d6 verdict covers the moved
     # kernel; d7 keeps its r03 green + the local pytest gate

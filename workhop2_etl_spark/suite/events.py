@@ -373,3 +373,80 @@ def e7_cohort_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cohort_start", F.col("cohort_start").cast("date"))
         .orderBy("cohort_start", "offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# e8: point-in-time SCD2 dimension lookup — each purchase event finds
+# the state interval (built by scd2_runs over the NON-purchase
+# events) containing its timestamp: user equi-join + half-open
+# residual predicate valid_from <= ts < valid_to. Half-open intervals
+# make same-timestamp tied runs self-resolving (the earlier tied run
+# has an EMPTY interval), so the match is unique without any
+# engine-specific tiebreak. Purchases before a user's first status
+# event keep NULL state (left join).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e8_scd2_lookup",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events
+    ), marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                  OR lag(event_type) OVER w <> event_type THEN 1
+                  ELSE 0 END AS chg
+      FROM ev WHERE event_type <> 'purchase'
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM marked
+    ), grouped AS (
+      SELECT user_id, event_type, run_id, min(ts) AS valid_from
+      FROM runs GROUP BY user_id, event_type, run_id
+    ), dim AS (
+      SELECT user_id, event_type AS state, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, run_id) AS valid_to
+      FROM grouped
+    ), probes AS (
+      SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, d.state, d.valid_from
+    FROM probes p LEFT JOIN dim d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.ts
+     AND p.ts < coalesce(d.valid_to, TIMESTAMP '9999-12-31 00:00:00')
+    ORDER BY p.event_id
+    """,
+)
+def e8_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim = EV.scd2_runs(
+        ev.filter(F.col("event_type") != "purchase"), state_col="event_type"
+    ).select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    probes = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    far_future = F.lit("9999-12-31 00:00:00").cast(dim.schema["valid_from"].dataType)
+    return (
+        probes.join(
+            dim,
+            (probes["user_id"] == dim["d_user"])
+            & (dim["valid_from"] <= probes["ts"])
+            & (probes["ts"] < F.coalesce(dim["valid_to"], far_future)),
+            "left",
+        )
+        .select("event_id", "user_id", "ts", "state", "valid_from")
+        .orderBy("event_id")
+    )
