@@ -28,17 +28,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness pass covers exactly the first 50 registry
 # entries in insertion order, so ordering decides which queries get an
 # oracle verdict. Round-5 window (VERDICT r04 "Next round" #1):
-# (a) never-verified queries — NEW this round; (b) queries whose code
-# moved this round (e3: cohort_retention gained period validation /
-# month path); (c) all 31 queries whose latest green is r02 (the
-# stalest verdicts — includes the t1–t7/x4/x5 tokenization family
-# whose shared kernel moved in round 4 via the corpus.py _NORM/_toks
-# import unification, and m1–m4 after the round-4 embed-stage edit to
-# multimodal.py); (d) r03 greens sitting on round-4-touched code —
-# x6 after the (lang, shard) window fix, d1–d7 after lsh_bands was
-# reused by dedup_stream; (e) remaining slots to the oldest r03
-# greens (ANN v3/v7, io s2/s5, joins j1–j4 — j1/j2 plans changed in
-# the round-4 perf pass — and the flagship q1). Everything outside
+# (a) the 13 queries NEW this round (never driver-verified — always
+# first); (b) queries whose kernel moved this round (e3:
+# cohort_retention gained period validation + a month path); (c) all
+# 31 queries whose latest green is r02 (the stalest verdicts —
+# includes the t1–t7/x4/x5 tokenization family whose shared kernel
+# moved in round 4 via the corpus.py _NORM/_toks import unification,
+# and m1–m4 after the round-4 embed-stage edit to multimodal.py);
+# (d) remaining slots to r03 greens sitting on round-4-touched code —
+# x6 after the (lang, shard) window fix, then the dedup family after
+# lsh_bands was reused by dedup_stream (d2/d3 hit the banded kernel
+# directly; d4 simhash + d6 CC share the module; d1's digest kernel,
+# d5's verify pass and d7's composition are covered transitively by
+# those verdicts + the local pytest oracle gate). Everything outside
 # the window holds a hash-green r03/r04 verdict and still runs in
 # pytest + tools/verify_local.py.
 _PRIORITY = [
@@ -55,6 +57,7 @@ _PRIORITY = [
     "w4_ohlc_resample",
     "g6_pagerank",
     "e8_scd2_lookup",
+    "j11_nullsafe_join",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -91,7 +94,6 @@ _PRIORITY = [
     "q22_idle_rich_customers",
     # (d) r03 greens on round-4-touched code
     "x6_sequence_pack",
-    "d1_exact_dup_groups",
     "d2_minhash_lsh_pairs",
     "d3_near_dup_pairs",
     "d4_simhash_groups",

@@ -273,3 +273,23 @@ def test_rollup_refresh_reads_only_affected_partitions(spark, tmp_path):
     plan = plan_of(base)
     m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
     assert m and "day" in m.group(1), plan[:1500]
+
+
+def test_round5_analytics_query_plans(spark):
+    """e8's point-in-time lookup must be an equi-join with the
+    interval as residual (never a nested-loop over user histories);
+    w4/j10 are single-window/agg shapes with no join at all; g6's
+    iterative joins must stay equi-joins (no cartesian) and fully
+    JVM-side."""
+    e8 = plan_of(suite.QUERIES["e8_scd2_lookup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in e8 or "SortMergeJoin" in e8
+    assert "BroadcastNestedLoopJoin" not in e8 and "CartesianProduct" not in e8
+
+    for name in ("w4_ohlc_resample", "j10_asof_forward_tolerance"):
+        p = plan_of(suite.QUERIES[name](spark, SF_DIR))
+        assert "Join" not in p, name  # pure window/agg shapes
+        assert "BatchEvalPython" not in p, name
+
+    g6 = plan_of(suite.QUERIES["g6_pagerank"](spark, SF_DIR))
+    assert "CartesianProduct" not in g6 and "BroadcastNestedLoopJoin" not in g6
+    assert "BatchEvalPython" not in g6

@@ -586,3 +586,51 @@ def j10_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         tolerance="2 hours",
     )
     return out.select("event_id", "user_id", "ts", "purchase_id").orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# j11: NULL-safe equality join (<=> / IS NOT DISTINCT FROM) — NULL
+# keys match each other instead of silently dropping, the semantics a
+# dimension with an "unknown" member needs. eqNullSafe stays a
+# hashable equi-join condition (plans as BroadcastHashJoin), unlike
+# the OR-of-IS-NULL rewrite which degrades to a nested loop.
+# ---------------------------------------------------------------------------
+@query(
+    "j11_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT c_custkey, c_acctbal,
+             nullif(c_mktsegment, 'MACHINERY') AS seg
+      FROM customer
+    ), d AS (
+      SELECT DISTINCT seg, coalesce(seg, '<none>') AS seg_label FROM a
+    )
+    SELECT d.seg_label, count(*) AS n, round(sum(a.c_acctbal), 2) AS total_bal
+    FROM a JOIN d ON a.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def j11_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    a = cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg"),
+    )
+    dim = (
+        a.select("seg")
+        .distinct()
+        .select(
+            F.col("seg").alias("d_seg"),
+            F.coalesce(F.col("seg"), F.lit("<none>")).alias("seg_label"),
+        )
+    )
+    return (
+        a.join(dim, a["seg"].eqNullSafe(dim["d_seg"]))
+        .groupBy("seg_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("seg_label")
+    )
