@@ -75,6 +75,12 @@ HEADLINE = [
     "e3_cohort_retention",
     "t8_tfidf_top_terms",
     "x7_doc_chunks",
+    # round-5 additions: iterative graph, point-in-time lookup,
+    # OHLC resample, weighted median (window-heavy shapes)
+    "g6_pagerank",
+    "e8_scd2_lookup",
+    "w4_ohlc_resample",
+    "a12_weighted_median",
 ]
 
 

@@ -657,3 +657,35 @@ def test_cohort_retention_month_and_period_validation(spark):
 
     with _pytest.raises(ValueError, match="period must be"):
         cohort_retention(ev, period="fortnight")
+
+
+def test_observed_write_metrics_match_direct_agg(spark, tmp_path):
+    """observed_write must report exactly the metrics a separate
+    aggregate pass would, while producing the identical parquet
+    output — publish accounting with zero extra scans."""
+    from workhop2_etl_spark.operators.quality import observed_write
+
+    ev = load_table(spark, SF_DIR, "events")
+    out = str(tmp_path / "observed")
+    got = observed_write(
+        ev,
+        out,
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_value": F.sum(F.col("value").isNull().cast("long")),
+            "sum_value": F.round(F.sum("value"), 4),
+            "max_ts": F.max("ts"),
+        },
+    )
+    direct = ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    ).first()
+    assert got["n_rows"] == direct["n_rows"]
+    assert got["n_null_value"] == direct["n_null_value"]
+    assert abs(got["sum_value"] - direct["sum_value"]) < 1e-6
+    assert got["max_ts"] == direct["max_ts"]
+    # and the write itself is complete
+    assert spark.read.parquet(out).count() == got["n_rows"]

@@ -78,3 +78,33 @@ def violation_rows(df: DataFrame, rules: Mapping[str, Column], id_cols: list[str
     return tagged.filter(F.size("__failed") > 0).select(
         *id_cols, F.explode("__failed").alias("rule")
     )
+
+
+def observed_write(
+    df: DataFrame,
+    path: str,
+    metrics: Mapping[str, Column],
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Write ``df`` to parquet while collecting aggregate metrics on
+    the SAME pass via Spark's Observation API — publish-time
+    accounting (row counts, null counts, sums) with ZERO extra scans.
+
+    The alternative — write, then re-read and aggregate — doubles the
+    I/O at 100 TB; ``df.observe`` attaches the metric accumulators to
+    the write job itself. Returns {metric_name: value}.
+
+    Metric expressions must be aggregates Catalyst can accumulate
+    per-task (count/sum/min/max/avg — the same combinable class the
+    incremental rollup uses).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[expr.alias(name) for name, expr in metrics.items()])
+    writer = observed.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return dict(obs.get)

@@ -734,3 +734,55 @@ def w4_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# a12: exact weighted median per group — smallest value whose
+# cumulative weight reaches half the group total. Pure window
+# algebra (cumulative sum ordered by value + one argmin), no UDAF —
+# the expression-first answer to a statistic Spark has no builtin
+# for. Deterministic by construction (min value at the crossing
+# point), so it hash-matches cross-engine, unlike mode()/median()
+# whose tie behavior is engine-specific.
+# ---------------------------------------------------------------------------
+@query(
+    "a12_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag, l_extendedprice AS v, l_quantity AS wt,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_extendedprice
+                                   ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(v), 2) AS weighted_median,
+           round(max(tw), 4) AS total_weight
+    FROM w WHERE cw >= tw / 2
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def a12_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cum = Window.partitionBy("l_returnflag").orderBy("l_extendedprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy("l_returnflag")
+    return (
+        li.select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("v"),
+            F.sum("l_quantity").over(cum).alias("cw"),
+            F.sum("l_quantity").over(tot).alias("tw"),
+        )
+        .filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("v"), 2).alias("weighted_median"),
+            F.round(F.max("tw"), 4).alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )
