@@ -436,3 +436,67 @@ def test_stream_neardup_ingest_on_file_uri(spark, staged):
     )
     got = {r["doc_id"] for r in spark.read.parquet(out_uri).collect()}
     assert got == _expected_survivors(spark, [batch1, batch2])
+
+
+def test_index_compaction_then_continued_ingest(spark, tmp_path_factory):
+    """Compacting the dedup index between runs must not change
+    decisions: batches 1-2 ingest, the index epochs fold into a
+    base=<k> generation, then a NEW batch arrives and must still be
+    checked against everything accepted so far (via the base) —
+    survivors equal the greedy oracle over all three batches."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    root = tmp_path_factory.mktemp("neardup_compact")
+    stream_dir = str(root / "in")
+    os.makedirs(stream_dir)
+    batch1, batch2 = _corpus()
+    # batch3: doc 23 ≈ doc 2 (batch-1 canonical — must be caught via
+    # the COMPACTED index), doc 24 unique
+    base = [f"w{k}" for k in range(40)]
+    v23 = list(base)
+    v23[3] = "q23"
+    batch3 = [_doc(23, v23), _doc(24, [f"u24_{k}" for k in range(40)])]
+
+    def write_batch(i, batch):
+        path = os.path.join(stream_dir, f"batch{i}.parquet")
+        _pq.write_table(
+            _pa.table(
+                {
+                    "doc_id": _pa.array([d["doc_id"] for d in batch], _pa.int64()),
+                    "text": _pa.array([d["text"] for d in batch], _pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (time.time() + i, time.time() + i))
+
+    write_batch(0, batch1)
+    write_batch(1, batch2)
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    out_dir, index_dir, ckpt = str(root / "out"), str(root / "index"), str(root / "ckpt")
+    run = lambda: DS.stream_neardup_ingest(
+        spark, stream_dir, schema, out_dir, index_dir, ckpt,
+        num_hashes=NUM_HASHES, num_bands=NUM_BANDS, threshold=THRESHOLD,
+    )
+    run()
+
+    n = DS.compact_index_epochs(spark, index_dir)
+    assert n == 1  # epoch 0 folded; live top epoch 1 stays
+    names = os.listdir(index_dir)
+    assert sum(1 for d in names if d.startswith("base=")) == 1
+    assert sum(1 for d in names if d.startswith("epoch=")) == 1
+    # idempotent when nothing below the top
+    assert DS.compact_index_epochs(spark, index_dir) == 0
+
+    write_batch(2, batch3)
+    run()  # same checkpoint: only batch3 processes, as epoch 2
+
+    got = {r["doc_id"] for r in spark.read.parquet(out_dir).collect()}
+    expected = _expected_survivors(spark, [batch1, batch2, batch3])
+    assert got == expected
+    assert 23 not in got and 24 in got  # dup caught THROUGH the base

@@ -178,11 +178,28 @@ def stream_neardup_ingest(
         spark_l = batch_df.sparkSession
         index = None
         # Hadoop-FS listing (sources/fs.py): the index can live on
-        # HDFS / S3A / local disk interchangeably.
-        prior = [
-            d
-            for d in fs.list_child_dirs(spark_l, index_dir)
-            if d.startswith("epoch=") and int(d.split("=", 1)[1]) < epoch_id
+        # HDFS / S3A / local disk interchangeably. Reader rule shared
+        # with compact_index_epochs: newest base=<k> generation (its
+        # k is always < the replaying epoch — only epochs strictly
+        # below the latest committed batch are ever folded) plus the
+        # live epochs in (k, epoch_id).
+        names = fs.list_child_dirs(spark_l, index_dir)
+        bases = sorted(
+            int(n.split("=", 1)[1]) for n in names if n.startswith("base=")
+        )
+        k = bases[-1] if bases else -1
+        if k >= epoch_id:
+            raise RuntimeError(
+                f"index base generation {k} >= replaying epoch {epoch_id}: "
+                "the index was compacted past the stream's committed "
+                "offset — restore the checkpoint or rebuild the index"
+            )
+        prior = [f"base={k}"] if k >= 0 else []
+        prior += [
+            n
+            for n in names
+            if n.startswith("epoch=")
+            and k < int(n.split("=", 1)[1]) < epoch_id
         ]
         if prior:
             index = spark_l.read.parquet(
@@ -214,3 +231,48 @@ def stream_neardup_ingest(
         .start()
         .awaitTermination()
     )
+
+
+def compact_index_epochs(spark, index_dir: str) -> int:
+    """Fold every index epoch STRICTLY BELOW the current top into a
+    single ``base=<k>`` generation (k = highest epoch folded), then
+    delete the folded dirs — bounding the directory count the
+    per-batch index read must touch as epochs accumulate.
+
+    Band rows are append-only facts (no combine algebra needed —
+    folding is pure concatenation), so the only invariant is the
+    reader rule shared with ``apply_batch``: newest base plus epochs
+    above its k. Publish-by-rename before deleting inputs gives the
+    same crash-window story as operators/incremental.py::
+    compact_rollup_epochs: every intermediate state reads correctly,
+    and a replay of the live top epoch (the only epoch foreachBatch
+    can replay) never overlaps the base. Returns the number of epoch
+    dirs folded."""
+    names = fs.list_child_dirs(spark, index_dir)
+    bases = sorted(int(n.split("=", 1)[1]) for n in names if n.startswith("base="))
+    k = bases[-1] if bases else -1
+    epochs = sorted(
+        e
+        for n in names
+        if n.startswith("epoch=")
+        for e in [int(n.split("=", 1)[1])]
+        if e > k
+    )
+    foldable = epochs[:-1]
+    if not foldable:
+        return 0
+    in_dirs = ([fs.join(index_dir, f"base={k}")] if k >= 0 else []) + [
+        fs.join(index_dir, f"epoch={e}") for e in foldable
+    ]
+    new_k = foldable[-1]
+    tmp = fs.join(index_dir, "_compact_tmp")
+    spark.read.parquet(*in_dirs).write.mode("overwrite").parquet(tmp)
+    fs.rename(spark, tmp, fs.join(index_dir, f"base={new_k}"))
+    for d in in_dirs:
+        fs.delete(spark, d)
+    for n in fs.list_child_dirs(spark, index_dir):
+        if n.startswith("epoch=") and int(n.split("=", 1)[1]) <= new_k:
+            fs.delete(spark, fs.join(index_dir, n))
+        if n.startswith("base=") and int(n.split("=", 1)[1]) < new_k:
+            fs.delete(spark, fs.join(index_dir, n))
+    return len(foldable)
