@@ -59,6 +59,7 @@ _PRIORITY = [
     "e8_scd2_lookup",
     "j11_nullsafe_join",
     "a12_weighted_median",
+    "a13_profile_stats",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -96,7 +97,6 @@ _PRIORITY = [
     # (d) r03 greens on round-4-touched code
     "x6_sequence_pack",
     "d2_minhash_lsh_pairs",
-    "d3_near_dup_pairs",
     "d6_dup_clusters",
     # d7 composes d6's CC output — the d6 verdict covers the moved
     # kernel; d7 keeps its r03 green + the local pytest gate

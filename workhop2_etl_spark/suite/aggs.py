@@ -786,3 +786,74 @@ def a12_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# a13: column profile — the reference's notebook-side `describe()`
+# (eda.ipynb EDA cells) as an engine operator: count / nulls / mean /
+# sample-stddev / min / max per numeric column in ONE aggregate pass
+# (describe() at 100 TB must not rescan per column). Long form —
+# one row per column — so adding columns never changes the schema.
+# ---------------------------------------------------------------------------
+@query(
+    "a13_profile_stats",
+    oracle="""
+    SELECT 'l_quantity' AS col, count(l_quantity) AS n,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+           round(avg(l_quantity), 4) AS mean,
+           round(stddev_samp(l_quantity), 4) AS std,
+           round(min(l_quantity), 4) AS min_v, round(max(l_quantity), 4) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', count(l_extendedprice),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           round(avg(l_extendedprice), 4), round(stddev_samp(l_extendedprice), 4),
+           round(min(l_extendedprice), 4), round(max(l_extendedprice), 4)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', count(l_discount),
+           CAST(count(*) - count(l_discount) AS BIGINT),
+           round(avg(l_discount), 4), round(stddev_samp(l_discount), 4),
+           round(min(l_discount), 4), round(max(l_discount), 4)
+    FROM lineitem
+    ORDER BY col
+    """,
+)
+def a13_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_discount", "l_extendedprice", "l_quantity"]
+    total = F.count(F.lit(1))
+    # one aggregate pass over the scan; per-column stats as parallel
+    # aggregate expressions, then unpivoted to long form driver-side
+    # (3×6 scalar cells — bounded by column count, not rows)
+    profiled = li.agg(
+        *[
+            agg
+            for c in cols
+            for agg in (
+                F.count(c).alias(f"n__{c}"),
+                (total - F.count(c)).alias(f"nn__{c}"),
+                F.round(F.avg(c), 4).alias(f"mean__{c}"),
+                F.round(F.stddev_samp(c), 4).alias(f"std__{c}"),
+                F.round(F.min(c), 4).alias(f"min__{c}"),
+                F.round(F.max(c), 4).alias(f"max__{c}"),
+            )
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(c).alias("col"),
+            F.col(f"n__{c}").alias("n"),
+            F.col(f"nn__{c}").alias("n_null"),
+            F.col(f"mean__{c}").alias("mean"),
+            F.col(f"std__{c}").alias("std"),
+            F.col(f"min__{c}").alias("min_v"),
+            F.col(f"max__{c}").alias("max_v"),
+        )
+        for c in cols
+    ]
+    return (
+        profiled.select(F.explode(F.array(*rows)).alias("s"))
+        .select("s.*")
+        .orderBy("col")
+    )
