@@ -304,3 +304,111 @@ def test_cohort_and_scd2_invariants(spark):
         for a, b in zip(rs, rs[1:]):
             assert a.valid_to == b.valid_from  # gapless chain
         assert sum(r.n_events for r in rs) == event_counts[user]
+
+
+def test_asof_tolerance_matches_python_replay(spark):
+    """Randomized forward/backward as-of with tolerance: every match
+    must be the nearest in-direction right row AND within tolerance;
+    everything farther must be NULL — vs an exhaustive Python replay."""
+    import datetime as dt
+    import random
+
+    from workhop2_etl_spark.operators.asof import asof_join
+
+    r = random.Random(20250813)
+    base = dt.datetime(2024, 1, 1)
+    keys = [1, 2]
+    left = [(k, base + dt.timedelta(minutes=r.randrange(0, 300))) for k in keys for _ in range(30)]
+    right = [
+        (k, base + dt.timedelta(minutes=r.randrange(0, 300)), f"p{k}:{i}")
+        for k in keys
+        for i in range(15)
+    ]
+    ldf = spark.createDataFrame(left, "k long, t timestamp")
+    rdf = spark.createDataFrame(right, "k long, t timestamp, tag string")
+    tol = dt.timedelta(minutes=45)
+
+    for direction in ("backward", "forward"):
+        out = asof_join(
+            ldf, rdf, "k", "k", "t", "t", ["tag"],
+            direction=direction, tolerance="45 minutes",
+        ).collect()
+        assert len(out) == len(left)
+        for row in out:
+            if direction == "backward":
+                cands = [(t, g) for (k, t, g) in right if k == row.k and t <= row.t]
+                best = max(cands) if cands else None
+                ok = best is not None and row.t - best[0] <= tol
+            else:
+                cands = [(t, g) for (k, t, g) in right if k == row.k and t >= row.t]
+                best = min(cands) if cands else None
+                ok = best is not None and best[0] - row.t <= tol
+            if ok:
+                # accept any tag at the winning timestamp (tie rule)
+                assert row.tag in {g for (t, g) in cands if t == best[0]}
+            else:
+                assert row.tag is None
+
+
+def test_combine_rollups_associative_on_random_splits(spark):
+    """combine(rollup(A), rollup(B)) == rollup(A ∪ B) for random
+    3-way splits and orders — the algebra every incremental /
+    streaming maintenance path rests on."""
+    import random
+
+    from workhop2_etl_spark.operators.incremental import (
+        combine_rollups,
+        rollup_events_daily,
+    )
+    from workhop2_etl_spark.session import load_table
+
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").limit(3000).localCheckpoint()
+    r = random.Random(7)
+    part = F.pmod(F.xxhash64("event_id", F.lit(r.randrange(1000))), F.lit(3))
+    parts = [ev.filter(part == i) for i in range(3)]
+
+    def canon(df):
+        return {
+            (str(x["day"]), x["event_type"], x["n"], round(x["sum_value"], 4),
+             round(x["min_value"], 6), round(x["max_value"], 6))
+            for x in df.collect()
+        }
+
+    want = canon(rollup_events_daily(ev))
+    got_ab_c = canon(
+        combine_rollups(
+            combine_rollups(rollup_events_daily(parts[0]), rollup_events_daily(parts[1])),
+            rollup_events_daily(parts[2]),
+        )
+    )
+    got_c_ab = canon(
+        combine_rollups(
+            rollup_events_daily(parts[2]),
+            combine_rollups(rollup_events_daily(parts[1]), rollup_events_daily(parts[0])),
+        )
+    )
+    assert got_ab_c == want and got_c_ab == want
+
+
+def test_pagerank_mass_and_positivity(spark):
+    """On a graph where every node has an out-edge (no dangling
+    mass), total rank stays ≈1 after every iteration and each rank is
+    ≥ (1-d)/N; node set == src ∪ dst."""
+    import random
+
+    from workhop2_etl_spark.operators.graph import pagerank
+
+    r = random.Random(99)
+    n = 30
+    # ring guarantees out-degree ≥ 1 everywhere; add random chords
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(r.randrange(n), r.randrange(n)) for _ in range(60)]
+    edges = [(a, b) for (a, b) in edges]
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    ranks = pagerank(edf, iters=4).collect()
+    assert len(ranks) == n
+    total = sum(x["rank"] for x in ranks)
+    assert abs(total - 1.0) < 1e-6, total
+    assert all(x["rank"] >= (1 - 0.85) / n - 1e-12 for x in ranks)
