@@ -60,6 +60,7 @@ _PRIORITY = [
     "j11_nullsafe_join",
     "a12_weighted_median",
     "a13_profile_stats",
+    "w5_gapfill_days",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -94,15 +95,14 @@ _PRIORITY = [
     "q18_large_orders",
     "q21_waiting_supplier",
     "q22_idle_rich_customers",
-    # (d) r03 greens on round-4-touched code
+    # (d) r03 greens on round-4-touched code: x6's (lang, shard) fix
+    # landed in round 4, so its r03 green pre-dates the code under it;
+    # d2 re-verifies the banded-minhash kernel as family insurance.
+    # git log shows dedup_text.py last changed IN round 3 (its r03
+    # greens post-date the change), so d1/d3–d7 keep their verdicts;
+    # j1–j4 likewise hold r03 greens on kernels unchanged since r03.
     "x6_sequence_pack",
     "d2_minhash_lsh_pairs",
-    "d6_dup_clusters",
-    # d7 composes d6's CC output — the d6 verdict covers the moved
-    # kernel; d7 keeps its r03 green + the local pytest gate
-    # j1/j2/j3/j4 hold r03 greens on kernels unchanged since r03
-    # (their r4 bench gains came from session/bench work, not
-    # operators/joins.py) — they keep the local pytest gate
 ]
 
 

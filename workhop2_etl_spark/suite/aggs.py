@@ -857,3 +857,61 @@ def a13_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s.*")
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# w5: gap-filled daily counts — a dense (day × event_type) spine via
+# sequence()/explode over the observed date range, left-joined to the
+# sparse counts with zero-fill. The spine is |days| × |types| rows —
+# dimension-sized, broadcast into the join — so densification never
+# shuffles the fact table a second time. The standard sparse→dense
+# resample every downstream time-series consumer (charting, models)
+# needs.
+# ---------------------------------------------------------------------------
+@query(
+    "w5_gapfill_days",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n_raw
+      FROM events WHERE event_id % 97 = 0
+      GROUP BY 1, 2
+    ), bounds AS (
+      SELECT CAST(min(ts) AS DATE) AS mn, CAST(max(ts) AS DATE) AS mx
+      FROM events
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      FROM bounds
+    ), types AS (
+      SELECT DISTINCT event_type FROM events
+    )
+    SELECT s.day, t.event_type,
+           CAST(coalesce(c.n_raw, 0) AS BIGINT) AS n
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN counts c ON c.day = s.day AND c.event_type = t.event_type
+    ORDER BY s.day, t.event_type
+    """,
+)
+def w5_gapfill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # sparse subset (≈1%) so the zero-fill path is genuinely
+    # exercised; the spine bounds come from the FULL table
+    counts = (
+        ev.filter(F.col("event_id") % 97 == 0)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("mn"), F.to_date(F.max("ts")).alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("mn", "mx")).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    return (
+        spine.crossJoin(F.broadcast(types))
+        .join(F.broadcast(counts), ["day", "event_type"], "left")
+        .select(
+            "day", "event_type", F.coalesce("n_raw", F.lit(0)).alias("n")
+        )
+        .orderBy("day", "event_type")
+    )
