@@ -61,6 +61,8 @@ _PRIORITY = [
     "a12_weighted_median",
     "a13_profile_stats",
     "w5_gapfill_days",
+    "a14_equidepth_deciles",
+    "st10_windowed_distinct_users",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -76,7 +78,8 @@ _PRIORITY = [
     "x4_stratified_split",
     "x5_domain_mix",
     "u2_intersect",
-    "u3_except",
+    # u3_except shares union_ops/set-op kernels with u2 — one fresh
+    # verdict covers the family; u3 keeps the local pytest gate
     "m1_image_meta",
     "m2_meta_filter",
     "m3_resize_plumbing",
@@ -96,13 +99,11 @@ _PRIORITY = [
     "q21_waiting_supplier",
     "q22_idle_rich_customers",
     # (d) r03 greens on round-4-touched code: x6's (lang, shard) fix
-    # landed in round 4, so its r03 green pre-dates the code under it;
-    # d2 re-verifies the banded-minhash kernel as family insurance.
-    # git log shows dedup_text.py last changed IN round 3 (its r03
-    # greens post-date the change), so d1/d3–d7 keep their verdicts;
+    # landed in round 4, so its r03 green pre-dates the code under it.
+    # git log shows dedup_text.py last changed IN round 3 (d-family
+    # r03 greens post-date the kernel, so d1–d7 keep their verdicts);
     # j1–j4 likewise hold r03 greens on kernels unchanged since r03.
     "x6_sequence_pack",
-    "d2_minhash_lsh_pairs",
 ]
 
 

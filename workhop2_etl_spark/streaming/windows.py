@@ -405,3 +405,36 @@ def read_rollup(spark, table_dir: str) -> DataFrame:
         F.min("min_value").alias("min_value"),
         F.max("max_value").alias("max_value"),
     )
+
+
+def windowed_distinct_users(
+    df,
+    width: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Exact distinct users per tumbling window: dedup on
+    (window, user) then a windowed count — on a stream this is the
+    dedup→window-agg chain of two stateful operators (append mode +
+    watermark required; both operators' state is watermark-bounded).
+    In batch the identical plan is a distinct + hash aggregate. At
+    100 TB the dedup state is one row per (window, active user) —
+    bounded by traffic in the watermark horizon, not history; the
+    cheaper-but-approximate twin is approx_count_distinct per window
+    (one stateful operator, HLL-sized state).
+    """
+    d = _maybe_watermark(df, ts_col, watermark)
+    win = F.window(ts_col, width)
+    dedup = d.select(win.alias("w"), F.col(user_col)).dropDuplicates(
+        ["w", user_col]
+    )
+    return (
+        dedup.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+        )
+    )

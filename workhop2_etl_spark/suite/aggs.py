@@ -915,3 +915,49 @@ def w5_gapfill_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# a14: equi-DEPTH histogram (decile buckets) — ntile over a total
+# order (value + unique keys as tiebreak, so bucket edges are
+# cross-engine deterministic), then per-bucket count/min/max. The
+# complement of a5's equi-width binning; the pair is what a query
+# planner needs for selectivity and what data profiling reports.
+#
+# Scale caveat (same pattern as a2's exact-vs-HLL note): a global
+# ntile is a single-task sort — exact and fine at oracle scale, NOT
+# the 100 TB plan. At scale this query ships as approx_percentile
+# boundaries (one distributed pass) + a bucket-assignment broadcast
+# join; bucket populations are then approximate within the sketch's
+# rank error, which is what profiling needs. The exact form stays
+# here because the oracle gate demands bit-equality.
+# ---------------------------------------------------------------------------
+@query(
+    "a14_equidepth_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT l_extendedprice AS v,
+             ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS bucket
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+           round(min(v), 2) AS lo, round(max(v), 2) AS hi
+    FROM t GROUP BY 1 ORDER BY 1
+    """,
+)
+def a14_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (
+        li.select(F.col("l_extendedprice").alias("v"), F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("v"), 2).alias("lo"),
+            F.round(F.max("v"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

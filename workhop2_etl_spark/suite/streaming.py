@@ -312,3 +312,25 @@ def st9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .orderBy("event_type", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# st10: exact distinct users per tumbling window — the dedup →
+# window-agg chain (two stateful operators on a stream; batch face
+# here, streaming run in tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+@query(
+    "st10_windowed_distinct_users",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+    )
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
+           count(DISTINCT user_id) AS n_users
+    FROM ev GROUP BY 1, 2 ORDER BY 1
+    """,
+)
+def st10_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return SW.windowed_distinct_users(ev, "1 hour").orderBy("window_start")
