@@ -363,3 +363,26 @@ def test_stream_windowed_distinct_users_chain(spark, events_path):
     brows = sorted(tuple(str(c) for c in r) for r in closed.collect())
     assert srows == brows
     assert len(srows) > 0  # non-vacuous: most windows did close
+
+
+def test_foreach_batch_upsert_on_file_uri(spark, events_path, tmp_path):
+    """stream_upsert_to_parquet's existence probe and tmp cleanup go
+    through the Hadoop FS API — prove it on an explicit file: URI."""
+    from pyspark.sql import functions as F
+
+    table = "file://" + str(tmp_path / "upsert_table")
+    SW.stream_upsert_to_parquet(
+        spark,
+        events_path,
+        table,
+        keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    src = spark.read.parquet(events_path)
+    got = spark.read.parquet(table)
+    assert got.count() == src.select("event_id").distinct().count()
+    # no stray tmp version dirs left behind
+    import os as _os
+
+    stray = [d for d in _os.listdir(str(tmp_path)) if ".epoch" in d]
+    assert stray == []

@@ -290,16 +290,17 @@ def stream_upsert_to_parquet(
     the last committed epoch — already-processed input contributes no
     new batches, which is what the exactly-once test asserts.
     """
-    import os
-
     from workhop2_etl_spark.operators.upsert import merge_upsert
+    from workhop2_etl_spark.sources import fs
 
     schema = spark.read.parquet(parquet_path).schema
 
     def apply_batch(batch_df, epoch_id: int) -> None:
         spark_l = batch_df.sparkSession
-        if os.path.isdir(table_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(table_dir)
+        # Hadoop-FS existence probe (sources/fs.py): the table can
+        # live on HDFS / S3A / local disk interchangeably.
+        if any(
+            n.endswith(".parquet") for n in fs.list_names(spark_l, table_dir)
         ):
             base = spark_l.read.parquet(table_dir)
             merged = merge_upsert(base, batch_df, keys)
@@ -311,9 +312,7 @@ def stream_upsert_to_parquet(
         tmp = table_dir + f".epoch{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
         spark_l.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        fs.delete(spark_l, tmp)
 
     q = (
         spark.readStream.schema(schema)
