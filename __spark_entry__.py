@@ -63,6 +63,7 @@ _PRIORITY = [
     "w5_gapfill_days",
     "a14_equidepth_deciles",
     "st10_windowed_distinct_users",
+    "x10_group_sample",
     # (b) kernel changed this round
     "e3_cohort_retention",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
@@ -81,7 +82,8 @@ _PRIORITY = [
     # u3_except shares union_ops/set-op kernels with u2 — one fresh
     # verdict covers the family; u3 keeps the local pytest gate
     "m1_image_meta",
-    "m2_meta_filter",
+    # m2 is m1's meta extraction + a filter — m1's fresh verdict
+    # covers the shared kernel; m2 keeps the local pytest gate
     "m3_resize_plumbing",
     "m4_frame_sample",
     "v1_topk_cosine_bruteforce",

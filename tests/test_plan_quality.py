@@ -293,3 +293,12 @@ def test_round5_analytics_query_plans(spark):
     g6 = plan_of(suite.QUERIES["g6_pagerank"](spark, SF_DIR))
     assert "CartesianProduct" not in g6 and "BroadcastNestedLoopJoin" not in g6
     assert "BatchEvalPython" not in g6
+
+
+def test_group_sample_two_level_topk_sharded(spark):
+    """x10: the heavy rank must run on (lang, shard) — the first
+    Window's exchange hash-partitions on BOTH keys; only the tiny
+    shard-winner re-rank partitions on lang alone."""
+    plan = plan_of(suite.QUERIES["x10_group_sample"](spark, SF_DIR))
+    m = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("lang" in g and "shard" in g for g in m), m

@@ -575,3 +575,57 @@ def x9_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("shuffle_key")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# x10: deterministic per-group sample — 3 docs per lang, "random" by
+# md5 order so the sample is stable across runs and engines. Scale
+# shape: two-LEVEL top-k. Level 1 ranks within (lang, shard) — the
+# heavy window runs on a high-cardinality key, one sorted stream per
+# shard (the x6 lesson); level 2 re-ranks only the ≤ k·shards shard
+# winners per lang — a trivially small window. Top-k is associative,
+# so the result equals a direct single-window rank (which is what the
+# oracle runs — DuckDB's single sort IS fine at oracle scale).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_K = 3
+_SAMPLE_SHARDS = 8
+
+
+@query(
+    "x10_group_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             md5('sample:' || CAST(doc_id AS VARCHAR)) AS ord_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, lang, ord_key,
+             row_number() OVER (PARTITION BY lang ORDER BY ord_key, doc_id)
+               AS rk
+      FROM keyed
+    )
+    SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+    FROM ranked WHERE rk <= {_SAMPLE_K}
+    ORDER BY lang, rk
+    """,
+)
+def x10_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ord_key = F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string")))
+    shard = F.pmod(F.xxhash64("doc_id"), F.lit(_SAMPLE_SHARDS))
+    keyed = docs.select(
+        "doc_id", "lang", ord_key.alias("ord_key"), shard.alias("shard")
+    )
+    w1 = Window.partitionBy("lang", "shard").orderBy("ord_key", "doc_id")
+    winners = keyed.withColumn("rk1", F.row_number().over(w1)).filter(
+        F.col("rk1") <= _SAMPLE_K
+    )
+    w2 = Window.partitionBy("lang").orderBy("ord_key", "doc_id")
+    return (
+        winners.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= _SAMPLE_K)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
