@@ -28,21 +28,24 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness pass covers exactly the first 50 registry
 # entries in insertion order, so ordering decides which queries get an
 # oracle verdict. Round-5 window (VERDICT r04 "Next round" #1):
-# (a) the 13 queries NEW this round (never driver-verified — always
-# first); (b) queries whose kernel moved this round (e3:
-# cohort_retention gained period validation + a month path); (c) all
-# 31 queries whose latest green is r02 (the stalest verdicts —
-# includes the t1–t7/x4/x5 tokenization family whose shared kernel
-# moved in round 4 via the corpus.py _NORM/_toks import unification,
-# and m1–m4 after the round-4 embed-stage edit to multimodal.py);
-# (d) remaining slots to r03 greens sitting on round-4-touched code —
-# x6 after the (lang, shard) window fix, then the dedup family after
-# lsh_bands was reused by dedup_stream (d2/d3 hit the banded kernel
-# directly; d4 simhash + d6 CC share the module; d1's digest kernel,
-# d5's verify pass and d7's composition are covered transitively by
-# those verdicts + the local pytest oracle gate). Everything outside
-# the window holds a hash-green r03/r04 verdict and still runs in
-# pytest + tools/verify_local.py.
+# (a) the 19 queries NEW this round (never driver-verified — always
+# first); (b) the one query whose kernel moved this round (e3:
+# cohort_retention gained period validation + a month path); (c) 29
+# of the 31 queries whose latest green is r02 — the stalest verdicts,
+# including the t1–t7/x4/x5 tokenization family whose shared kernel
+# moved in round 4 (corpus.py _NORM/_toks import unification) and the
+# m-family after the round-4 embed-stage edit to multimodal.py. Two
+# r02 entries defer to a same-kernel sibling's fresh verdict to fit
+# the 50-slot budget: u3_except (u2 re-verifies the set-op family)
+# and m2_meta_filter (m1 re-verifies the meta-extraction kernel);
+# (d) the last slot to x6_sequence_pack, whose (lang, shard) fix
+# landed in round 4 so its r03 green pre-dates the code under it.
+# NOT re-verified on purpose: d1–d7 (git log shows dedup_text.py last
+# changed IN round 3 — their r03 greens post-date the kernel) and
+# j1–j4 (joins.py unchanged since r03; round-4 bench gains came from
+# session/bench work). Everything outside the window holds a
+# hash-green r03/r04 verdict and still runs in pytest +
+# tools/verify_local.py.
 _PRIORITY = [
     # (a) never driver-verified (new this round)
     "e7_cohort_month",
