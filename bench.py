@@ -81,6 +81,10 @@ HEADLINE = [
     "e8_scd2_lookup",
     "w4_ohlc_resample",
     "a12_weighted_median",
+    # round-5b: chunk-level dup ratio (explode + digest join) and
+    # last-touch attribution (per-user carry-forward window)
+    "d8_chunk_dup_ratio",
+    "e9_attribution",
 ]
 
 

@@ -302,3 +302,52 @@ def test_group_sample_two_level_topk_sharded(spark):
     plan = plan_of(suite.QUERIES["x10_group_sample"](spark, SF_DIR))
     m = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("lang" in g and "shard" in g for g in m), m
+
+
+def test_salted_join_shuffles_on_salt_key(spark):
+    """k2 with broadcast disabled: the whole point of the salt is the
+    shuffle key — both exchanges must hash-partition on
+    (event_type, salt), never event_type alone."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(suite.QUERIES["k2_salted_skew_join"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    groups = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    join_keys = [g for g in groups if "event_type" in g and "__w2e_salt" in g]
+    assert len(join_keys) >= 2, groups
+
+
+def test_triangle_count_plan_all_equi_joins(spark):
+    """g7: wedge generation and closure are equi-joins on node/edge
+    keys — no cartesian, no nested loop, fully JVM-side."""
+    plan = plan_of(suite.QUERIES["g7_triangle_count"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_chunk_dup_plan_is_digest_join(spark):
+    """d8: chunking is the narrow explode(sequence) kernel; the only
+    joins are equi-joins on the chunk key (freq back-join) — never
+    doc × doc."""
+    plan = plan_of(suite.QUERIES["d8_chunk_dup_ratio"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rolling_window_queries_are_single_window_chains(spark):
+    """w6/dq2/e9: one per-key window + hash aggs, no joins, no
+    Python; e9's carry-forward window must key on user_id (high
+    cardinality), w6/dq2's on event_type."""
+    for name, key in (
+        ("w6_ewma", "event_type"),
+        ("dq2_rolling_outliers", "event_type"),
+        ("e9_attribution", "user_id"),
+    ):
+        plan = plan_of(suite.QUERIES[name](spark, SF_DIR))
+        assert "Join" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert "Window" in plan, name
+        groups = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        assert any(key in g for g in groups), (name, groups)

@@ -689,3 +689,78 @@ def test_observed_write_metrics_match_direct_agg(spark, tmp_path):
     assert got["max_ts"] == direct["max_ts"]
     # and the write itself is complete
     assert spark.read.parquet(out).count() == got["n_rows"]
+
+
+def test_salted_shuffle_join_matches_plain(spark):
+    """Value-invisibility of the salt+replicate rewrite, on a
+    deliberately skewed key: ~90% of fact rows share one key."""
+    from workhop2_etl_spark.operators.skew import salted_shuffle_join
+
+    fact = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot"))
+        .otherwise(F.concat(F.lit("k"), (F.col("id") % 7).cast("string")))
+        .alias("k"),
+        (F.col("id") * 3).alias("v"),
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.0), ("k0", 2.0), ("k3", 3.0)], ["k", "w"]
+    )
+    plain = fact.join(dim, "k").groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    )
+    salted = salted_shuffle_join(fact, dim, on=["k"], num_salts=4)
+    got = salted.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+    )
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in got.collect()}
+
+
+def test_salted_shuffle_join_left_keeps_misses_once(spark):
+    """'left' must not fan unmatched fact rows out across salts."""
+    import pytest as _pytest
+
+    from workhop2_etl_spark.operators.skew import salted_shuffle_join
+
+    fact = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("miss", 3)], ["k", "v"]
+    )
+    dim = spark.createDataFrame([("a", 10.0)], ["k", "w"])
+    out = salted_shuffle_join(fact, dim, on=["k"], num_salts=8, how="left").collect()
+    assert len(out) == 3
+    misses = [r for r in out if r["k"] == "miss"]
+    assert len(misses) == 1 and misses[0]["w"] is None
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_shuffle_join(fact, dim, on=["k"], how="right")
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles (every node in 3); pendant and isolated
+    edges contribute nothing; dirty input (self-loops, duplicate and
+    reversed edges) must not change counts."""
+    from workhop2_etl_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    dirty = (
+        k4
+        + [(b, a) for a, b in k4]      # reversed duplicates
+        + [(1, 1), (5, 5)]             # self-loops
+        + [(1, 7)]                     # pendant edge
+        + [(5, 6)]                     # isolated edge
+        + [(2, 3), (2, 3)]             # repeated edge
+    )
+    edges = spark.createDataFrame(dirty, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_count_star_plus_chord(spark):
+    """A hub-heavy graph (the 'last reducer' shape the degree
+    orientation exists for): hub 0 joined to 1..6, plus chord (1,2)
+    → exactly one triangle {0,1,2}."""
+    from workhop2_etl_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)] + [(1, 2)], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}

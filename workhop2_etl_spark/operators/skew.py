@@ -8,6 +8,12 @@ skew at runtime; these helpers cover the two shapes AQE can't fix:
   groupBy. Two-phase aggregation over a salted key spreads the hot
   group across ``num_salts`` reducers, then merges partials. Only
   algebraic aggregates (sum/count/min/max) decompose this way.
+* ``salted_shuffle_join`` — an equi-join whose key is skewed on the
+  FACT side while the other side is too large (or a planner refuses)
+  to broadcast. Salting the fact key and replicating the other
+  side's rows across the salt domain turns one hot shuffle partition
+  into ``num_salts`` even ones, at the cost of a bounded ×salts
+  blow-up of the smaller side.
 * ``salted_broadcast_join_fallback`` is intentionally absent: with a
   broadcastable side there is no shuffle to skew — broadcast IS the
   skew fix, and the engine's joins already broadcast bounded sides.
@@ -57,3 +63,40 @@ def salted_aggregate(
     return phase1.groupBy(*keys).agg(
         *[merge[how](f"__p_{name}").alias(name) for name, (how, _) in aggs.items()]
     )
+
+
+def salted_shuffle_join(
+    fact: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: salt the fact side, replicate the
+    other side across the salt domain.
+
+    The fact side gets a deterministic per-row salt (pmod of a row
+    hash — reproducible, no rand()); the other side is exploded once
+    per salt value, so every (key, salt) bucket can satisfy the join.
+    Joining on ``on + [salt]`` spreads a hot key's rows over
+    ``num_salts`` shuffle partitions instead of one reducer.
+
+    ``how`` ∈ {'inner', 'left'}: with 'left' the unmatched fact rows
+    survive exactly once (each fact row carries ONE salt, so no
+    fan-out of misses). Right/full would multiply unmatched `other`
+    rows by ``num_salts`` — refused.
+
+    At 100 TB this is the fallback when AQE's skew splitting can't
+    help (e.g. the skew is in the *map*-side key distribution of an
+    upstream stage, or the join is forced sort-merge by size); cost
+    is |other| × num_salts extra shuffle input, which is why the
+    replicated side should be the smaller relation.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_shuffle_join supports inner/left, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(num_salts))
+    f = fact.withColumn(_SALT, salt)
+    o = other.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return f.join(o, on=[*on, _SALT], how=how).drop(_SALT)

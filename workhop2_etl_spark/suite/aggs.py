@@ -961,3 +961,118 @@ def a14_equidepth_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# w6: bounded-memory EWMA over the per-type daily series. True EWMA is
+# a scan (recursive over all history) — not expressible as one window
+# aggregate and numerically explosive via the (1-a)^-k trick; the
+# production form at scale is the K-term truncated EWMA: weights
+# (1-a)^i over the last K observations, renormalized over the lags
+# that exist near the series head. K fixed => a single per-key window
+# whose frame is K rows — state bounded, one shuffle on event_type
+# (or (key, shard) for hot keys, as x6). Weight literals are
+# generated once in Python and shared verbatim with the oracle so
+# both engines fold the identical IEEE-754 constants.
+# ---------------------------------------------------------------------------
+
+_EWMA_K = 16
+_EWMA_W = [(1 - 0.3) ** i for i in range(_EWMA_K)]
+
+
+@query(
+    "w6_ewma",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             round(sum(value), 4) AS x
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, x AS daily_value,
+           round((1.0 * coalesce(lag(x, 0) OVER w, 0) + 0.7 * coalesce(lag(x, 1) OVER w, 0) + 0.48999999999999994 * coalesce(lag(x, 2) OVER w, 0) + 0.3429999999999999 * coalesce(lag(x, 3) OVER w, 0) + 0.24009999999999995 * coalesce(lag(x, 4) OVER w, 0) + 0.16806999999999994 * coalesce(lag(x, 5) OVER w, 0) + 0.11764899999999996 * coalesce(lag(x, 6) OVER w, 0) + 0.08235429999999996 * coalesce(lag(x, 7) OVER w, 0) + 0.05764800999999997 * coalesce(lag(x, 8) OVER w, 0) + 0.04035360699999998 * coalesce(lag(x, 9) OVER w, 0) + 0.028247524899999984 * coalesce(lag(x, 10) OVER w, 0) + 0.019773267429999988 * coalesce(lag(x, 11) OVER w, 0) + 0.01384128720099999 * coalesce(lag(x, 12) OVER w, 0) + 0.009688901040699992 * coalesce(lag(x, 13) OVER w, 0) + 0.006782230728489994 * coalesce(lag(x, 14) OVER w, 0) + 0.004747561509942996 * coalesce(lag(x, 15) OVER w, 0))
+                 / (1.0 * (CASE WHEN lag(x, 0) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.7 * (CASE WHEN lag(x, 1) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.48999999999999994 * (CASE WHEN lag(x, 2) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.3429999999999999 * (CASE WHEN lag(x, 3) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.24009999999999995 * (CASE WHEN lag(x, 4) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.16806999999999994 * (CASE WHEN lag(x, 5) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.11764899999999996 * (CASE WHEN lag(x, 6) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.08235429999999996 * (CASE WHEN lag(x, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.05764800999999997 * (CASE WHEN lag(x, 8) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.04035360699999998 * (CASE WHEN lag(x, 9) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.028247524899999984 * (CASE WHEN lag(x, 10) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.019773267429999988 * (CASE WHEN lag(x, 11) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.01384128720099999 * (CASE WHEN lag(x, 12) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.009688901040699992 * (CASE WHEN lag(x, 13) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.006782230728489994 * (CASE WHEN lag(x, 14) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.004747561509942996 * (CASE WHEN lag(x, 15) OVER w IS NOT NULL THEN 1 ELSE 0 END)), 4) AS ewma
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ORDER BY event_type, day
+    """,
+)
+def w6_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    num = sum(
+        (F.lit(wt) * F.coalesce(F.lag("x", i).over(w), F.lit(0.0)) for i, wt in enumerate(_EWMA_W)),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (F.lit(wt) * F.lag("x", i).over(w).isNotNull().cast("int") for i, wt in enumerate(_EWMA_W)),
+        start=F.lit(0.0),
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        F.col("x").alias("daily_value"),
+        F.round(num / den, 4).alias("ewma"),
+    ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# dq2: rolling z-score anomaly flag over the per-type daily series —
+# the monitoring sibling of dq1's static constraints. Each day's
+# total is scored against the mean/stddev of its own trailing 7-day
+# window (current day EXCLUDED, so an anomalous day can't mask
+# itself); days with fewer than 4 prior observations abstain (z
+# NULL). Same bounded-frame per-key window shape as w6: state is 7
+# rows per key, one shuffle on event_type.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dq2_rolling_outliers",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             round(sum(value), 4) AS x
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, x AS daily_value,
+           round(z, 3) AS z,
+           coalesce(abs(z) > 2.0, FALSE) AS is_outlier
+    FROM (
+      SELECT day, event_type, x,
+             CASE WHEN count(x) OVER w >= 4
+                  THEN (x - avg(x) OVER w) / nullif(stddev_samp(x) OVER w, 0)
+             END AS z
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    ORDER BY event_type, day
+    """,
+)
+def dq2_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("x"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    z = F.when(
+        F.count("x").over(w) >= 4,
+        (F.col("x") - F.avg("x").over(w))
+        / F.nullif(F.stddev_samp("x").over(w), F.lit(0.0)),
+    )
+    return daily.select(
+        "day",
+        "event_type",
+        F.col("x").alias("daily_value"),
+        F.round(z, 3).alias("z"),
+        F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_outlier"),
+    ).orderBy("event_type", "day")

@@ -229,3 +229,78 @@ def t10_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# d8: chunk-level exact-duplicate ratio — the RefinedWeb/C4-style
+# "repeated span" signal at sub-document granularity: split each doc
+# into disjoint 8-token chunks, count each chunk's corpus-wide
+# frequency (multiplicity included, so a span repeated inside ONE doc
+# also scores), and report per-doc how much of the text is made of
+# spans seen elsewhere. Scale shape: chunking is the x7 narrow
+# explode(sequence) kernel (shuffle-free); the only shuffles are the
+# partial-agg-bounded count on the 16-byte chunk digest and the
+# equi-join of chunks back to frequencies — never doc × doc.
+# ---------------------------------------------------------------------------
+
+_DUP_CHUNK = 8
+
+
+@query(
+    "d8_chunk_dup_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t,
+             len(string_split({_NORM}, ' ')) AS n
+      FROM documents WHERE {_NORM} <> ''
+    ), chunks AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(t, (i - 1) * {_DUP_CHUNK} + 1, i * {_DUP_CHUNK}),
+               ' ') AS chunk_text
+      FROM toks, LATERAL unnest(generate_series(1, n // {_DUP_CHUNK})) g(i)
+      WHERE n >= {_DUP_CHUNK}
+    ), freq AS (
+      SELECT chunk_text, count(*) AS f FROM chunks GROUP BY 1
+    )
+    SELECT c.doc_id,
+           count(*) AS n_chunks,
+           CAST(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+           round(sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+             AS dup_ratio
+    FROM chunks c JOIN freq f USING (chunk_text)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def d8_chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", _toks().alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= _DUP_CHUNK)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.expr(f"CAST(n div {_DUP_CHUNK} AS INT)"))
+        ).alias("i"),
+        "t",
+    ).select(
+        "doc_id",
+        F.array_join(
+            F.slice("t", (F.col("i") - 1) * _DUP_CHUNK + 1, _DUP_CHUNK), " "
+        ).alias("chunk_text"),
+    )
+    freq = chunks.groupBy("chunk_text").agg(F.count(F.lit(1)).alias("f"))
+    return (
+        chunks.join(freq, "chunk_text")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("f") > 1).cast("bigint")).alias("dup_chunks"),
+            F.round(
+                F.sum((F.col("f") > 1).cast("bigint")) / F.count(F.lit(1)), 4
+            ).alias("dup_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -450,3 +450,55 @@ def e8_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "ts", "state", "valid_from")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e9: last-touch attribution — every purchase is credited to the
+# user's most recent preceding non-purchase event (its "channel");
+# purchases with no prior touchpoint credit 'direct'. One per-user
+# window (carry-forward via last(..., ignorenulls) over a preceding
+# frame) + one hash agg — the same scale shape as sessionize: window
+# state is one user's history, parallelism scales with users.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e9_attribution",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+      FROM events)
+    SELECT coalesce(ch, 'direct') AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 4) AS attributed_value
+    FROM t WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def e9_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("ch", touch)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("ch", F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

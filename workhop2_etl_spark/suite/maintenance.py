@@ -261,3 +261,120 @@ def g6_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.round("rank", 6))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# k2: salted shuffle join ≡ the plain equi-join it protects. The fact
+# (events) joins its own per-type stats on event_type — 5 values over
+# ~10k rows, the textbook hot-key shuffle: unsalted, every reducer
+# handles one type; salted, each type spreads over 8 (key, salt)
+# buckets. The oracle is the unsalted join, so the verdict proves the
+# salt+replicate rewrite is value-invisible.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k2_salted_skew_join",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, avg(value) AS ty_avg FROM events GROUP BY 1)
+    SELECT e.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN e.value > s.ty_avg THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_avg
+    FROM events e JOIN stats s USING (event_type)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def k2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.skew import salted_shuffle_join
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(F.avg("value").alias("ty_avg"))
+    joined = salted_shuffle_join(
+        ev.select("event_type", "value"), stats, on=["event_type"], num_salts=8
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") > F.col("ty_avg")).cast("bigint")).alias(
+                "n_above_avg"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g7: per-node triangle counts (operators/graph.py::triangle_count)
+# over the SPARSIFIED nation trade graph — each customer nation keeps
+# its top-3 supplier nations by link count (ties → lower nation id),
+# then edges are undirected. Sparsification makes the triangle
+# structure non-trivial (the raw trade graph is near-complete) and is
+# itself a standard argmax-top-k shape. The operator runs the
+# degree-oriented wedge algorithm; the oracle counts the same
+# triangles from the id-oriented edge list — orientation invariance
+# makes the two comparable value-for-value.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g7_triangle_count",
+    oracle="""
+    WITH links AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS n
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ), picked AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY n DESC, dst ASC)
+                 AS rk
+        FROM links) WHERE rk <= 3
+    ), e AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM picked
+    ), tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+      JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y FROM tri
+          UNION ALL SELECT z FROM tri)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def g7_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from workhop2_etl_spark.operators.graph import triangle_count
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    links = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("n"), F.asc("dst"))
+    picked = (
+        links.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst")
+    )
+    return triangle_count(picked).orderBy("node")
