@@ -96,12 +96,13 @@ def bench_reference_pipeline(spark) -> dict[str, float]:
     the full lazy plan — clean → impute join → fuzzy two-pass match →
     finalize — through collect.
 
-    Each mode is collected TWICE and the second (warm) time is
-    recorded: a single cold collect after 35+ other queries mixes JVM
-    churn (GC pressure, code-cache state) into the number — r04
-    measured the same plan at 16.4s cold vs ~5.5s warm, a 3×
-    self-disagreement that hid regression signal. Warm-vs-warm is the
-    comparable series; both §3.2 modes ('spec' and the
+    Each mode is collected THREE times and the BEST time is recorded:
+    a single cold collect after 35+ other queries mixes JVM churn (GC
+    pressure, code-cache state) into the number — r04 measured the
+    same plan at 16.4s cold vs ~5.5s warm, a 3× self-disagreement
+    that hid regression signal, and even warm runs show 2× spread
+    across sessions (lazy localCheckpoint materialization races GC).
+    Best-of-3 is the stable series; both §3.2 modes ('spec' and the
     reference-strict replay) are reported."""
     import tempfile
 
@@ -129,11 +130,11 @@ def bench_reference_pipeline(spark) -> dict[str, float]:
             ("pipeline_grammy_spotify", "spec"),
             ("pipeline_strict_mode", "strict"),
         ):
-            best = None
-            for _ in range(2):
+            best = float("inf")
+            for _ in range(3):
                 t0 = time.time()
                 rows = P.run_pipeline(g, s, mode=mode).collect()
-                best = round(time.time() - t0, 3)
+                best = min(best, round(time.time() - t0, 3))
                 assert rows
             out[label] = best
     return out
