@@ -114,6 +114,40 @@ def read_jdbc(
     return reader.load()
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = True,
+) -> DataFrame:
+    """Raw-file ingestion for multimodal corpora — Spark's
+    ``binaryFile`` source: one row per file with columns
+    (path, modificationTime, length, content: binary).
+
+    This is the step BEFORE the m1–m4 multimodal operators: image /
+    audio / video shards on disk or object store become the opaque
+    binary column those stages decode. ``glob`` filters by filename
+    pattern at listing time (``*.jpg``) so non-matching files are
+    never opened.
+
+    Scale: Spark packs many small files into each task up to
+    ``spark.sql.files.maxPartitionBytes``, but at 100 TB the listing
+    itself is the bottleneck for millions of loose files — ingest once
+    via this reader, then persist as parquet (payload + metadata
+    columns) so every later pass gets footers, pruning, and sane
+    partition sizes. Metadata-only queries should select
+    (path, length) WITHOUT ``content`` — the column is only read when
+    projected.
+    """
+    require_exists(path)
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
 def require_exists(path: str) -> None:
     """S3 — explicit pre-check with a clean error (reference:
     dags/etl_grammy_spotify.py:40-41) instead of a deep
