@@ -52,6 +52,18 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """Cosine from PRECOMPUTED per-row norms — bitwise identical to
+    ``cosine`` (the norm is the same sequential fold either way, so
+    the same double reaches the same division), but each row's norm
+    is computed once instead of once per candidate pair. In a top-k
+    search the corpus row appears in |Q| pairs and the query row in
+    ~n/buckets pairs — inlined norms triple the array work of every
+    pair; precomputed, scoring is the dot product alone."""
+    denom = na * nb
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def topk_cosine_bruteforce(
     corpus: DataFrame,
     queries: DataFrame,
@@ -69,14 +81,21 @@ def topk_cosine_bruteforce(
     """
     q = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec"))
+        .withColumn("__qn", l2_norm(F.col("__qvec")))
     )
-    scored = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")).join(
-        q, F.col("query_id") != F.col("neighbor_id")
-    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).withColumn("__cn", l2_norm(F.col("__cvec")))
+    scored = c.join(q, F.col("query_id") != F.col("neighbor_id"))
     scored = scored.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+            ),
+            round_digits,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -176,27 +195,35 @@ def ivf_assign(
         raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
     spark = df.sparkSession
     rows = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
-    cdf = spark.createDataFrame(rows, "cid int, cv array<double>")
-    one = cdf.agg(
-        F.sort_array(F.collect_list(F.struct("cid", "cv"))).alias("__cents")
+    # centroid norms fold INSIDE the relation (not driver-side
+    # Python) so they are the exact doubles the inline fold produced
+    cdf = spark.createDataFrame(rows, "cid int, cv array<double>").withColumn(
+        "cn", l2_norm(F.col("cv"))
     )
-    # min over (-score, cid): highest cosine, then smallest id.
+    one = cdf.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv", "cn"))).alias("__cents")
+    )
+    # min over (-score, cid): highest cosine, then smallest id. The
+    # row's own norm is computed once, not once per centroid entry.
+    rown = l2_norm(F.col(vec_col))
     entries = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
-            (-cosine(F.col(vec_col), c["cv"])).alias("neg"), c["cid"].alias("cid")
+            (-cosine_with_norms(F.col(vec_col), c["cv"], F.col("__rown"), c["cn"])).alias(
+                "neg"
+            ),
+            c["cid"].alias("cid"),
         ),
     )
+    staged = df.crossJoin(F.broadcast(one)).withColumn("__rown", rown)
     if nprobe == 1:
         best = F.array_min(entries)
-        return (
-            df.crossJoin(F.broadcast(one))
-            .select(F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id"))
+        return staged.select(
+            F.col(id_col), F.col(vec_col), best["cid"].alias("centroid_id")
         )
     probes = F.slice(F.array_sort(entries), 1, nprobe)
     return (
-        df.crossJoin(F.broadcast(one))
-        .select(F.col(id_col), F.col(vec_col), F.explode(probes).alias("__p"))
+        staged.select(F.col(id_col), F.col(vec_col), F.explode(probes).alias("__p"))
         .select(F.col(id_col), F.col(vec_col), F.col("__p.cid").alias("centroid_id"))
     )
 
@@ -228,20 +255,25 @@ def topk_cosine_ivf(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.col("centroid_id"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cvec")))
     q = F.broadcast(
         ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
             F.col("centroid_id"),
-        )
+        ).withColumn("__qn", l2_norm(F.col("__qvec")))
     )
     scored = c.join(q, ["centroid_id"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+            ),
+            round_digits,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -297,13 +329,15 @@ def topk_cosine_lsh(
         num_planes,
         out_col="__sig0",
     )
+    c = c.withColumn("__cn", l2_norm(F.col("__cvec")))
+    q = q.withColumn("__qn", l2_norm(F.col("__qvec")))
     if hamming_probe == 1:
         probes = F.array(
             F.col("__sig0"),
             *[F.col("__sig0").bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)],
         )
         q = q.select(
-            "query_id", "__qvec", F.explode(probes).alias("__qsig")
+            "query_id", "__qvec", "__qn", F.explode(probes).alias("__qsig")
         )
     else:
         q = q.withColumnRenamed("__sig0", "__qsig")
@@ -313,7 +347,12 @@ def topk_cosine_lsh(
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits).alias("score"),
+        F.round(
+            cosine_with_norms(
+                F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+            ),
+            round_digits,
+        ).alias("score"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
