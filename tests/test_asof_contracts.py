@@ -57,6 +57,26 @@ def test_asof_null_left_time_survives_with_null_payload(spark):
     assert len(rows) == 1 and rows[0].tag is None
 
 
+def test_asof_forward_null_left_time_gets_null_payload(spark):
+    """Regression: forward direction sorted plain desc (nulls LAST),
+    so a NULL-time left row landed after every right row and carried
+    the earliest right payload — a fabricated match. Must be NULL,
+    and real forward matches must be unaffected."""
+    left = spark.createDataFrame(
+        [(1, _ts(6)), (2, None)], "id long, t timestamp"
+    ).withColumn("k", F.lit(1))
+    right = spark.createDataFrame(
+        [(1, _ts(7), "seven"), (1, _ts(9), "nine")], "k long, t timestamp, tag string"
+    )
+    out = asof_join(
+        left.select("id", "k", "t"), right, left_key="k", right_key="k",
+        left_time="t", right_time="t", payload=["tag"], direction="forward",
+    )
+    rows = {r.id: r.tag for r in out.collect()}
+    assert rows[1] == "seven"  # earliest right row >= 06:00
+    assert rows[2] is None  # NULL left time: no match, not 'nine'
+
+
 def test_range_join_small_bucket_matches_naive_join(spark):
     """bucket < span used to silently drop matches; the replication
     count is now derived from the spans, so any bucket is correct."""

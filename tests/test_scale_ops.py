@@ -119,6 +119,28 @@ def test_merge_upsert_updates_and_inserts(spark):
         }, (fn.__name__, got)
 
 
+def test_apply_changes_unknown_op_fails_loudly(spark):
+    """merge_apply_changes must raise on op codes outside {'u','d'}
+    (including NULL): the anti join deletes the base row for every
+    change key, so a silently-ignored op ('U', 'c') would become a
+    data-losing delete."""
+    import pytest as _pytest
+
+    from workhop2_etl_spark.operators.upsert import merge_apply_changes
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, name string")
+    ok = spark.createDataFrame([(1, "a2", "u"), (2, "b", "d")], "k int, name string, op string")
+    got = {tuple(r) for r in merge_apply_changes(base, ok, ["k"]).collect()}
+    assert got == {(1, "a2")}
+
+    for bad_op in ("U", "c", None):
+        bad = spark.createDataFrame(
+            [(1, "a2", bad_op)], "k int, name string, op string"
+        )
+        with _pytest.raises(Exception, match="unknown op"):
+            merge_apply_changes(base, bad, ["k"]).collect()
+
+
 def test_connected_components_basic(spark):
     """Two chains and a singleton-free triangle; component = min id,
     transitively closed even for pairs never emitted directly."""

@@ -86,9 +86,14 @@ def asof_join(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     else:
+        # desc_nulls_first, NOT desc: plain desc puts NULLs last, so a
+        # left row with NULL time would sort after every right row and
+        # carry the earliest right payload — a fabricated match. With
+        # nulls first it precedes all right rows and carries NULL,
+        # mirroring the backward direction (asc = nulls first).
         w = (
             Window.partitionBy("__k")
-            .orderBy(F.desc("__t"), F.asc("__is_left"))
+            .orderBy(F.desc_nulls_first("__t"), F.asc("__is_left"))
             .rowsBetween(Window.unboundedPreceding, 0)
         )
     carried = unioned.withColumn("__match", F.last("__payload", ignorenulls=True).over(w))

@@ -150,6 +150,21 @@ def _scan_generations(
     return k, epochs
 
 
+def sweep_stale_generations(
+    spark: SparkSession, table_dir: str, best_k: int
+) -> None:
+    """Delete dirs a crash or late replay left superseded below the
+    published ``base=<best_k>``: epochs ≤ best_k and older bases.
+    Readers already ignore them by the generation rule; this reclaims
+    the storage. Shared by both compaction protocols (rollup and
+    dedup-index) so the layout convention lives in one place."""
+    for n in fs.list_child_dirs(spark, table_dir):
+        if n.startswith("epoch=") and int(n.split("=", 1)[1]) <= best_k:
+            fs.delete(spark, fs.join(table_dir, n))
+        if n.startswith("base=") and int(n.split("=", 1)[1]) < best_k:
+            fs.delete(spark, fs.join(table_dir, n))
+
+
 def rollup_part_dirs(spark: SparkSession, table_dir: str) -> list[str]:
     """Directories a reader must combine: the newest base generation
     (if any) plus every live epoch above it — the reader half of the
@@ -172,13 +187,7 @@ def compact_rollup_epochs(spark: SparkSession, table_dir: str) -> int:
     the module docstring for the crash/replay analysis. Returns the
     number of epoch dirs folded (0 = nothing to do)."""
     def sweep_stale(best_k: int) -> None:
-        # dirs a crash or late replay left below the published base:
-        # readers already ignore them; reclaim the storage.
-        for n in fs.list_child_dirs(spark, table_dir):
-            if n.startswith("epoch=") and int(n.split("=", 1)[1]) <= best_k:
-                fs.delete(spark, fs.join(table_dir, n))
-            if n.startswith("base=") and int(n.split("=", 1)[1]) < best_k:
-                fs.delete(spark, fs.join(table_dir, n))
+        sweep_stale_generations(spark, table_dir, best_k)
 
     k, epochs = _scan_generations(spark, table_dir)
     foldable = epochs[:-1]  # keep the top epoch live
@@ -196,8 +205,12 @@ def compact_rollup_epochs(spark: SparkSession, table_dir: str) -> int:
     tmp = fs.join(table_dir, "_compact_tmp")
     combined.write.mode("overwrite").parquet(tmp)
     # Publish first (rename), delete superseded inputs after — every
-    # intermediate state reads correctly under the base=<k> rule.
-    fs.rename(spark, tmp, fs.join(table_dir, f"base={new_k}"))
+    # intermediate state reads correctly under the base=<k> rule. The
+    # rename must succeed before any input is deleted: Hadoop rename
+    # reports failure by returning false, and deleting the inputs
+    # after a failed publish would strand the fold in _compact_tmp
+    # (underscore-prefixed — invisible to every reader).
+    fs.rename_or_raise(spark, tmp, fs.join(table_dir, f"base={new_k}"))
     for d in in_dirs:
         fs.delete(spark, d)
     sweep_stale(new_k)

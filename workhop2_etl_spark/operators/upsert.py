@@ -56,9 +56,24 @@ def merge_apply_changes(
     Same shuffle shape as merge_upsert: one broadcast anti join on
     the change keys (touched rows leave the base) plus a union of the
     surviving upserts — deletes cost nothing beyond the anti join.
+
+    Unknown op codes FAIL the job (execution-time raise_error inside
+    the plan — no extra validation pass): the anti join removes the
+    base row for every change key, so silently ignoring an
+    unrecognized op (an uppercase 'U', a Debezium 'c') would turn it
+    into a delete and lose the feed's data without a sound.
     """
     if not keys:
         raise ValueError("merge_apply_changes requires at least one key column")
+    checked_op = F.when(F.col(op_col).isin("u", "d"), F.col(op_col)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("merge_apply_changes: unknown op (expected 'u'/'d'): "),
+                F.coalesce(F.col(op_col), F.lit("NULL")),
+            )
+        )
+    )
+    changes = changes.withColumn(op_col, checked_op)
     cond = [base[k] == changes[k] for k in keys]
     kept = base.join(F.broadcast(changes.select(*keys)), cond, "left_anti")
     upserts = changes.filter(F.col(op_col) == "u").drop(op_col)

@@ -76,6 +76,17 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     return bool(fs.rename(s, d))
 
 
+def rename_or_raise(spark: SparkSession, src: str, dst: str) -> None:
+    """Publish-by-rename that FAILS LOUDLY: Hadoop's
+    ``FileSystem.rename`` signals most failures (dst exists, src
+    missing, object-store copy error) by returning false, not by
+    throwing. A publish step that ignores that false and proceeds to
+    delete its inputs destroys the only copy of the data — so
+    commit-path renames must go through this wrapper."""
+    if not rename(spark, src, dst):
+        raise IOError(f"rename failed (publish aborted): {src} -> {dst}")
+
+
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     fs, p = _fs_and_path(spark, path)
     if not fs.exists(p):

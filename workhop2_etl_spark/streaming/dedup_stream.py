@@ -35,6 +35,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from workhop2_etl_spark.operators.dedup_text import lsh_bands, minhash_signatures
+from workhop2_etl_spark.operators.incremental import (
+    _scan_generations,
+    sweep_stale_generations,
+)
 from workhop2_etl_spark.sources import fs
 
 
@@ -183,11 +187,7 @@ def stream_neardup_ingest(
         # k is always < the replaying epoch — only epochs strictly
         # below the latest committed batch are ever folded) plus the
         # live epochs in (k, epoch_id).
-        names = fs.list_child_dirs(spark_l, index_dir)
-        bases = sorted(
-            int(n.split("=", 1)[1]) for n in names if n.startswith("base=")
-        )
-        k = bases[-1] if bases else -1
+        k, epochs = _scan_generations(spark_l, index_dir)
         if k >= epoch_id:
             raise RuntimeError(
                 f"index base generation {k} >= replaying epoch {epoch_id}: "
@@ -195,12 +195,7 @@ def stream_neardup_ingest(
                 "offset — restore the checkpoint or rebuild the index"
             )
         prior = [f"base={k}"] if k >= 0 else []
-        prior += [
-            n
-            for n in names
-            if n.startswith("epoch=")
-            and k < int(n.split("=", 1)[1]) < epoch_id
-        ]
+        prior += [f"epoch={e}" for e in epochs if e < epoch_id]
         if prior:
             index = spark_l.read.parquet(
                 *[fs.join(index_dir, d) for d in prior]
@@ -248,18 +243,13 @@ def compact_index_epochs(spark, index_dir: str) -> int:
     and a replay of the live top epoch (the only epoch foreachBatch
     can replay) never overlaps the base. Returns the number of epoch
     dirs folded."""
-    names = fs.list_child_dirs(spark, index_dir)
-    bases = sorted(int(n.split("=", 1)[1]) for n in names if n.startswith("base="))
-    k = bases[-1] if bases else -1
-    epochs = sorted(
-        e
-        for n in names
-        if n.startswith("epoch=")
-        for e in [int(n.split("=", 1)[1])]
-        if e > k
-    )
+    k, epochs = _scan_generations(spark, index_dir)
     foldable = epochs[:-1]
     if not foldable:
+        # finish the deletes a crash between publish and sweep left
+        # behind (same no-op-path contract as compact_rollup_epochs)
+        if k >= 0:
+            sweep_stale_generations(spark, index_dir, k)
         return 0
     in_dirs = ([fs.join(index_dir, f"base={k}")] if k >= 0 else []) + [
         fs.join(index_dir, f"epoch={e}") for e in foldable
@@ -267,12 +257,11 @@ def compact_index_epochs(spark, index_dir: str) -> int:
     new_k = foldable[-1]
     tmp = fs.join(index_dir, "_compact_tmp")
     spark.read.parquet(*in_dirs).write.mode("overwrite").parquet(tmp)
-    fs.rename(spark, tmp, fs.join(index_dir, f"base={new_k}"))
+    # publish must succeed before any input dies — a false return from
+    # Hadoop rename with the deletes still running would strand the
+    # fold in _compact_tmp (invisible to readers)
+    fs.rename_or_raise(spark, tmp, fs.join(index_dir, f"base={new_k}"))
     for d in in_dirs:
         fs.delete(spark, d)
-    for n in fs.list_child_dirs(spark, index_dir):
-        if n.startswith("epoch=") and int(n.split("=", 1)[1]) <= new_k:
-            fs.delete(spark, fs.join(index_dir, n))
-        if n.startswith("base=") and int(n.split("=", 1)[1]) < new_k:
-            fs.delete(spark, fs.join(index_dir, n))
+    sweep_stale_generations(spark, index_dir, new_k)
     return len(foldable)

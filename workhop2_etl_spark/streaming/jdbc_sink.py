@@ -44,11 +44,33 @@ def _exec(conn, sql: str) -> None:
 
 
 def _table_exists(conn, table: str) -> bool:
-    rs = conn.getMetaData().getTables(None, None, table.upper(), None)
+    """Existence probe that respects the database's identifier
+    folding: Derby/Oracle store unquoted names upper-cased,
+    PostgreSQL lower-cased, MySQL as-given — probing only one folding
+    would re-CREATE (and crash on) an existing table elsewhere."""
+    meta = conn.getMetaData()
+    if meta.storesUpperCaseIdentifiers():
+        name = table.upper()
+    elif meta.storesLowerCaseIdentifiers():
+        name = table.lower()
+    else:
+        name = table
+    rs = meta.getTables(None, None, name, None)
     try:
         return bool(rs.next())
     finally:
         rs.close()
+
+
+def _connect(spark, url: str, jdbc_options: dict):
+    """Driver-side control connection with the SAME credentials the
+    distributed staging write uses (Spark-style ``user``/``password``
+    options; any other option keys are writer-only)."""
+    props = spark._jvm.java.util.Properties()
+    for k in ("user", "password"):
+        if k in jdbc_options:
+            props.setProperty(k, str(jdbc_options[k]))
+    return spark._jvm.java.sql.DriverManager.getConnection(url, props)
 
 
 def _q(col: str) -> str:
@@ -73,7 +95,7 @@ def jdbc_upsert_batch(
     """
     spark = batch_df.sparkSession
     staging, ledger = f"{table}_STAGE", f"{table}_EPOCHS"
-    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    conn = _connect(spark, url, jdbc_options)
     try:
         # --- bookkeeping DDL (idempotent, autocommitted) ---
         if not _table_exists(conn, ledger):

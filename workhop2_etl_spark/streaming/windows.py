@@ -395,15 +395,12 @@ def read_rollup(spark, table_dir: str) -> DataFrame:
     stream_rollup_to_parquet. Reads the newest ``base=<k>``
     generation plus every ``epoch>k`` dir (the compaction protocol's
     reader rule), so replayed folded epochs are ignored."""
-    from workhop2_etl_spark.operators.incremental import _KEYS, rollup_part_dirs
-
-    parts = spark.read.parquet(*rollup_part_dirs(spark, table_dir))
-    return parts.groupBy(*_KEYS).agg(
-        F.sum("n").alias("n"),
-        F.sum("sum_value").alias("sum_value"),
-        F.min("min_value").alias("min_value"),
-        F.max("max_value").alias("max_value"),
+    from workhop2_etl_spark.operators.incremental import (
+        _combine_parts,
+        rollup_part_dirs,
     )
+
+    return _combine_parts(spark.read.parquet(*rollup_part_dirs(spark, table_dir)))
 
 
 def windowed_distinct_users(
