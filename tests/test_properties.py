@@ -118,6 +118,20 @@ def test_dedupe_exact_row_math(spark):
     assert dedupe_exact(kept).count() == n_fp
 
 
+def test_dedupe_exact_null_text_all_survive(spark):
+    """NULL-text docs (failed extractions) must ALL survive dedup and
+    never appear as a dup group — unknown content is not evidence of
+    identical content."""
+    from workhop2_etl_spark.operators.dedup_text import exact_dup_groups
+
+    rows = [(1, "same"), (2, "same"), (3, None), (4, None), (5, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept = {r.doc_id for r in dedupe_exact(df).collect()}
+    assert kept == {1, 3, 4, 5}
+    groups = exact_dup_groups(df).collect()
+    assert len(groups) == 1 and set(groups[0].doc_ids) == {1, 2}
+
+
 def test_asof_join_invariants(spark):
     """asof_join row-count and correctness invariants on generated
     event sets: output rows == left rows exactly (no fan-out, no

@@ -247,6 +247,42 @@ def test_violation_rows_quarantine(spark):
     assert got == {(2, "price_positive"), (3, "status_domain"), (4, "price_positive")}
 
 
+def test_check_constraints_odd_rule_names_and_empty(spark):
+    """Rule names are data, not identifiers: spaces, quotes, and
+    dashes must work (the old stack()-string formulation parsed them
+    as SQL); an empty rule dict yields an empty result, not a parse
+    error."""
+    from workhop2_etl_spark.operators import quality as Q
+
+    df = spark.createDataFrame([(1, 10.0), (2, -5.0)], "id int, price double")
+    rules = {
+        "price in range": Q.in_range("price", 0, 100),
+        "it's-positive": F.col("price") > 0,
+    }
+    got = {r.rule: (r.n_rows, r.n_violations, r["pass"]) for r in
+           Q.check_constraints(df, rules).collect()}
+    assert got == {
+        "price in range": (2, 1, False),
+        "it's-positive": (2, 1, False),
+    }
+    empty = Q.check_constraints(df, {})
+    assert empty.collect() == []
+    assert empty.columns == ["rule", "n_rows", "n_violations", "pass"]
+
+
+def test_zorder_key_width_guard(spark):
+    """bits*len(cols) > 63 must raise: the JVM masks shift counts to
+    6 bits, so a wider key silently wraps and scrambles clustering."""
+    import pytest as _pytest
+
+    from workhop2_etl_spark.sources.zorder import zorder_key
+
+    cols = [F.col(f"c{i}") for i in range(9)]
+    with _pytest.raises(ValueError, match="<= 63"):
+        zorder_key(cols, bits=8)
+    zorder_key(cols, bits=7)  # 63 bits: fine
+
+
 def test_parquet_schema_evolution_merge(spark):
     """mergeSchema scan: batches written with diverging columns read
     back as one unified schema, missing columns NULL-filled — the
@@ -410,7 +446,7 @@ def test_compact_parquet_fixes_small_files(spark):
     assert n_src_files == 64
 
     n = compact_parquet(spark, src, dst, target_mb=1, sort_by=["o_orderkey"])
-    assert n == plan_file_count(src, 1)
+    assert n == plan_file_count(spark, src, 1)
     out_files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
     assert len(out_files) == n < n_src_files
 

@@ -146,9 +146,15 @@ def range_join(
     lower: str,
     upper: str,
     bucket: str,
+    right_suffix: str = "_r",
 ) -> DataFrame:
     """Inner join of left×right where ``right_time`` ∈
     [left_time - lower, left_time + upper] and the keys match.
+
+    Output carries every column of both sides; right columns whose
+    name collides with a left column get ``right_suffix`` appended
+    (pandas-merge convention), so the result is always selectable by
+    name — same-named keys and time columns are the common case.
 
     ``lower``/``upper``/``bucket`` are interval strings ('7 days').
     The replication count is computed from the actual spans —
@@ -198,7 +204,11 @@ def range_join(
     # each left row carries exactly one bucket, so a (left, right)
     # pair can match on at most one replica — no dedup needed.
     joined = l_side.alias("__l").join(r_side.alias("__r"), cond, "inner")
+    taken = set(left.columns)
     return joined.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
-        *[F.col(f"__r.{c}").alias(c) for c in right.columns],
+        *[
+            F.col(f"__r.{c}").alias(c + right_suffix if c in taken else c)
+            for c in right.columns
+        ],
     )

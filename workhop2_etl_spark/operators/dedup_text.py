@@ -67,9 +67,15 @@ def word_shingles(c: Column, n: int = 3) -> Column:
 def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (post-normalization) documents:
     fingerprint → groupBy → keep groups of ≥2. Returns
-    (fingerprint, n_docs, doc_ids sorted)."""
+    (fingerprint, n_docs, doc_ids sorted).
+
+    NULL-text documents are excluded: their fingerprint is NULL, and
+    unknown content is not evidence of identical content (grouping
+    them would report every failed extraction as one giant dup
+    group)."""
     return (
         df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -82,12 +88,18 @@ def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 def dedupe_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per identical-content group —
     the canonical first stage of a corpus dedup. Window-free: argmin
-    via groupBy on the fingerprint, then semi-join."""
+    via groupBy on the fingerprint, then semi-join.
+
+    NULL-text rows all survive: their fingerprint is NULL, and
+    deduping on "content unknown" would silently delete every failed
+    extraction but one. Route them to a quality gate instead."""
+    tagged = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
     keep = (
-        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("__fp"))
+        tagged.filter(F.col("__fp").isNotNull())
         .groupBy("__fp")
         .agg(F.min(id_col).alias(id_col))
         .select(id_col)
+        .unionByName(tagged.filter(F.col("__fp").isNull()).select(id_col))
     )
     return df.join(keep, id_col, "left_semi")
 

@@ -65,6 +65,8 @@ def funnel_counts(
     no windows, no collect; each stage's cardinality is ≤ distinct
     users, so the join inputs only shrink down the funnel.
     """
+    if not steps:
+        raise ValueError("funnel_counts requires at least one step")
     reached: DataFrame | None = None
     rows: list[DataFrame] = []
     for i, step in enumerate(steps):
@@ -200,6 +202,8 @@ def funnel_stage_times(
     step 1, with ``ts_i`` = earliest qualifying step-i event (NULL
     once the funnel is abandoned). Same shrinking agg→join chain as
     funnel_counts, keyed on the user id throughout."""
+    if not steps:
+        raise ValueError("funnel_stage_times requires at least one step")
     out: DataFrame | None = None
     prev: DataFrame | None = None
     for i, step in enumerate(steps):

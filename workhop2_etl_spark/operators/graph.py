@@ -135,6 +135,9 @@ def pagerank(
         .localCheckpoint()
     )
     n_nodes = nodes.count()  # bounded driver action: one scalar
+    if n_nodes == 0:
+        # empty graph → empty (node, rank), like connected_components
+        return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for i in range(iters):

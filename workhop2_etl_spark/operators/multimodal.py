@@ -216,6 +216,9 @@ def embed_images(df: DataFrame, id_col: str = "doc_id", dim: int = 16) -> DataFr
         for pdf in batches:
             vecs = []
             for payload in pdf["payload"]:
+                if payload is None:  # same None contract as the other kernels
+                    vecs.append(None)
+                    continue
                 h = hashlib.md5(bytes(payload)).digest()
                 raw = [((h[i % 16] * 31 + i * 17) % 255) / 127.5 - 1.0 for i in range(dim)]
                 norm = math.sqrt(sum(v * v for v in raw)) or 1.0

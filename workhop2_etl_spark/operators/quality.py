@@ -27,8 +27,9 @@ def not_null(col: str) -> Column:
 
 
 def in_range(col: str, lo, hi) -> Column:
-    """Rule: lo <= value <= hi (NULLs fail — chain with not_null if
-    NULLs are allowed)."""
+    """Rule: lo <= value <= hi. NULLs fail; to allow them, OR with
+    isNull: ``F.col(c).isNull() | in_range(c, lo, hi)`` (AND-ing
+    ``not_null`` would still fail NULL rows)."""
     return F.col(col).between(lo, hi)
 
 
@@ -47,24 +48,33 @@ def check_constraints(df: DataFrame, rules: Mapping[str, Column]) -> DataFrame:
     n_violations, pass) — one row per rule, computed in a single
     aggregate (NULL rule results count as violations).
     """
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [], "rule string, n_rows bigint, n_violations bigint, pass boolean"
+        )
+    # rule names appear ONLY as literal values (never spliced into
+    # SQL text or column identifiers), so any string — spaces,
+    # quotes, dashes — is a valid rule name.
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for name, cond in rules.items():
+    for i, cond in enumerate(rules.values()):
         aggs.append(
-            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(f"__v_{name}")
+            F.sum(F.when(F.coalesce(cond, F.lit(False)), 0).otherwise(1)).alias(f"__v_{i}")
         )
     wide = df.agg(*aggs)
-    stacked = wide.selectExpr(
-        "__n",
-        "stack({n}, {args}) AS (rule, n_violations)".format(
-            n=len(rules),
-            args=", ".join(f"'{name}', __v_{name}" for name in rules),
-        ),
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"), F.col(f"__v_{i}").alias("n_violations")
+            )
+            for i, name in enumerate(rules)
+        ]
     )
+    stacked = wide.select("__n", F.explode(pairs).alias("__p"))
     return stacked.select(
-        "rule",
+        F.col("__p.rule").alias("rule"),
         F.col("__n").alias("n_rows"),
-        "n_violations",
-        (F.col("n_violations") == 0).alias("pass"),
+        F.col("__p.n_violations").alias("n_violations"),
+        (F.col("__p.n_violations") == 0).alias("pass"),
     )
 
 

@@ -46,8 +46,10 @@ def awards_per_genre(merged: DataFrame, k: int = 10) -> DataFrame:
 
 
 def popularity_histogram(merged: DataFrame, bin_width: int = 10) -> DataFrame:
-    """A5 — popularity distribution of matched winners (eda.ipynb
-    cell 16), fixed-width bins as a hash aggregate."""
+    """A5 — popularity distribution of all MATCHED rows (popularity
+    non-null; winners and losers alike — eda.ipynb cell 16 bins the
+    whole merged frame), fixed-width bins as a hash aggregate. Filter
+    ``winner`` upstream for a winners-only histogram."""
     return (
         merged.filter(F.col("popularity").isNotNull())
         .groupBy((F.floor(F.col("popularity") / bin_width) * bin_width).alias("bin_start"))

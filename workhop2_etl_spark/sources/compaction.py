@@ -17,26 +17,19 @@ rewriting in place would lose the table on failure.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith(("_", ".")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
+from workhop2_etl_spark.sources import fs
 
 
-def plan_file_count(path: str, target_mb: int = 128) -> int:
+def plan_file_count(spark: SparkSession, path: str, target_mb: int = 128) -> int:
     """Number of output files so each is ~target_mb of the SOURCE's
-    on-disk (compressed) bytes. Local paths only; on object stores,
-    list via the FileSystem API instead."""
-    return max(1, -(-_dir_bytes(path) // (target_mb * 1024 * 1024)))
+    on-disk (compressed) bytes. Sized via the Hadoop FileSystem
+    content summary so the same rule holds for local, HDFS, and
+    object-store tables (an os.walk would report 0 bytes for any
+    non-local URI and collapse the table into one file)."""
+    return max(1, -(-fs.dir_bytes(spark, path) // (target_mb * 1024 * 1024)))
 
 
 def compact_parquet(
@@ -54,7 +47,7 @@ def compact_parquet(
     min/max stats prune filtered scans (data skipping). Without:
     a plain repartition (round-robin) that just fixes file sizes.
     """
-    n = plan_file_count(src, target_mb)
+    n = plan_file_count(spark, src, target_mb)
     df = spark.read.parquet(src)
     if sort_by:
         cols = [F.col(c) for c in sort_by]

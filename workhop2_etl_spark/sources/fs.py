@@ -94,6 +94,15 @@ def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
     return bool(fs.delete(p, recursive))
 
 
+def dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total on-disk bytes under ``path`` (recursive), via the
+    FileSystem's content summary — works on local, HDFS, and
+    object-store paths alike (an ``os.walk`` would silently report 0
+    for any non-local URI)."""
+    fs, p = _fs_and_path(spark, path)
+    return int(fs.getContentSummary(p).getLength())
+
+
 def join(base: str, *parts: str) -> str:
     """URI-safe path join (os.path.join breaks ``scheme://`` paths on
     some platforms; Hadoop paths always use '/')."""

@@ -35,8 +35,16 @@ from pyspark.sql import functions as F
 def zorder_key(bucket_cols: list[Column], bits: int) -> Column:
     """Interleave the low ``bits`` bits of each already-bucketized
     column into one Morton key: bit b of column j lands at position
-    b*len(cols)+j."""
+    b*len(cols)+j. Requires bits*len(cols) ≤ 63: the JVM masks shift
+    counts to 6 bits, so a wider key would silently wrap high bits
+    onto low positions (and position 63 flips the sign, breaking
+    range order) — scrambling the clustering instead of failing."""
     k = len(bucket_cols)
+    if bits * k > 63:
+        raise ValueError(
+            f"zorder key needs bits*len(cols) <= 63, got {bits}*{k}="
+            f"{bits * k}; lower bits (bits={63 // k} fits {k} columns)"
+        )
     terms = []
     for b in range(bits):
         for j, c in enumerate(bucket_cols):

@@ -114,7 +114,8 @@ _BANDS_SQL = f"bands AS (\n{_BAND_SELECTS}\n)"
     )
     SELECT fingerprint, count(*) AS n_docs,
            array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
-    FROM fp GROUP BY fingerprint HAVING count(*) > 1
+    FROM fp WHERE fingerprint IS NOT NULL
+    GROUP BY fingerprint HAVING count(*) > 1
     ORDER BY fingerprint
     """,
 )
