@@ -78,8 +78,12 @@ _PRIORITY = [
     "a14_equidepth_deciles",
     "st10_windowed_distinct_users",
     "x10_group_sample",
-    # (b) kernel changed this round
+    # (b) kernel changed this round (e3: cohort period validation +
+    # month path; d1: NULL-fingerprint exclusion in exact dedup;
+    # j8: range_join collision-suffix projection)
     "e3_cohort_retention",
+    "d1_exact_dup_groups",
+    "j8_range_join",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
     "f7_cast_sentinel",
     "dq1_constraints",
@@ -106,8 +110,9 @@ _PRIORITY = [
     "q9_product_profit",
     "q13_order_count_dist",
     "q18_large_orders",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
+    # q21/q22 defer to the four star-family verdicts above (shared
+    # suite/star*.py load/broadcast helpers; both keep bench + pytest
+    # gates) — displaced by d1/j8, whose kernels changed this round.
     # (d) r03 greens on round-4-touched code: x6's (lang, shard) fix
     # landed in round 4, so its r03 green pre-dates the code under it.
     # git log shows dedup_text.py last changed IN round 3 (d-family
