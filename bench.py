@@ -151,10 +151,13 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+    missing = [n for n in HEADLINE if n not in suite.QUERIES]
+    if missing:
+        # a silently skipped entry deflates the total and reads as a
+        # phantom round-over-round speedup
+        raise KeyError(f"HEADLINE names not in the registry: {missing}")
     for name in HEADLINE:
-        fn = suite.QUERIES.get(name)
-        if fn is None:
-            continue
+        fn = suite.QUERIES[name]
         t0 = time.time()
         rows = fn(spark, SF_DIR).collect()
         times[name] = round(time.time() - t0, 3)

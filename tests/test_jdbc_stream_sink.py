@@ -95,6 +95,21 @@ def test_replayed_epoch_with_different_data_is_skipped(spark, derby_url, events)
     assert all(v[2] == -999.0 for v in got.values())
 
 
+def test_ledger_refuses_batch_below_watermark(spark, derby_url, events):
+    """A batch id strictly below the ledger's max means the stream's
+    checkpoint no longer matches this ledger (deleted checkpoint
+    restarting at 0, or a second pipeline sharing the target).
+    Silently skipping would drop every new batch — must raise."""
+    batch = events.limit(5)
+    assert jdbc_upsert_batch(batch, 3, derby_url, "EV_WM", ["event_id"], **DRIVER)
+    assert jdbc_upsert_batch(batch, 4, derby_url, "EV_WM", ["event_id"], **DRIVER)
+    # replay of the top batch: legitimate no-op
+    assert not jdbc_upsert_batch(batch, 4, derby_url, "EV_WM", ["event_id"], **DRIVER)
+    # a fresh checkpoint would restart at 0 — refuse, don't skip
+    with pytest.raises(RuntimeError, match="does not match this ledger"):
+        jdbc_upsert_batch(batch, 0, derby_url, "EV_WM", ["event_id"], **DRIVER)
+
+
 def test_merge_updates_and_inserts_in_one_batch(spark, derby_url, events):
     """One batch mixing updates (existing keys) and inserts (new
     keys) — the MERGE must route each row correctly."""

@@ -105,17 +105,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(path)
     from pyspark.sql import functions as F
-    from pyspark.sql import types as T
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(path)
-    if isinstance(raw.schema["ts"].dataType, T.LongType):
+    if _events_ts_is_nanos(path):
+        # The legacy conf is consulted at EXECUTION time (per-file
+        # footer conversion), not just at analysis, so it cannot be
+        # restored while an events frame is alive; setting it only
+        # when the footer actually spells TIMESTAMP(NANOS) keeps the
+        # common micros generation from silently changing how every
+        # other parquet read in the session decodes nanos columns.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = spark.read.parquet(path)
         # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
         # 53-bit mantissa, so float division would corrupt microseconds.
         ts = F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
     else:
+        raw = spark.read.parquet(path)
         ts = F.col("ts").cast("timestamp_ntz")
     return raw.withColumn("ts", ts)
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    """Driver-side footer probe (pyarrow, no Spark conf needed):
+    True when this testdata generation ships events.ts as
+    TIMESTAMP(NANOS) — which Spark's reader rejects without the
+    legacy nanos-as-long conf."""
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return False
+        probe = os.path.join(path, parts[0])
+    try:
+        field = pq.read_schema(probe).field("ts")
+    except (KeyError, OSError):
+        return False
+    return str(field.type) == "timestamp[ns]"
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

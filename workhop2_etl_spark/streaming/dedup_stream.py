@@ -80,13 +80,22 @@ def neardup_filter_batch(
     num_hashes: int = 16,
     num_bands: int = 4,
     threshold: float = 0.7,
+    pin: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Pure (testable) core: returns (survivor rows, survivor band
     rows to append to the index). ``index`` is the accumulated band
-    store (band_id, band_key, doc_id, sig) or None on first batch."""
+    store (band_id, band_key, doc_id, sig) or None on first batch.
+
+    ``pin=True`` localCheckpoints the band signatures and the drop
+    decision (both batch-sized): the two returned frames then share
+    ONE materialized decision set instead of each re-running the
+    minhash + LSH-join plan — the streaming sink sets it so its two
+    sinks (survivors, index rows) cost one dedup pass, not two."""
     bands = banded_signatures(
         batch, text_col=text_col, id_col=id_col, num_hashes=num_hashes, num_bands=num_bands
     )
+    if pin:
+        bands = bands.localCheckpoint(eager=True)
 
     # --- cross-batch: batch bands ⨝ index bands on the bucket key ---
     dropped_vs_index = None
@@ -138,6 +147,8 @@ def neardup_filter_batch(
     dropped = dropped_in_batch
     if dropped_vs_index is not None:
         dropped = dropped.unionByName(dropped_vs_index).distinct()
+    if pin:
+        dropped = dropped.localCheckpoint(eager=True)
 
     survivors = batch.join(dropped, id_col, "left_anti")
     new_index_rows = bands.join(dropped, id_col, "left_anti").select(
@@ -200,6 +211,10 @@ def stream_neardup_ingest(
             index = spark_l.read.parquet(
                 *[fs.join(index_dir, d) for d in prior]
             )
+        # pin=True materializes the band signatures + drop decision
+        # once, so the survivor and index writes share one computed
+        # dedup pass (and one consistent decision set) instead of
+        # re-running the minhash/LSH plan per sink.
         survivors, new_rows = neardup_filter_batch(
             batch_df,
             index,
@@ -208,10 +223,8 @@ def stream_neardup_ingest(
             num_hashes=num_hashes,
             num_bands=num_bands,
             threshold=threshold,
+            pin=True,
         )
-        # Materialize survivors before the index write so the two
-        # sinks see one consistent decision set.
-        survivors = survivors.localCheckpoint(eager=True)
         survivors.write.mode("overwrite").parquet(
             fs.join(out_dir, f"epoch={epoch_id}")
         )

@@ -26,6 +26,13 @@ itself (executed in-database, no rows move through the driver) and
 two point lookups; all row transfer is the parallel staging write.
 At 100 TB of *stream history* the per-batch staging volume is the
 trigger interval's worth of rows, not the table size.
+
+SQL dialect contract: the sink speaks standard SQL:2003 —
+``MERGE``, double-quoted identifiers, ``CREATE TABLE … AS … WITH NO
+DATA`` — which covers Derby (tested here), PostgreSQL, Oracle, and
+DB2. MySQL needs a dialect adapter (backtick quoting,
+``INSERT … ON DUPLICATE KEY UPDATE``, ``CREATE TABLE … LIKE``);
+the transaction/ledger protocol itself is engine-agnostic.
 """
 
 from __future__ import annotations
@@ -46,8 +53,13 @@ def _exec(conn, sql: str) -> None:
 def _table_exists(conn, table: str) -> bool:
     """Existence probe that respects the database's identifier
     folding: Derby/Oracle store unquoted names upper-cased,
-    PostgreSQL lower-cased, MySQL as-given — probing only one folding
-    would re-CREATE (and crash on) an existing table elsewhere."""
+    PostgreSQL lower-cased — probing only one folding would
+    re-CREATE (and crash on) an existing table elsewhere. The
+    metadata pattern arguments are LIKE patterns, so '_' in the
+    generated names (T_STAGE, T_EPOCHS) must be escaped, and the
+    search is pinned to the connection's current schema — an
+    unescaped cross-schema probe can match a DIFFERENT table and
+    skip a CREATE this schema actually needs."""
     meta = conn.getMetaData()
     if meta.storesUpperCaseIdentifiers():
         name = table.upper()
@@ -55,7 +67,10 @@ def _table_exists(conn, table: str) -> bool:
         name = table.lower()
     else:
         name = table
-    rs = meta.getTables(None, None, name, None)
+    esc = meta.getSearchStringEscape()
+    pattern = name.replace("_", esc + "_").replace("%", esc + "%")
+    schema = conn.getSchema()
+    rs = meta.getTables(None, schema, pattern, None)
     try:
         return bool(rs.next())
     finally:
@@ -100,14 +115,37 @@ def jdbc_upsert_batch(
         # --- bookkeeping DDL (idempotent, autocommitted) ---
         if not _table_exists(conn, ledger):
             _exec(conn, f"CREATE TABLE {ledger} (batch_id BIGINT PRIMARY KEY)")
+        # Batch ids commit in order, so in same-checkpoint operation
+        # the only id that can legitimately arrive already-committed
+        # is the TOP one (crash after DB commit, before the Spark
+        # checkpoint commit). An id strictly below the ledger's max —
+        # committed or not — means the stream's checkpoint no longer
+        # matches this ledger (deleted checkpoint restarting at 0, or
+        # a second pipeline sharing the target): skipping would
+        # silently drop every new batch, so fail loudly instead (the
+        # same divergence rule dedup_stream's index sink enforces).
         rs = conn.createStatement().executeQuery(
-            f"SELECT 1 FROM {ledger} WHERE batch_id = {int(epoch_id)}"
+            f"SELECT MAX(batch_id) FROM {ledger}"
         )
         try:
+            top = None
             if rs.next():
-                return False  # replayed batch: already committed
+                v = rs.getLong(1)
+                if not rs.wasNull():  # wasNull is only valid after getLong
+                    top = int(v)
         finally:
             rs.close()
+        if top is not None:
+            if int(epoch_id) == top:
+                return False  # replay of the in-flight batch: no-op
+            if int(epoch_id) < top:
+                raise RuntimeError(
+                    f"ledger {ledger} is at batch {top} but the stream "
+                    f"delivered batch {epoch_id}: the checkpoint does not "
+                    "match this ledger (checkpoint lost, or another "
+                    "pipeline shares the target) — refusing to silently "
+                    "skip new data"
+                )
 
         # --- distributed staging write (scratch; crash-safe via overwrite) ---
         write_jdbc(batch_df, url, staging, mode="overwrite", **jdbc_options)

@@ -306,13 +306,14 @@ def stream_upsert_to_parquet(
             merged = merge_upsert(base, batch_df, keys)
         else:
             merged = batch_df
-        # write to a new version dir then swap — foreachBatch output
-        # commits are the caller's job (a real deployment targets a
-        # table format with atomic commits)
-        tmp = table_dir + f".epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark_l.read.parquet(tmp).write.mode("overwrite").parquet(table_dir)
-        fs.delete(spark_l, tmp)
+        # Materialize the merge BEFORE overwriting the files it read
+        # (same write-barrier as refresh_daily_rollup): one pinned
+        # copy + one overwrite, instead of the old tmp-dir double
+        # write that moved every byte twice per batch. Atomic commits
+        # are still the caller's job — a real deployment targets a
+        # table format.
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(table_dir)
 
     q = (
         spark.readStream.schema(schema)
@@ -429,8 +430,11 @@ def windowed_distinct_users(
         dedup.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(
-            F.col("w.start").alias("window_start"),
-            F.col("w.end").alias("window_end"),
+            # cast back to NTZ like every sibling transform, so the
+            # watermarked (streaming) and batch modes share ONE
+            # output schema (_maybe_watermark docstring contract)
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
             "n_users",
         )
     )
