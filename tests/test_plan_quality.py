@@ -351,3 +351,25 @@ def test_rolling_window_queries_are_single_window_chains(spark):
         assert "Window" in plan, name
         groups = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
         assert any(key in g for g in groups), (name, groups)
+
+
+def test_registry_wide_no_row_python_no_cartesian(spark):
+    """Global plan invariant over EVERY registered query: no
+    BatchEvalPython (row-at-a-time Python — the 10-100x slow path;
+    Arrow mapInPandas is the sanctioned escape hatch and shows as
+    ArrowEvalPython/MapInPandas), and no CartesianProduct (an
+    unbounded |L|x|R| fan-out; every 1-row broadcast scalar join
+    plans as BroadcastNestedLoopJoin with a bounded build side
+    instead). Catches a regression in ANY query the per-query guards
+    don't cover — analysis only, nothing executes."""
+    offenders = {}
+    for name, fn in suite.QUERIES.items():
+        plan = plan_of(fn(spark, SF_DIR))
+        flags = [
+            f
+            for f in ("BatchEvalPython", "CartesianProduct")
+            if f in plan
+        ]
+        if flags:
+            offenders[name] = flags
+    assert not offenders, offenders
