@@ -33,29 +33,42 @@ def _norm_tokens(c: Column) -> Column:
     return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, " "))
 
 
+def all_ngrams(toks: Column, n: int) -> Column:
+    """All word n-grams (repeats kept, document order) of a token
+    array; empty for documents shorter than n tokens.
+
+    THE one sliding-n-gram kernel — word_shingles (d-family), the
+    t5 repetition ratio, and the t10 bigram counts all build on it.
+    Zips the token array with its own shifted slices, so the token
+    expression is evaluated a CONSTANT number of times per row.
+    (Referencing ``toks`` inside a per-element lambda re-evaluates
+    the whole regexp+split chain for every element — O(k²) regex
+    work per document, measured ~12s for 5k docs vs ~1s here.
+    arrays_zip pads short slices with NULLs; those tail pseudo-grams
+    are cut by the final slice.)"""
+    k = F.size(toks)
+    shifted = [toks.alias("t0")] + [
+        F.slice(toks, 1 + j, k).alias(f"t{j}") for j in range(1, n)
+    ]
+    grams_all = F.transform(
+        F.arrays_zip(*shifted),
+        lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)]),
+    )
+    return F.when(k >= n, F.slice(grams_all, 1, k - n + 1)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def word_shingles(c: Column, n: int = 3) -> Column:
     """Distinct word n-grams of normalized text. Documents shorter
     than n words contribute their whole text as one shingle (so they
     still participate in dedup)."""
     toks = _norm_tokens(c)
     k = F.size(toks)
-    # Zip the token array with its own shifted slices, then join each
-    # struct — the token expression is evaluated a CONSTANT number of
-    # times per row. (Referencing `toks` inside a per-element lambda
-    # re-evaluates the whole regexp+split chain for every element —
-    # O(k²) regex work per document, measured ~12s for 5k docs vs ~1s
-    # here. arrays_zip pads short slices with NULLs; those tail
-    # pseudo-grams are cut by the final slice.)
-    shifted = [toks.alias("t0")] + [F.slice(toks, 1 + j, k).alias(f"t{j}") for j in range(1, n)]
-    z = F.arrays_zip(*shifted)
-    grams_all = F.transform(
-        z, lambda s: F.concat_ws(" ", *[s[f"t{j}"] for j in range(n)])
-    )
-    grams = F.slice(grams_all, 1, F.greatest(k - n + 1, F.lit(1)))
     whole = F.array(F.concat_ws(" ", toks))
     empty = F.array().cast("array<string>")
     return F.array_distinct(
-        F.when(k == 0, empty).when(k >= n, grams).otherwise(whole)
+        F.when(k == 0, empty).when(k >= n, all_ngrams(toks, n)).otherwise(whole)
     )
 
 

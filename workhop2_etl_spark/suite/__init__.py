@@ -37,6 +37,17 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def io_dir(name: str) -> str:
+    """Per-process round-trip sink path for the s* format queries:
+    keyed by pid so two concurrent sessions (e.g. verify_local while
+    bench runs) never overwrite each other's files mid-scan; re-runs
+    within one session reuse and overwrite their own directory."""
+    import os
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), f"workhop2_io_{os.getpid()}", name)
+
+
 def load_all() -> None:
     """Import every suite module so registrations run."""
     from workhop2_etl_spark.suite import (  # noqa: F401

@@ -980,16 +980,29 @@ _EWMA_K = 16
 _EWMA_W = [(1 - 0.3) ** i for i in range(_EWMA_K)]
 
 
+#: oracle numerator/denominator assembled FROM _EWMA_W (repr() emits
+#: the exact shortest-roundtrip double literals), so changing _EWMA_K
+#: or alpha can never desync the two sides — same generated-constant
+#: pattern as dedup.py's _SIG_COMPONENTS.
+_EWMA_NUM = " + ".join(
+    f"{wt!r} * coalesce(lag(x, {i}) OVER w, 0)" for i, wt in enumerate(_EWMA_W)
+)
+_EWMA_DEN = " + ".join(
+    f"{wt!r} * (CASE WHEN lag(x, {i}) OVER w IS NOT NULL THEN 1 ELSE 0 END)"
+    for i, wt in enumerate(_EWMA_W)
+)
+
+
 @query(
     "w6_ewma",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
       SELECT CAST(ts AS DATE) AS day, event_type,
              round(sum(value), 4) AS x
       FROM events GROUP BY 1, 2)
     SELECT day, event_type, x AS daily_value,
-           round((1.0 * coalesce(lag(x, 0) OVER w, 0) + 0.7 * coalesce(lag(x, 1) OVER w, 0) + 0.48999999999999994 * coalesce(lag(x, 2) OVER w, 0) + 0.3429999999999999 * coalesce(lag(x, 3) OVER w, 0) + 0.24009999999999995 * coalesce(lag(x, 4) OVER w, 0) + 0.16806999999999994 * coalesce(lag(x, 5) OVER w, 0) + 0.11764899999999996 * coalesce(lag(x, 6) OVER w, 0) + 0.08235429999999996 * coalesce(lag(x, 7) OVER w, 0) + 0.05764800999999997 * coalesce(lag(x, 8) OVER w, 0) + 0.04035360699999998 * coalesce(lag(x, 9) OVER w, 0) + 0.028247524899999984 * coalesce(lag(x, 10) OVER w, 0) + 0.019773267429999988 * coalesce(lag(x, 11) OVER w, 0) + 0.01384128720099999 * coalesce(lag(x, 12) OVER w, 0) + 0.009688901040699992 * coalesce(lag(x, 13) OVER w, 0) + 0.006782230728489994 * coalesce(lag(x, 14) OVER w, 0) + 0.004747561509942996 * coalesce(lag(x, 15) OVER w, 0))
-                 / (1.0 * (CASE WHEN lag(x, 0) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.7 * (CASE WHEN lag(x, 1) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.48999999999999994 * (CASE WHEN lag(x, 2) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.3429999999999999 * (CASE WHEN lag(x, 3) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.24009999999999995 * (CASE WHEN lag(x, 4) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.16806999999999994 * (CASE WHEN lag(x, 5) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.11764899999999996 * (CASE WHEN lag(x, 6) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.08235429999999996 * (CASE WHEN lag(x, 7) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.05764800999999997 * (CASE WHEN lag(x, 8) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.04035360699999998 * (CASE WHEN lag(x, 9) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.028247524899999984 * (CASE WHEN lag(x, 10) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.019773267429999988 * (CASE WHEN lag(x, 11) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.01384128720099999 * (CASE WHEN lag(x, 12) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.009688901040699992 * (CASE WHEN lag(x, 13) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.006782230728489994 * (CASE WHEN lag(x, 14) OVER w IS NOT NULL THEN 1 ELSE 0 END) + 0.004747561509942996 * (CASE WHEN lag(x, 15) OVER w IS NOT NULL THEN 1 ELSE 0 END)), 4) AS ewma
+           round(({_EWMA_NUM})
+                 / ({_EWMA_DEN}), 4) AS ewma
     FROM daily
     WINDOW w AS (PARTITION BY event_type ORDER BY day)
     ORDER BY event_type, day

@@ -20,7 +20,7 @@ from pyspark.sql import types as T
 from workhop2_etl_spark.functions import clean
 from workhop2_etl_spark.session import load_table
 from workhop2_etl_spark.sources import readers, writers
-from workhop2_etl_spark.suite import query
+from workhop2_etl_spark.suite import io_dir as suite_io_dir, query
 
 # ---------------------------------------------------------------------------
 # S1 + S4: CSV sink → CSV scan with declared schema, checked by aggregating
@@ -49,7 +49,7 @@ _PART_SCHEMA = T.StructType(
 )
 def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    out = os.path.join(tempfile.gettempdir(), "workhop2_io", "part_csv")
+    out = suite_io_dir("part_csv")
     writers.write_csv(part, out, mode="overwrite", header=True)
     back = readers.read_csv(spark, out, schema=_PART_SCHEMA, header=True)
     return (
@@ -471,7 +471,7 @@ _SUPP_SCHEMA = T.StructType(
 )
 def s2_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
-    out = os.path.join(tempfile.gettempdir(), "workhop2_io", "supplier_json")
+    out = suite_io_dir("supplier_json")
     writers.write_json(supp, out, mode="overwrite")
     back = readers.read_json(spark, out, schema=_SUPP_SCHEMA)
     return (
@@ -584,7 +584,7 @@ def dq1_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
-    out = os.path.join(tempfile.gettempdir(), "workhop2_io", "sup_evolve")
+    out = suite_io_dir("sup_evolve")
     old_batch = sup.filter(F.col("s_suppkey") % 2 == 0).select(
         "s_suppkey", "s_name", "s_nationkey"
     )

@@ -91,10 +91,15 @@ _SIG_COMPONENTS = ",\n           ".join(
 )
 _SIG_SQL = f"{_XS_SQL},\n    sig AS (SELECT doc_id, [{_SIG_COMPONENTS}] AS sg FROM hx)"
 
+#: band stride derived from the SAME constants the Spark side uses
+#: (operators/dedup_text.py::lsh_bands slices NUM_HASHES//NUM_BANDS
+#: components per band) — a hardcoded stride would desync the d2-d7
+#: oracles the moment either constant changes.
+_BAND_SIZE = NUM_HASHES // NUM_BANDS
 _BAND_SELECTS = "\n  UNION ALL\n".join(
     f"""  SELECT doc_id, {b} AS band_id,
-         CASE WHEN sg[{b * 4 + 1}] IS NOT NULL
-              THEN md5(array_to_string(sg[{b * 4 + 1}:{b * 4 + 4}], '|')) END AS band_key
+         CASE WHEN sg[{b * _BAND_SIZE + 1}] IS NOT NULL
+              THEN md5(array_to_string(sg[{b * _BAND_SIZE + 1}:{b * _BAND_SIZE + _BAND_SIZE}], '|')) END AS band_key
   FROM sig"""
     for b in range(NUM_BANDS)
 )

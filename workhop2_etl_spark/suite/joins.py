@@ -350,7 +350,8 @@ def u3_except(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     p AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'),
-    c AS (SELECT event_id AS click_id, user_id, ts FROM ev WHERE event_type = 'click')
+    c AS (SELECT min(event_id) AS click_id, user_id, ts
+         FROM ev WHERE event_type = 'click' GROUP BY user_id, ts)
     SELECT p.event_id, p.user_id, p.ts, c.click_id
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
     ORDER BY p.event_id
@@ -361,8 +362,14 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
+    # one click per (user, instant), min event_id: asof_join resolves
+    # equal-timestamp right rows by union-sort order, so tied rows
+    # must be collapsed upstream for a deterministic oracle compare
+    # (operators/asof.py docstring contract).
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
     )
     out = asof_join(
         purchases,
@@ -549,8 +556,8 @@ def u5_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
-    p AS (SELECT event_id AS purchase_id, user_id, ts AS pts
-          FROM ev WHERE event_type = 'purchase'),
+    p AS (SELECT min(event_id) AS purchase_id, user_id, ts AS pts
+          FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts),
     cand AS (
       SELECT c.event_id, c.user_id, c.ts, p.purchase_id,
              row_number() OVER (PARTITION BY c.event_id
@@ -571,8 +578,13 @@ def j10_asof_forward_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    # collapse tied (user, instant) purchases to min event_id — same
+    # determinism contract as j7 (and the oracle's rn would otherwise
+    # be untied on p.pts alone).
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
     )
     out = asof_join(
         clicks,

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from workhop2_etl_spark.operators.dedup_text import word_shingles
 from workhop2_etl_spark.session import load_table
-from workhop2_etl_spark.suite import query
+from workhop2_etl_spark.suite import io_dir as suite_io_dir, query
 
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
@@ -76,19 +76,10 @@ def _toks() -> "F.Column":
     """,
 )
 def t5_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.dedup_text import all_ngrams
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = _toks()
-    k = F.size(toks)
-    shifted = [toks.alias("t0")] + [
-        F.slice(toks, 1 + j, k).alias(f"t{j}") for j in range(1, 3)
-    ]
-    grams_all = F.transform(
-        F.arrays_zip(*shifted),
-        lambda s: F.concat_ws(" ", s["t0"], s["t1"], s["t2"]),
-    )
-    grams = F.when(k >= 3, F.slice(grams_all, 1, k - 2)).otherwise(
-        F.array().cast("array<string>")
-    )
+    grams = all_ngrams(_toks(), 3)
     g = F.col("g")
     return (
         docs.select("doc_id", grams.alias("g"))
@@ -425,7 +416,7 @@ def x6_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s3_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    out = os.path.join(tempfile.gettempdir(), "workhop2_io", "part_orc")
+    out = suite_io_dir("part_orc")
     part.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return (
