@@ -80,10 +80,15 @@ _PRIORITY = [
     "x10_group_sample",
     # (b) kernel changed this round (e3: cohort period validation +
     # month path; d1: NULL-fingerprint exclusion in exact dedup;
-    # j8: range_join collision-suffix projection)
+    # j8: range_join collision-suffix projection; d2/d6: the
+    # word_shingles→all_ngrams kernel factoring — d2 re-verifies the
+    # signature/band path, d6 the clusters-over-pairs path; siblings
+    # d3/d5/d7 share those kernels and were re-verified locally)
     "e3_cohort_retention",
     "d1_exact_dup_groups",
     "j8_range_join",
+    "d2_minhash_lsh_pairs",
+    "d6_dup_clusters",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
     "f7_cast_sentinel",
     "dq1_constraints",
@@ -99,20 +104,20 @@ _PRIORITY = [
     # u3_except shares union_ops/set-op kernels with u2 — one fresh
     # verdict covers the family; u3 keeps the local pytest gate
     "m1_image_meta",
-    # m2 is m1's meta extraction + a filter — m1's fresh verdict
-    # covers the shared kernel; m2 keeps the local pytest gate
-    "m3_resize_plumbing",
+    # m2/m3 are m1's meta extraction + a filter / the same Arrow
+    # mapInPandas plumbing — m1's fresh verdict covers the shared
+    # kernel; both keep the local pytest gate
     "v1_topk_cosine_bruteforce",
     "v2_topk_cosine_lsh",
     "v4_embedding_near_dup",
     "v5_topk_cosine_ivf",
     "q3_shipping_priority",
     "q9_product_profit",
-    "q13_order_count_dist",
     "q18_large_orders",
-    # q21/q22 defer to the four star-family verdicts above (shared
-    # suite/star*.py load/broadcast helpers; both keep bench + pytest
-    # gates) — displaced by d1/j8, whose kernels changed this round.
+    # q13/q21/q22 defer to the three star-family verdicts above
+    # (shared suite/star*.py load/broadcast helpers; all keep bench +
+    # pytest gates) — displaced with m3 by d1/j8/d2/d6, whose
+    # kernels changed this round.
     # (d) r03 greens on round-4-touched code: x6's (lang, shard) fix
     # landed in round 4, so its r03 green pre-dates the code under it.
     # git log shows dedup_text.py last changed IN round 3 (d-family
