@@ -27,30 +27,40 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 # The driver's correctness pass covers exactly the first 50 registry
 # entries in insertion order, so ordering decides which queries get an
-# oracle verdict. Round-5 window (VERDICT r04 "Next round" #1):
-# (a) the 25 queries NEW this round (never driver-verified — always
-# first); (b) the one query whose kernel moved this round (e3:
-# cohort_retention gained period validation + a month path); (c) 23
-# of the 31 queries whose latest green is r02 — the stalest verdicts,
-# including the t1–t7/x4 tokenization family whose shared kernel
-# moved in round 4 (corpus.py _NORM/_toks import unification) and the
-# m-family after the round-4 embed-stage edit to multimodal.py. Eight
-# r02 entries defer to a same-kernel sibling's fresh verdict to fit
-# the 50-slot budget: u3_except (u2 re-verifies the set-op family),
-# m2_meta_filter + m4_frame_sample (m1/m3 re-verify the multimodal
-# meta/mapInPandas kernels), x5_domain_mix (x4 re-verifies the
-# md5-keyspace split kernel), v6 (v2 re-verifies the LSH signature
-# kernel; v6's recall gate runs in pytest), and q2/q5/q7 (the star
-# family keeps q3/q9/q13/q18/q21/q22 in-window and every q shares
-# suite/star*.py's load/broadcast helpers);
-# (d) the last slot to x6_sequence_pack, whose (lang, shard) fix
-# landed in round 4 so its r03 green pre-dates the code under it.
-# NOT re-verified on purpose: d1–d7 (git log shows dedup_text.py last
-# changed IN round 3 — their r03 greens post-date the kernel) and
-# j1–j4 (joins.py unchanged since r03; round-4 bench gains came from
-# session/bench work). Everything outside the window holds a
-# hash-green r03/r04 verdict and still runs in pytest +
-# tools/verify_local.py.
+# oracle verdict. This comment is the maintained spec for the window —
+# keep it exact. Round-5 window, final composition:
+# (a) 25 queries NEW this round (never driver-verified — always
+#     first);
+# (b) 7 queries whose query code or oracle changed this round, so
+#     their old verdicts pre-date the code under them: e3 (cohort
+#     period validation + month path), d1 (NULL-fingerprint exclusion
+#     in exact dedup), j8 (range_join collision-suffix projection),
+#     d2 (the word_shingles→all_ngrams kernel factoring — the
+#     signature/band path; t5/t10, the other all_ngrams consumers,
+#     are in-window under (c)/(a)), j7 (tie-collapse of equal-instant
+#     clicks on both Spark and oracle sides; j10 covers the forward
+#     direction of the same change), and — counted under (a) since
+#     they are also new — w6 (oracle weights now generated from
+#     _EWMA_W) and s6 (per-process io_dir sinks, shared with
+#     in-window s1);
+# (c) 18 of the 31 queries whose latest green is r02 — the stalest
+#     verdicts, including the t-family tokenization kernels that
+#     moved in round 4 and the m-family Arrow kernels (m1 meta, m3
+#     resize — INDEPENDENT mapInPandas kernels, both in-window);
+# (d) x6_sequence_pack, whose (lang, shard) fix landed in round 4 so
+#     its r03 green pre-dates the code under it.
+# Deferred to a same-kernel in-window sibling (each keeps its local
+# pytest + verify_local gate, and ALL 152 queries were re-verified
+# green locally this round): u3→u2 (set-op family), m2→m1 (m1's meta
+# extraction + a filter), m4→m1/m3 (same Arrow batch plumbing),
+# x5→x4 (md5-keyspace split), v6→v2 (LSH signature kernel; v6's
+# recall gate runs in pytest), q2/q5/q7/q13/q18/q21/q22→q3/q9 (the
+# star family shares suite/star*.py load/broadcast helpers; q13's
+# outer-join shape noted as the weakest deferral), d6/d3/d5/d7→d2
+# (the changed all_ngrams/shingle kernel is upstream of all of them;
+# d6's clusters path adds only graph.py CC, unchanged since r03),
+# s2/s3→s1/s6 (io_dir path helper shared by all four round-trips).
+# NOT re-verified on purpose: j1–j4 (joins.py unchanged since r03).
 _PRIORITY = [
     # (a) never driver-verified (new this round)
     "g7_triangle_count",
@@ -78,17 +88,12 @@ _PRIORITY = [
     "a14_equidepth_deciles",
     "st10_windowed_distinct_users",
     "x10_group_sample",
-    # (b) kernel changed this round (e3: cohort period validation +
-    # month path; d1: NULL-fingerprint exclusion in exact dedup;
-    # j8: range_join collision-suffix projection; d2/d6: the
-    # word_shingles→all_ngrams kernel factoring — d2 re-verifies the
-    # signature/band path, d6 the clusters-over-pairs path; siblings
-    # d3/d5/d7 share those kernels and were re-verified locally)
+    # (b) query code or oracle changed this round (see head comment)
     "e3_cohort_retention",
     "d1_exact_dup_groups",
     "j8_range_join",
     "d2_minhash_lsh_pairs",
-    "d6_dup_clusters",
+    "j7_asof_join",
     # (c) r02-latest greens (stalest; shared kernels moved in r4)
     "f7_cast_sentinel",
     "dq1_constraints",
@@ -104,25 +109,15 @@ _PRIORITY = [
     # u3_except shares union_ops/set-op kernels with u2 — one fresh
     # verdict covers the family; u3 keeps the local pytest gate
     "m1_image_meta",
-    # m2/m3 are m1's meta extraction + a filter / the same Arrow
-    # mapInPandas plumbing — m1's fresh verdict covers the shared
-    # kernel; both keep the local pytest gate
+    "m3_resize_plumbing",
     "v1_topk_cosine_bruteforce",
     "v2_topk_cosine_lsh",
     "v4_embedding_near_dup",
     "v5_topk_cosine_ivf",
     "q3_shipping_priority",
     "q9_product_profit",
-    "q18_large_orders",
-    # q13/q21/q22 defer to the three star-family verdicts above
-    # (shared suite/star*.py load/broadcast helpers; all keep bench +
-    # pytest gates) — displaced with m3 by d1/j8/d2/d6, whose
-    # kernels changed this round.
-    # (d) r03 greens on round-4-touched code: x6's (lang, shard) fix
-    # landed in round 4, so its r03 green pre-dates the code under it.
-    # git log shows dedup_text.py last changed IN round 3 (d-family
-    # r03 greens post-date the kernel, so d1–d7 keep their verdicts);
-    # j1–j4 likewise hold r03 greens on kernels unchanged since r03.
+    # (d) r03 green on round-4-touched code: the (lang, shard) fix
+    # landed in round 4, so x6's r03 green pre-dates the code under it
     "x6_sequence_pack",
 ]
 
