@@ -87,6 +87,14 @@ def test_jdbc_query_pushdown(spark, derby_url, sf_dir):
     in Spark — the JDBC analogue of predicate pushdown. Spark's JDBC
     writer quotes identifiers, so Derby stores the lowercase column
     names case-sensitively — the query must quote them too."""
+    from workhop2_etl_spark.session import load_table
+
+    # self-contained: (re)write the table so this test passes under
+    # -k selection or reordering, not only after the roundtrip test
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    write_jdbc(nation, derby_url, "NATION_RT", mode="overwrite", **DRIVER)
     back = read_jdbc(
         spark,
         derby_url,

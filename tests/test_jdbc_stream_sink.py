@@ -79,7 +79,9 @@ def test_replayed_epoch_with_different_data_is_skipped(spark, derby_url, events)
     """The transactional guarantee idempotent-upsert sinks lack: a
     batch id that already committed must be a no-op on replay even if
     the replay carries different (corrupted / re-read) data."""
-    batch = events.limit(10)
+    # orderBy before limit: an unordered LIMIT can pick different
+    # rows when re-evaluated for the expectation below
+    batch = events.orderBy("event_id").limit(10)
     assert jdbc_upsert_batch(batch, 7, derby_url, "EV_TXN", ["event_id"], **DRIVER)
 
     poisoned = batch.withColumn("value", F.lit(-999.0))
@@ -100,7 +102,7 @@ def test_ledger_refuses_batch_below_watermark(spark, derby_url, events):
     checkpoint no longer matches this ledger (deleted checkpoint
     restarting at 0, or a second pipeline sharing the target).
     Silently skipping would drop every new batch — must raise."""
-    batch = events.limit(5)
+    batch = events.orderBy("event_id").limit(5)
     assert jdbc_upsert_batch(batch, 3, derby_url, "EV_WM", ["event_id"], **DRIVER)
     assert jdbc_upsert_batch(batch, 4, derby_url, "EV_WM", ["event_id"], **DRIVER)
     # replay of the top batch: legitimate no-op
@@ -113,11 +115,11 @@ def test_ledger_refuses_batch_below_watermark(spark, derby_url, events):
 def test_merge_updates_and_inserts_in_one_batch(spark, derby_url, events):
     """One batch mixing updates (existing keys) and inserts (new
     keys) — the MERGE must route each row correctly."""
-    base = events.limit(20)
+    base = events.orderBy("event_id").limit(20)
     assert jdbc_upsert_batch(base, 1, derby_url, "EV_MIX", ["event_id"], **DRIVER)
 
-    updated = base.limit(5).withColumn("value", F.col("value") + 1000.0)
-    fresh = events.subtract(base).limit(5)
+    updated = base.orderBy("event_id").limit(5).withColumn("value", F.col("value") + 1000.0)
+    fresh = events.subtract(base).orderBy("event_id").limit(5)
     mixed = updated.unionByName(fresh)
     assert jdbc_upsert_batch(mixed, 2, derby_url, "EV_MIX", ["event_id"], **DRIVER)
 

@@ -1,16 +1,15 @@
 """Property-based invariants (SURVEY.md §5 item 3).
 
-Hypothesis generates adversarial strings (separator tokens, unicode,
-whitespace runs, empties); each test makes ONE Spark round trip over
-the whole generated batch — per-example Spark jobs would be painfully
-slow, and the properties are row-local anyway.
+A seeded generator produces adversarial strings (separator tokens,
+unicode, whitespace runs, empties); each test makes ONE Spark round
+trip over the whole generated batch — per-example Spark jobs would be
+painfully slow, and the properties are row-local anyway.
 """
 
 from __future__ import annotations
 
 import re
 
-from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from workhop2_etl_spark.functions import clean
@@ -30,42 +29,47 @@ def _py_normalize(s: str | None) -> str:
     return _WS.sub(" ", s)
 
 
-_TRICKY = st.one_of(
-    st.none(),
-    st.text(
-        alphabet=st.sampled_from(
-            list("abz &.;\t\n") + ["é", "ß", "中"]
-        ),
-        max_size=24,
-    ),
-    st.sampled_from(
-        [
-            "A feat. B",
-            "A FEAT. B",
-            "x and y AND z",
-            "band bandit sand",
-            "ft.ft. ft .",
-            "  padded   out  ",
-            "",
-            "&&&",
-            "a;b;c",
-            "Nanci Griffith & The Blue Moon Orchestra",
-        ]
-    ),
-)
+_ALPHABET = list("abz &.;\t\n") + ["é", "ß", "中"]
+_FIXED = [
+    "A feat. B",
+    "A FEAT. B",
+    "x and y AND z",
+    "band bandit sand",
+    "ft.ft. ft .",
+    "  padded   out  ",
+    "",
+    "&&&",
+    "a;b;c",
+    "Nanci Griffith & The Blue Moon Orchestra",
+]
 
 
-def _batch(strategy, n: int = 250) -> list:
-    """Draw n examples eagerly — hypothesis as a generator, one Spark
-    job for the lot."""
+def _batch(n: int = 250, seed: int = 1729) -> list:
+    """Deterministic tricky-input generator (was hypothesis
+    ``strategy.example()``, which is unseeded — a failing draw could
+    never be reproduced, and its internal example cache repeats
+    values). A seeded mix of None, short random strings over the
+    normalizer's hazard alphabet, and the fixed edge-case corpus
+    gives the same coverage reproducibly."""
+    import random
+
+    rng = random.Random(seed)
     out = []
-    for i in range(n):
-        out.append(strategy.example())
+    for _ in range(n):
+        kind = rng.random()
+        if kind < 0.1:
+            out.append(None)
+        elif kind < 0.35:
+            out.append(rng.choice(_FIXED))
+        else:
+            out.append(
+                "".join(rng.choice(_ALPHABET) for _ in range(rng.randint(0, 24)))
+            )
     return out
 
 
 def test_normalize_text_matches_python_reference(spark):
-    samples = _batch(_TRICKY)
+    samples = _batch()
     df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, s string")
     got = {
         r.i: r.n
@@ -76,7 +80,7 @@ def test_normalize_text_matches_python_reference(spark):
 
 
 def test_normalize_idempotent(spark):
-    samples = [s for s in _batch(_TRICKY) if s is not None]
+    samples = [s for s in _batch() if s is not None]
     df = spark.createDataFrame([(i, s) for i, s in enumerate(samples)], "i int, s string")
     once = clean.normalize_text(F.col("s"))
     twice = clean.normalize_text(once)
@@ -90,7 +94,7 @@ def test_normalize_idempotent(spark):
 
 
 def test_jaccard_bounds_and_identity(spark):
-    docs = [(i, s or "") for i, s in enumerate(_batch(_TRICKY, 100))]
+    docs = [(i, s or "") for i, s in enumerate(_batch(100))]
     df = spark.createDataFrame(docs, "i long, s string")
     sh = word_shingles(F.col("s"), 2)
     out = df.select(
@@ -106,7 +110,7 @@ def test_jaccard_bounds_and_identity(spark):
 
 
 def test_dedupe_exact_row_math(spark):
-    base = [s or "" for s in _batch(_TRICKY, 120)]
+    base = [s or "" for s in _batch(120)]
     rows = [(i, base[i % 40]) for i in range(120)]  # force duplicates
     df = spark.createDataFrame(rows, "doc_id long, text string")
     from workhop2_etl_spark.operators.text import fingerprint
@@ -169,7 +173,6 @@ def test_asof_join_invariants(spark):
             by_key.setdefault(k, []).append((t, tag))
     for row in out:
         cands = [(t, tag) for (t, tag) in by_key.get(row.k, []) if t <= row.t]
-        want = max(cands)[1] if cands else None
         # ties at the same instant: engine picks the union-order last;
         # accept any tag at the winning timestamp
         if cands:

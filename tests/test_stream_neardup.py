@@ -94,10 +94,28 @@ def staged(spark, tmp_path_factory):
     return root, stream_dir, batch1, batch2
 
 
+
+_ROLLUP_COLS = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
+
+
+def _canon_rollup(rows):
+    """Canonical comparable set for rollup rows: sum_value is a float
+    accumulated in different orders by the partial-combine and
+    single-pass paths, so it is compared rounded. ONE definition of
+    rollup equality for every test in this file."""
+    return {
+        tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in _ROLLUP_COLS)
+        for r in rows
+    }
+
+
 def _expected_survivors(spark, batches) -> set[int]:
-    """Independent greedy replay: exact signature similarities from
-    the engine's batch banded_signatures, dedup rule simulated in
-    plain Python over the collected (tiny) corpus."""
+    """Independent replay of the documented FIRST-ID-WINS rule
+    (drop a doc similar to the index or to ANY lower-id batch member,
+    survivor or not — the operator's one-join-pass semantics, coarser
+    than survivors-only greedy): exact signature similarities from
+    the engine's batch banded_signatures, rule simulated in plain
+    Python over the collected (tiny) corpus."""
     all_rows = [d for b in batches for d in b]
     df = spark.createDataFrame(
         [(d["doc_id"], d["text"]) for d in all_rows], "doc_id long, text string"
@@ -231,15 +249,7 @@ def test_stream_rollup_equals_batch_and_exactly_once(spark, tmp_path_factory):
 
     SW.stream_rollup_to_parquet(spark, src, table, ckpt, max_files_per_trigger=1)
 
-    cols = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
-
-    def canon(rows):
-        # sum_value is a float accumulated in different orders by the
-        # partial-combine and single-pass paths — compare rounded
-        return {
-            tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in cols)
-            for r in rows
-        }
+    canon = _canon_rollup
 
     got = canon(SW.read_rollup(spark, table).collect())
     want = canon(rollup_events_daily(spark.read.parquet(src)).collect())
@@ -279,13 +289,7 @@ def test_rollup_epoch_compaction_preserves_totals(spark, tmp_path_factory):
         spark, src, table, str(root / "ckpt"), max_files_per_trigger=1
     )
 
-    cols = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
-
-    def canon(rows):
-        return {
-            tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in cols)
-            for r in rows
-        }
+    canon = _canon_rollup
 
     before = canon(SW.read_rollup(spark, table).collect())
     n = compact_rollup_epochs(spark, table)
@@ -321,13 +325,7 @@ def test_folded_epoch_replay_after_compaction(spark, tmp_path_factory):
         spark, src, table, str(root / "ckpt"), max_files_per_trigger=1
     )
 
-    cols = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
-
-    def canon(rows):
-        return {
-            tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in cols)
-            for r in rows
-        }
+    canon = _canon_rollup
 
     epochs = sorted(
         (d for d in os.listdir(table) if d.startswith("epoch=")),
@@ -399,11 +397,7 @@ def test_rollup_and_compaction_on_file_uri(spark, tmp_path_factory):
     SW.stream_rollup_to_parquet(
         spark, src, stream_uri, str(root / "ckpt"), max_files_per_trigger=1
     )
-    cols = ["day", "event_type", "n", "sum_value", "min_value", "max_value"]
-    canon = lambda rows: {
-        tuple(round(r[c], 4) if c == "sum_value" else r[c] for c in cols)
-        for r in rows
-    }
+    canon = _canon_rollup
     before = canon(SW.read_rollup(spark, stream_uri).collect())
     assert compact_rollup_epochs(spark, stream_uri) >= 2
     assert canon(SW.read_rollup(spark, stream_uri).collect()) == before

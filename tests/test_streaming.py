@@ -32,6 +32,23 @@ def _rows(df):
     return sorted(tuple(str(c) for c in r) for r in df.collect())
 
 
+def _parts_in_batch_order(src):
+    """Part files ordered by the data they contain (min event_id),
+    not by mtime: back-to-back writes can tie on filesystems with
+    coarse mtime resolution (overlays, network mounts), which would
+    re-stamp micro-batches in the wrong order. Fixtures write each
+    batch with a strictly higher min event_id."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    parts = [os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")]
+    parts.sort(
+        key=lambda p: min(pq.read_table(p, columns=["event_id"])["event_id"].to_pylist())
+    )
+    return parts
+
+
 @pytest.mark.parametrize(
     "name,transform",
     [
@@ -182,8 +199,7 @@ def test_stream_left_outer_interval_join_emits_nulls_after_watermark(spark):
     ]
     for b in batches:
         spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
-    parts = [os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")]
-    parts.sort(key=os.path.getmtime)
+    parts = _parts_in_batch_order(src)
     assert len(parts) == 3
     for i, p in enumerate(parts):
         os.utime(p, (1_700_000_000 + i * 1000,) * 2)
@@ -281,8 +297,7 @@ def test_late_rows_dropped_by_watermark_accounting(spark):
     ]
     for b in batches:
         spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
-    parts = [os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")]
-    parts.sort(key=os.path.getmtime)
+    parts = _parts_in_batch_order(src)
     assert len(parts) == 3
     # deterministic micro-batch order: file mtimes far apart
     for i, p in enumerate(parts):

@@ -8,12 +8,10 @@ sf0.01.
 
 from __future__ import annotations
 
-import sys
-
 import pytest
 
-sys.path.insert(0, "/root/repo")
-
+# conftest.py puts the repo root (derived from its own location) on
+# sys.path, which is what makes the `tools` import work anywhere
 from tools.verify_local import value_hash  # noqa: E402
 
 from workhop2_etl_spark import suite  # noqa: E402
@@ -40,10 +38,13 @@ def test_query_matches_oracle(name, spark, duck):
         if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
     ]
     assert not nested, f"driver-unfriendly nested result columns: {nested}"
-    srows = [tuple(r) for r in sdf.collect()]
-    scols = sdf.columns
+    # skip BEFORE collecting: the schema check above needs no
+    # execution, and running a rows-only query end-to-end just to
+    # skip wastes executor time on every suite run
     if name not in suite.ORACLES:
         pytest.skip(f"{name}: rows-only (no oracle)")
+    srows = [tuple(r) for r in sdf.collect()]
+    scols = sdf.columns
     res = duck.execute(suite.ORACLES[name])
     ocols = [d[0] for d in res.description]
     orows = res.fetchall()

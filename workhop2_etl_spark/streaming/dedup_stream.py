@@ -17,9 +17,12 @@ Dedup rule (deterministic, mirrored by the test oracle):
   (band_key, doc_id, sig) to the index.
 
 "Lower-id of the same batch, whether or not that doc itself
-survives" is a greedy first-wins rule — cheaper than per-batch
-connected components and the natural semantics for append-only
-ingestion (earlier data wins). Chains therefore differ from the
+survives" is a FIRST-ID-WINS rule, deliberately coarser than a
+survivors-only sequential greedy: a doc similar only to an
+already-dropped doc is also dropped. That coarsening is what makes
+the rule one equi-join pass with no sequential dependence — cheaper
+than per-batch connected components, and the natural semantics for
+append-only ingestion (earlier data wins). Chains therefore differ from the
 batch CC-canonical dedup (d6/d7) by design; the exactly-once
 re-run property comes from the streaming checkpoint.
 
@@ -121,7 +124,8 @@ def neardup_filter_batch(
             .distinct()
         )
 
-    # --- within-batch: greedy first-wins against lower ids ---
+    # --- within-batch: first-id-wins against ALL lower ids (see
+    # module docstring: coarser than survivors-only greedy) ---
     pair = (
         bands.alias("a")
         .join(
