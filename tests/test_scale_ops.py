@@ -822,3 +822,44 @@ def test_triangle_count_star_plus_chord(spark):
     )
     got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_distinct_rollup_sketch_combine_exact(spark, sf_dir, tmp_path):
+    """Distinct counts as a combinable measure: the union of per-split
+    HLL partials must estimate EXACTLY what the single-pass sketch
+    estimates (same deterministic algorithm, any split), the sketch
+    must survive a parquet round trip, and the estimate must sit
+    within HLL++ error of the exact distinct count."""
+    from workhop2_etl_spark.operators.incremental import (
+        combine_distinct_rollups,
+        distinct_users_estimate,
+        rollup_events_daily_distinct,
+    )
+    from workhop2_etl_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 2 == 0)
+    b = ev.filter(F.col("event_id") % 2 == 1)
+
+    # partials through a parquet round trip (binary sketch column)
+    rollup_events_daily_distinct(a).write.mode("overwrite").parquet(str(tmp_path / "pa"))
+    rollup_events_daily_distinct(b).write.mode("overwrite").parquet(str(tmp_path / "pb"))
+    parts = spark.read.parquet(str(tmp_path / "pa"), str(tmp_path / "pb"))
+
+    merged = distinct_users_estimate(combine_distinct_rollups(parts))
+    single = distinct_users_estimate(rollup_events_daily_distinct(ev))
+
+    key = lambda r: (r.day, r.event_type)
+    got = {key(r): r.n_users_est for r in merged.collect()}
+    want = {key(r): r.n_users_est for r in single.collect()}
+    assert got == want  # exactly equal, not approximately
+
+    exact = {
+        key(r): r.n
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])

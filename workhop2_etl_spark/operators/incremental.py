@@ -95,6 +95,46 @@ def _combine_parts(parts: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Distinct counts as a COMBINABLE measure (Apache DataSketches HLL)
+# ---------------------------------------------------------------------------
+#
+# count(DISTINCT user_id) is the classic rollup-breaker: partials
+# cannot add, so a naive incremental refresh would re-scan history.
+# Storing a mergeable HLL sketch per (day, type) cell makes distinct
+# counts obey the same partial-combine algebra as sums — union of
+# partial sketches is BIT-IDENTICAL to the single-pass sketch (same
+# deterministic algorithm), so estimates agree exactly however the
+# data was split across epochs/batches. The sketch column is plain
+# binary: it survives parquet round trips and the epoch/compaction
+# protocol above unchanged.
+
+
+def rollup_events_daily_distinct(events: DataFrame) -> DataFrame:
+    """(day, event_type, users_hll: binary) — mergeable HLL partial
+    for distinct user_id per cell."""
+    return events.groupBy(
+        F.to_date("ts").alias("day"), F.col("event_type")
+    ).agg(F.hll_sketch_agg("user_id").alias("users_hll"))
+
+
+def combine_distinct_rollups(parts: DataFrame) -> DataFrame:
+    """Merge partial distinct-rollups (any number, unioned by the
+    caller or read from epoch dirs): hll_union_agg per cell."""
+    return parts.groupBy(*_KEYS).agg(
+        F.hll_union_agg("users_hll").alias("users_hll")
+    )
+
+
+def distinct_users_estimate(rollup: DataFrame) -> DataFrame:
+    """Readable view: (day, event_type, n_users_est) from the sketch
+    column. Estimation is the LAST step — everything upstream stays
+    mergeable."""
+    return rollup.select(
+        *_KEYS, F.hll_sketch_estimate("users_hll").alias("n_users_est")
+    )
+
+
 def refresh_daily_rollup(
     spark: SparkSession, table_dir: str, delta: DataFrame
 ) -> list:
