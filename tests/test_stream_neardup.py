@@ -494,3 +494,50 @@ def test_index_compaction_then_continued_ingest(spark, tmp_path_factory):
     expected = _expected_survivors(spark, [batch1, batch2, batch3])
     assert got == expected
     assert 23 not in got and 24 in got  # dup caught THROUGH the base
+
+
+def test_stream_distinct_sketch_rollup_matches_batch(spark, tmp_path_factory):
+    """The generalized epoch sink carries the HLL distinct-count
+    measure: streamed per-epoch sketch partials, combined by the
+    reader, must estimate EXACTLY what the single-pass batch sketch
+    estimates (union of partials is bit-identical), and epoch
+    compaction must not change the estimates."""
+    from workhop2_etl_spark.operators.incremental import (
+        combine_distinct_rollups,
+        compact_rollup_epochs,
+        distinct_users_estimate,
+        rollup_events_daily_distinct,
+    )
+    from workhop2_etl_spark.session import load_table
+
+    root = tmp_path_factory.mktemp("distinct_stream")
+    src = str(root / "events.parquet")
+    table = str(root / "daily_distinct")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    SW.stream_rollup_to_parquet(
+        spark,
+        src,
+        table,
+        str(root / "ckpt"),
+        max_files_per_trigger=1,
+        rollup_fn=rollup_events_daily_distinct,
+    )
+
+    def estimates(df):
+        return {
+            (r.day, r.event_type): r.n_users_est
+            for r in distinct_users_estimate(df).collect()
+        }
+
+    got = estimates(SW.read_rollup(spark, table, combine_fn=combine_distinct_rollups))
+    want = estimates(rollup_events_daily_distinct(spark.read.parquet(src)))
+    assert got == want  # exact, not approximate: same sketch algorithm
+
+    # folding epochs into base=<k> must preserve every estimate
+    assert compact_rollup_epochs(
+        spark, table, combine_fn=combine_distinct_rollups
+    ) >= 2
+    after = estimates(SW.read_rollup(spark, table, combine_fn=combine_distinct_rollups))
+    assert after == want

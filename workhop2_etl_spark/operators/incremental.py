@@ -219,13 +219,22 @@ def rollup_part_dirs(spark: SparkSession, table_dir: str) -> list[str]:
     return dirs
 
 
-def compact_rollup_epochs(spark: SparkSession, table_dir: str) -> int:
+def compact_rollup_epochs(
+    spark: SparkSession, table_dir: str, combine_fn=None
+) -> int:
     """Fold every live epoch STRICTLY BELOW the current top epoch
     (plus the previous base generation, if any) into a new
     ``base=<k>`` dir, then delete the superseded inputs. Readers see
     identical totals at every point (combinable measures only); see
     the module docstring for the crash/replay analysis. Returns the
-    number of epoch dirs folded (0 = nothing to do)."""
+    number of epoch dirs folded (0 = nothing to do).
+
+    ``combine_fn`` (default: the n/sum/min/max algebra) must match
+    the measures stored in the partials — pass
+    ``combine_distinct_rollups`` for the HLL sketch rollup."""
+    if combine_fn is None:
+        combine_fn = _combine_parts
+
     def sweep_stale(best_k: int) -> None:
         sweep_stale_generations(spark, table_dir, best_k)
 
@@ -240,7 +249,7 @@ def compact_rollup_epochs(spark: SparkSession, table_dir: str) -> int:
         in_dirs.append(fs.join(table_dir, f"base={k}"))
     in_dirs.extend(fs.join(table_dir, f"epoch={e}") for e in foldable)
 
-    combined = _combine_parts(spark.read.parquet(*in_dirs))
+    combined = combine_fn(spark.read.parquet(*in_dirs))
     new_k = foldable[-1]
     tmp = fs.join(table_dir, "_compact_tmp")
     combined.write.mode("overwrite").parquet(tmp)

@@ -353,6 +353,7 @@ def stream_rollup_to_parquet(
     table_dir: str,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    rollup_fn=None,
 ) -> None:
     """foreachBatch sink maintaining a streaming materialized rollup
     as per-epoch PARTIALS: each micro-batch writes its combinable
@@ -366,10 +367,18 @@ def stream_rollup_to_parquet(
     (operators/incremental.py::compact_rollup_epochs) folds old
     epochs into a ``base=<k>`` generation without changing reader
     semantics. Stream ≡ batch and retry/re-run no-double-count are
-    asserted in tests."""
+    asserted in tests.
+
+    ``rollup_fn`` (default ``rollup_events_daily``) maps a micro-batch
+    to its combinable partial — any measure with a partial-combine
+    algebra works, including the HLL distinct-count sketches
+    (``rollup_events_daily_distinct``): the epoch protocol only needs
+    the partial to be a DataFrame whose rows merge per key."""
     from workhop2_etl_spark.operators.incremental import rollup_events_daily
     from workhop2_etl_spark.sources import fs
 
+    if rollup_fn is None:
+        rollup_fn = rollup_events_daily
     schema = spark.read.parquet(parquet_path).schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
@@ -377,7 +386,7 @@ def stream_rollup_to_parquet(
     stream = reader.parquet(parquet_path)
 
     def apply_batch(batch_df, epoch_id: int) -> None:
-        rollup_events_daily(batch_df).write.mode("overwrite").parquet(
+        rollup_fn(batch_df).write.mode("overwrite").parquet(
             fs.join(table_dir, f"epoch={epoch_id}")
         )
 
@@ -390,18 +399,22 @@ def stream_rollup_to_parquet(
     )
 
 
-def read_rollup(spark, table_dir: str) -> DataFrame:
-    """Combine the rollup partials into the current totals
-    (counts/sums add, min/min, max/max) — the reader half of
-    stream_rollup_to_parquet. Reads the newest ``base=<k>``
-    generation plus every ``epoch>k`` dir (the compaction protocol's
-    reader rule), so replayed folded epochs are ignored."""
+def read_rollup(spark, table_dir: str, combine_fn=None) -> DataFrame:
+    """Combine the rollup partials into the current totals — the
+    reader half of stream_rollup_to_parquet. Reads the newest
+    ``base=<k>`` generation plus every ``epoch>k`` dir (the
+    compaction protocol's reader rule), so replayed folded epochs are
+    ignored. ``combine_fn`` (default: counts/sums add, min/min,
+    max/max) must match the sink's ``rollup_fn`` measure algebra —
+    pass ``combine_distinct_rollups`` for the HLL sketch rollup."""
     from workhop2_etl_spark.operators.incremental import (
         _combine_parts,
         rollup_part_dirs,
     )
 
-    return _combine_parts(spark.read.parquet(*rollup_part_dirs(spark, table_dir)))
+    if combine_fn is None:
+        combine_fn = _combine_parts
+    return combine_fn(spark.read.parquet(*rollup_part_dirs(spark, table_dir)))
 
 
 def windowed_distinct_users(
