@@ -29,7 +29,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # entries in insertion order, so ordering decides which queries get an
 # oracle verdict. This comment is the maintained spec for the window —
 # keep it exact. Round-5 window, final composition:
-# (a) 25 queries NEW this round (never driver-verified — always
+# (a) 26 queries NEW this round (never driver-verified — always
 #     first);
 # (b) 7 queries whose query code or oracle changed this round, so
 #     their old verdicts pre-date the code under them: e3 (cohort
@@ -43,7 +43,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     they are also new — w6 (oracle weights now generated from
 #     _EWMA_W) and s6 (per-process io_dir sinks, shared with
 #     in-window s1);
-# (c) 18 of the 31 queries whose latest green is r02 — the stalest
+# (c) 17 of the 31 queries whose latest green is r02 — the stalest
 #     verdicts, including the t-family tokenization kernels that
 #     moved in round 4 and the m-family Arrow kernels (m1 meta, m3
 #     resize — INDEPENDENT mapInPandas kernels, both in-window);
@@ -51,7 +51,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     its r03 green pre-dates the code under it.
 # Deferred to a same-kernel in-window sibling (each keeps its local
 # pytest + verify_local gate, and ALL 152 queries were re-verified
-# green locally this round): u3→u2 (set-op family), m2→m1 (m1's meta
+# green locally this round): t3→t1/t2/t4/t6 (per-row text kernel,
+# unchanged since r02), u3→u2 (set-op family), m2→m1 (m1's meta
 # extraction + a filter), m4→m1/m3 (same Arrow batch plumbing),
 # x5→x4 (md5-keyspace split), v6→v2 (LSH signature kernel; v6's
 # recall gate runs in pytest), q2/q5/q7/q13/q18/q21/q22→q3/q9 (the
@@ -88,6 +89,7 @@ _PRIORITY = [
     "a14_equidepth_deciles",
     "st10_windowed_distinct_users",
     "x10_group_sample",
+    "x11_cdc_chunks",
     # (b) query code or oracle changed this round (see head comment)
     "e3_cohort_retention",
     "d1_exact_dup_groups",
@@ -99,7 +101,9 @@ _PRIORITY = [
     "dq1_constraints",
     "t1_token_counts",
     "t2_quality_profile",
-    "t3_lang_id",
+    # t3_lang_id defers: operators/text.py's per-row expression
+    # kernel is unchanged since r02 and t1/t2/t4/t6 re-verify the
+    # family — displaced by never-verified x11_cdc_chunks
     "t4_fingerprint",
     "t5_repetition_ratio",
     "t6_pii_scrub",

@@ -373,3 +373,15 @@ def test_registry_wide_no_row_python_no_cartesian(spark):
         if flags:
             offenders[name] = flags
     assert not offenders, offenders
+
+
+def test_cdc_chunking_plan_single_doc_shuffle(spark):
+    """x11: posexplode is narrow; the running boundary count is ONE
+    window keyed on doc_id, and the per-(doc, chunk) hash agg rides
+    the same key prefix. No Python, no joins."""
+    plan = plan_of(suite.QUERIES["x11_cdc_chunks"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" in plan
+    groups = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("doc_id" in g for g in groups), groups

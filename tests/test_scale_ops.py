@@ -863,3 +863,38 @@ def test_distinct_rollup_sketch_combine_exact(spark, sf_dir, tmp_path):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_cdc_chunks_realign_after_edit(spark):
+    """The property fixed windows lack: insert one token at the FRONT
+    of a document and content-defined chunk boundaries re-align at
+    the next boundary token — most chunk hashes survive the edit,
+    while x7-style fixed windows shift every downstream chunk."""
+    import random
+
+    from workhop2_etl_spark import suite
+
+    suite.load_all()
+    rng = random.Random(31)
+    words = [f"w{rng.randrange(500)}" for _ in range(400)]
+    orig = " ".join(words)
+    edited = "inserted " + orig
+
+    df = spark.createDataFrame(
+        [(1, orig), (2, edited)], "doc_id long, text string"
+    ).withColumn("lang", F.lit("en")).withColumn("source", F.lit("t")).withColumn(
+        "n_chars", F.length("text")
+    )
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="w2e_cdc_")
+    df.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    # x11 only reads the documents table, so no other staging needed
+    res = suite.QUERIES["x11_cdc_chunks"](spark, d)
+    rows = res.collect()
+    h1 = {r.chunk_hash for r in rows if r.doc_id == 1}
+    h2 = {r.chunk_hash for r in rows if r.doc_id == 2}
+    shared = len(h1 & h2)
+    # all but the first chunk (the one containing the insertion)
+    # should re-align; require >= 80% overlap
+    assert shared >= 0.8 * len(h1), (shared, len(h1), len(h2))

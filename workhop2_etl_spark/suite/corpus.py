@@ -302,3 +302,82 @@ def d8_chunk_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x11: content-defined chunking (rolling-hash boundaries). x7's fixed
+# 8-token windows shift all downstream chunks when one token is
+# inserted; content-defined boundaries (a token whose hash ≡ 0 mod B
+# STARTS a new chunk — the FastCDC/Rabin idea at token granularity)
+# re-align after an edit, which is what makes chunk-level dedup
+# robust to near-duplicate documents at 100 TB. Plan shape: narrow
+# posexplode → ONE shuffle by doc_id (running boundary count as a
+# window) → per-(doc, chunk) hash agg on the same key prefix. The
+# shuffle-free fold alternative (aggregate() building the chunk-id
+# array in place) is O(k²) in array copies per doc — the window
+# formulation is the linear, scalable one.
+# ---------------------------------------------------------------------------
+
+_CDC_B = 8  # boundary modulus → mean chunk length ≈ B tokens
+
+
+def _cdc_tok_int_sql(expr: str) -> str:
+    """First-8-hex-chars md5 integer (shared convention with the
+    d-family's _hex_int_sql)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (8 - 1 - i)}"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "x11_cdc_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t
+      FROM documents WHERE {_NORM} <> ''
+    ), pos AS (
+      SELECT doc_id, t, unnest(generate_series(1, len(t))) AS p FROM toks
+    ), flagged AS (
+      SELECT doc_id, CAST(p AS INTEGER) AS p, t[p] AS tok,
+             CASE WHEN {_cdc_tok_int_sql('t[p]')} % {_CDC_B} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM pos
+    ), chunked AS (
+      SELECT doc_id, p, tok,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS chunk_id
+      FROM flagged
+    )
+    SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_hash
+    FROM chunked
+    GROUP BY doc_id, chunk_id
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def x11_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", _toks().alias("t"))
+        .filter(F.size("t") > 0)
+        .select("doc_id", F.posexplode("t").alias("p0", "tok"))
+        .withColumn("p", F.col("p0") + 1)
+    )
+    tok_int = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    d = d.withColumn("b", (tok_int % _CDC_B == 0).cast("int"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    d = d.withColumn("chunk_id", F.sum("b").over(w).cast("int"))
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("p", "tok"))), lambda s: s["tok"]
+    )
+    return (
+        d.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.md5(F.array_join(ordered, " ")).alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
