@@ -29,7 +29,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # entries in insertion order, so ordering decides which queries get an
 # oracle verdict. This comment is the maintained spec for the window —
 # keep it exact. Round-5 window, final composition:
-# (a) 26 queries NEW this round (never driver-verified — always
+# (a) 27 queries NEW this round (never driver-verified — always
 #     first);
 # (b) 7 queries whose query code or oracle changed this round, so
 #     their old verdicts pre-date the code under them: e3 (cohort
@@ -43,7 +43,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     they are also new — w6 (oracle weights now generated from
 #     _EWMA_W) and s6 (per-process io_dir sinks, shared with
 #     in-window s1);
-# (c) 17 of the 31 queries whose latest green is r02 — the stalest
+# (c) 16 of the 31 queries whose latest green is r02 — the stalest
 #     verdicts, including the t-family tokenization kernels that
 #     moved in round 4 and the m-family Arrow kernels (m1 meta, m3
 #     resize — INDEPENDENT mapInPandas kernels, both in-window);
@@ -90,14 +90,17 @@ _PRIORITY = [
     "st10_windowed_distinct_users",
     "x10_group_sample",
     "x11_cdc_chunks",
+    "dq3_mad_outliers",
     # (b) query code or oracle changed this round (see head comment)
     "e3_cohort_retention",
     "d1_exact_dup_groups",
     "j8_range_join",
     "d2_minhash_lsh_pairs",
     "j7_asof_join",
-    # (c) r02-latest greens (stalest; shared kernels moved in r4)
-    "f7_cast_sentinel",
+    # (c) r02-latest greens (stalest; shared kernels moved in r4).
+    # f7_cast_sentinel defers: clean.py's cast kernel holds r04
+    # greens via f3-f9 and f7 keeps its pytest gate — displaced by
+    # never-verified dq3_mad_outliers
     "dq1_constraints",
     "t1_token_counts",
     "t2_quality_profile",

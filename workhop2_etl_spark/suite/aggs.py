@@ -1089,3 +1089,72 @@ def dq2_rolling_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 3).alias("z"),
         F.coalesce(F.abs(z) > 2.0, F.lit(False)).alias("is_outlier"),
     ).orderBy("event_type", "day")
+
+
+# ---------------------------------------------------------------------------
+# dq3: robust outliers via exact median absolute deviation. dq2's
+# rolling z-score uses mean/stddev, which heavy-tailed values drag
+# around (one large outlier inflates the very stddev meant to catch
+# it); MAD is the standard robust scale estimate (x is an outlier
+# when |x − median| > 3·1.4826·MAD). Exact MAD is inherently two
+# order-statistic passes over the data (median, then median of
+# absolute deviations); both medians are exact interpolated
+# percentiles so the oracle matches bit-for-bit after rounding. The
+# per-type medians are a 5-row broadcast back into the scan. At
+# 100 TB the single-pass twin is approx_percentile for both levels —
+# same plan shape, sketch-bounded error.
+# ---------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD→σ for normal data
+
+
+@query(
+    "dq3_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), mad AS (
+      SELECT e.event_type, any_value(med) AS med,
+             quantile_cont(abs(e.value - med), 0.5) AS mad
+      FROM events e JOIN med USING (event_type)
+      GROUP BY e.event_type
+    )
+    SELECT e.event_type,
+           round(any_value(m.med), 6) AS med,
+           round(any_value(m.mad), 6) AS mad,
+           count(*) AS n,
+           CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * {_MAD_K} * m.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad m USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY e.event_type
+    """,
+)
+def dq3_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("med"),
+            F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.any_value("med"), 6).alias("med"),
+            F.round(F.any_value("mad"), 6).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * _MAD_K * F.col("mad"))
+                .cast("int")
+            ).cast("long").alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
