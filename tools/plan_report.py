@@ -1,0 +1,84 @@
+"""Plan-quality report over the whole query registry.
+
+For every registered query, builds the DataFrame (analysis only —
+nothing executes) and summarizes the physical plan: shuffle count,
+join strategies, window/codegen presence, Python evaluation nodes,
+and whether any filter reached a parquet scan. Prints one JSON line
+per query plus a final summary line, so plan regressions are
+diffable round-over-round the same way BENCH_r{N}.json is.
+
+The hard invariants (no BatchEvalPython, no CartesianProduct) are
+ENFORCED by tests/test_plan_quality.py::test_registry_wide_no_row_
+python_no_cartesian; this tool is the human-readable/diffable view.
+
+Usage: python tools/plan_report.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+MARKERS = [
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Window",
+    "TakeOrderedAndProject",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "Expand",
+    "Generate",
+]
+
+
+def summarize(plan: str) -> dict:
+    out = {
+        "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
+        "range_shuffles": len(re.findall(r"Exchange rangepartitioning", plan)),
+        # NOTE: no codegen-span metric — under AQE the pre-execution
+        # plan string (AdaptiveSparkPlan isFinalPlan=false) carries no
+        # "*(n)" codegen marks, so the count would read 0 everywhere.
+        # The row_python/cartesian flags below are the load-bearing
+        # slow-path detectors.
+        "pushed_filters": "PushedFilters: [" in plan
+        and "PushedFilters: []" not in plan,
+    }
+    for m in MARKERS:
+        n = plan.count(m)
+        if n:
+            out[m] = n
+    return out
+
+
+def main() -> None:
+    from workhop2_etl_spark import suite
+    from workhop2_etl_spark.session import get_spark
+
+    suite.load_all()
+    spark = get_spark("plan_report")
+    names = sys.argv[1:] or list(suite.QUERIES)
+    totals = {"queries": 0, "shuffles": 0, "row_python": 0, "cartesian": 0}
+    for name in names:
+        fn = suite.QUERIES[name]
+        plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        s = summarize(plan)
+        totals["queries"] += 1
+        totals["shuffles"] += s["shuffles"]
+        totals["row_python"] += s.get("BatchEvalPython", 0)
+        totals["cartesian"] += s.get("CartesianProduct", 0)
+        print(json.dumps({"query": name, **s}))
+    print(json.dumps({"summary": totals}))
+
+
+if __name__ == "__main__":
+    main()
