@@ -85,6 +85,10 @@ HEADLINE = [
     # last-touch attribution (per-user carry-forward window)
     "d8_chunk_dup_ratio",
     "e9_attribution",
+    # round-5c: content-defined chunking (posexplode + doc window) and
+    # exact MAD outliers (two order-statistic passes)
+    "x11_cdc_chunks",
+    "dq3_mad_outliers",
 ]
 
 
