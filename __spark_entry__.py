@@ -43,14 +43,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     they are also new — w6 (oracle weights now generated from
 #     _EWMA_W) and s6 (per-process io_dir sinks, shared with
 #     in-window s1);
-# (c) 16 of the 31 queries whose latest green is r02 — the stalest
+# (c) 17 of the 31 queries whose latest green is r02 — the stalest
 #     verdicts, including the t-family tokenization kernels that
 #     moved in round 4 and the m-family Arrow kernels (m1 meta, m3
 #     resize — INDEPENDENT mapInPandas kernels, both in-window);
 # (d) x6_sequence_pack, whose (lang, shard) fix landed in round 4 so
 #     its r03 green pre-dates the code under it.
 # Deferred to a same-kernel in-window sibling (each keeps its local
-# pytest + verify_local gate, and ALL 152 queries were re-verified
+# pytest + verify_local gate, and ALL 154 queries were re-verified
 # green locally this round): t3→t1/t2/t4/t6 (per-row text kernel,
 # unchanged since r02), u3→u2 (set-op family), m2→m1 (m1's meta
 # extraction + a filter), m4→m1/m3 (same Arrow batch plumbing),

@@ -25,23 +25,34 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
-MARKERS = [
-    "BroadcastHashJoin",
-    "SortMergeJoin",
-    "BroadcastNestedLoopJoin",
-    "CartesianProduct",
-    "Window",
-    "TakeOrderedAndProject",
-    "ArrowEvalPython",
-    "BatchEvalPython",
-    "MapInPandas",
-    "FlatMapGroupsInPandas",
-    "Expand",
-    "Generate",
-]
+#: Marker → counting regex. Plain substring counting would inflate
+#: prefixes ("Window" also matches every WindowGroupLimit node), so
+#: markers that prefix other node names use a lookahead.
+MARKERS = {
+    "BroadcastHashJoin": r"BroadcastHashJoin",
+    "SortMergeJoin": r"SortMergeJoin",
+    "BroadcastNestedLoopJoin": r"BroadcastNestedLoopJoin",
+    "CartesianProduct": r"CartesianProduct",
+    "WindowGroupLimit": r"WindowGroupLimit",
+    "Window": r"Window(?!GroupLimit)",
+    "TakeOrderedAndProject": r"TakeOrderedAndProject",
+    "ArrowEvalPython": r"ArrowEvalPython",
+    "BatchEvalPython": r"BatchEvalPython",
+    "MapInPandas": r"MapInPandas",
+    "FlatMapGroupsInPandas": r"FlatMapGroupsInPandas",
+    "Expand": r"Expand",
+    "Generate": r"Generate",
+}
 
 
 def summarize(plan: str) -> dict:
+    # per-SCAN pushdown accounting: a plan can mix filtered and
+    # filter-less scans (dim spines, date sequences), so a single
+    # "any empty PushedFilters anywhere" boolean would hide a lost
+    # pushdown on the filtered scan. pushed_scans/bare_scans counts
+    # make a regression a visible diff.
+    pushed = len(re.findall(r"PushedFilters: \[(?!\])", plan))
+    bare = len(re.findall(r"PushedFilters: \[\]", plan))
     out = {
         "shuffles": len(re.findall(r"Exchange hashpartitioning", plan)),
         "range_shuffles": len(re.findall(r"Exchange rangepartitioning", plan)),
@@ -50,11 +61,11 @@ def summarize(plan: str) -> dict:
         # "*(n)" codegen marks, so the count would read 0 everywhere.
         # The row_python/cartesian flags below are the load-bearing
         # slow-path detectors.
-        "pushed_filters": "PushedFilters: [" in plan
-        and "PushedFilters: []" not in plan,
+        "pushed_scans": pushed,
+        "bare_scans": bare,
     }
-    for m in MARKERS:
-        n = plan.count(m)
+    for m, pat in MARKERS.items():
+        n = len(re.findall(pat, plan))
         if n:
             out[m] = n
     return out

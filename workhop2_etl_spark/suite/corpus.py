@@ -322,14 +322,13 @@ _CDC_B = 8  # boundary modulus → mean chunk length ≈ B tokens
 
 
 def _cdc_tok_int_sql(expr: str) -> str:
-    """First-8-hex-chars md5 integer (shared convention with the
-    d-family's _hex_int_sql)."""
-    terms = [
-        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
-        f" * {16 ** (8 - 1 - i)}"
-        for i in range(8)
-    ]
-    return "(" + " + ".join(terms) + ")"
+    """First-8-hex-chars md5 integer — IMPORTS the d-family's
+    _hex_int_sql rather than restating the expansion, so a change to
+    the shared hex→int convention moves x11's boundary hash with the
+    d-family instead of silently diverging from it."""
+    from workhop2_etl_spark.suite.dedup import _hex_int_sql
+
+    return _hex_int_sql(f"md5({expr})", 8)
 
 
 @query(
