@@ -89,6 +89,10 @@ HEADLINE = [
     # exact MAD outliers (two order-statistic passes)
     "x11_cdc_chunks",
     "dq3_mad_outliers",
+    # round-6: triangle counting — the one round-5 plan regression
+    # (133 shuffles from re-executed lineage); benched so the
+    # localCheckpoint + explode fix keeps wall-clock signal
+    "g7_triangle_count",
 ]
 
 

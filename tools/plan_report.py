@@ -1,7 +1,12 @@
 """Plan-quality report over the whole query registry.
 
-For every registered query, builds the DataFrame (analysis only —
-nothing executes) and summarizes the physical plan: shuffle count,
+For every registered query, builds the DataFrame and summarizes the
+physical plan. Plan capture itself is analysis-only, but BUILDING a
+query can execute work: the s-family round-trip queries (s1/s2/s3/s6)
+write their CSV/JSON/ORC sink as part of construction, and several
+builders run bounded setup actions (localCheckpoints, scalar counts)
+— so a registry-wide report does executor work and disk I/O.
+The summary covers: shuffle count,
 join strategies, window/codegen presence, Python evaluation nodes,
 and whether any filter reached a parquet scan. Prints one JSON line
 per query plus a final summary line, so plan regressions are

@@ -204,11 +204,23 @@ def range_join(
     # each left row carries exactly one bucket, so a (left, right)
     # pair can match on at most one replica — no dedup needed.
     joined = l_side.alias("__l").join(r_side.alias("__r"), cond, "inner")
+    # collision suffixing against a LIVE set: suffixing into a name the
+    # left side also holds (left has both `x` and `x_r`, right has `x`)
+    # would re-introduce the ambiguity the suffix exists to remove, so
+    # each assigned name is claimed before the next is chosen and the
+    # suffix repeats until the name is free.
     taken = set(left.columns)
+    right_names: list[str] = []
+    for c in right.columns:
+        out = c
+        while out in taken:
+            out = out + right_suffix
+        taken.add(out)
+        right_names.append(out)
     return joined.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[
-            F.col(f"__r.{c}").alias(c + right_suffix if c in taken else c)
-            for c in right.columns
+            F.col(f"__r.{c}").alias(out)
+            for c, out in zip(right.columns, right_names)
         ],
     )

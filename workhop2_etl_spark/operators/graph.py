@@ -194,6 +194,11 @@ def triangle_count(
     invariant, so a plain SQL restatement (id-oriented) verifies the
     degree-oriented plan's output exactly.
     """
+    # localCheckpoint: `canon` is consumed three times (degree count,
+    # orientation join, closing-edge probe) and its upstream may be an
+    # arbitrarily heavy pipeline (g7 feeds it a 4-table fact join) —
+    # without the lineage cut the plan re-executes that upstream once
+    # per consumer (PLAN_r05 measured 133 shuffles vs ≤13 elsewhere).
     canon = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .filter(F.col("a") != F.col("b"))
@@ -202,6 +207,7 @@ def triangle_count(
             F.greatest("a", "b").alias("b"),
         )
         .distinct()
+        .localCheckpoint()
     )
     # undirected degree per node → the orientation key (deg, id)
     deg = (
@@ -223,6 +229,9 @@ def triangle_count(
             .alias("e")
         )
         .select(F.col("e.lo").alias("lo"), F.col("e.hi").alias("hi"))
+        # consumed twice by the wedge self-join — cut lineage so the
+        # degree join above runs once, not once per self-join side
+        .localCheckpoint()
     )
     # wedges centered at `lo` (the low-order endpoint): two out-edges
     # (lo→x, lo→y); the triangle closes iff (x,y) is itself an
@@ -244,10 +253,11 @@ def triangle_count(
         canon.select(F.col("a").alias("ca"), F.col("b").alias("cb")),
         ["ca", "cb"],
     )
+    # one explode, not a 3-way union of projections: the union form
+    # instantiates the whole wedge-join subtree three times; explode
+    # keeps a single subtree feeding one aggregate
     return (
-        tri.select(F.col("apex").alias("node"))
-        .union(tri.select(F.col("ca").alias("node")))
-        .union(tri.select(F.col("cb").alias("node")))
+        tri.select(F.explode(F.array("apex", "ca", "cb")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

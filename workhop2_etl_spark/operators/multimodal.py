@@ -12,12 +12,15 @@ resize / frame-sample stages at corpus scale:
 * metadata (dims, duration, codec) lives in ordinary columns so
   filters on it push down and never touch the payload.
 
-The actual codec work (PIL/ffmpeg/torchaudio) is NOT part of this
-container, so the decoders below are deterministic STUBS behind the
-real plumbing: real schema, real batch iteration, real UDF
-signatures. Swap ``_fake_decode_*`` for a real decoder and nothing
-else changes. Functions that would need the real library raise
-NotImplementedError explicitly.
+Decode tiers (operators/imagecodec.py): payloads in a REAL image
+format get real treatment — header-parsed dimensions for PNG / JPEG
+/ GIF / BMP in the metadata stage, and an actual decode → resample →
+re-encode in the resize stage (PIL when installed, else the stdlib
+zlib PNG codec). Unrecognized payloads (the synthetic text-bytes
+fixtures, real-world corrupt bytes) fall back to the deterministic
+stubs, so every kernel stays a total, pure function of its input.
+Video/audio probes remain stubs (no container format is trivially
+parseable stdlib-side); their plumbing is identical.
 """
 
 from __future__ import annotations
@@ -44,13 +47,23 @@ IMAGE_META_SCHEMA = T.StructType(
 
 
 def _fake_decode_image(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for a real image decode: pretends the
-    payload is an image and derives (width, height, channels) from
-    its bytes. Replace with PIL.Image.open when the codec libs exist."""
+    """Stub tier of the decode: derives (width, height, channels)
+    from the byte length for payloads no real parser recognizes."""
     if payload is None:
         return (None, None, None)
     n = len(payload)
     return (n % 640 + 1, n % 480 + 1, 3)
+
+
+def _decode_image_dims(payload: bytes) -> tuple[int, int, int]:
+    """Real header probe first (PNG/JPEG/GIF/BMP true dimensions),
+    stub fallback for unrecognized payloads."""
+    if payload is None:
+        return (None, None, None)
+    from workhop2_etl_spark.operators import imagecodec
+
+    dims = imagecodec.probe_dims(payload)
+    return dims if dims is not None else _fake_decode_image(payload)
 
 
 def attach_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -77,7 +90,7 @@ def extract_image_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
                 ),
             }
-            dims = pdf["payload"].map(_fake_decode_image)
+            dims = pdf["payload"].map(_decode_image_dims)
             meta["width"] = dims.map(lambda d: d[0])
             meta["height"] = dims.map(lambda d: d[1])
             meta["channels"] = dims.map(lambda d: d[2])
@@ -97,16 +110,26 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
-    """Deterministic stand-in for a real resample kernel: emits a
-    payload whose length is the target pixel-buffer size, bytes
-    derived from the source digest (so the output is a pure function
-    of the input, as a real resize is). Replace with
-    PIL.Image.resize + tobytes when the codec libs exist."""
+    """Stub tier of the resize: emits a payload whose length is the
+    target pixel-buffer size, bytes derived from the source digest
+    (a pure function of the input, as a real resize is)."""
     if payload is None:
         return None
     seed = hashlib.sha256(payload).digest()
     size = width * height * 3
     return (seed * (size // len(seed) + 1))[:size]
+
+
+def _resize_payload(payload: bytes, width: int, height: int) -> bytes:
+    """Real resample when the payload decodes (PIL if installed, else
+    the stdlib PNG codec — operators/imagecodec.py), stub fallback
+    otherwise."""
+    if payload is None:
+        return None
+    from workhop2_etl_spark.operators import imagecodec
+
+    out = imagecodec.resize_real(payload, width, height)
+    return out if out is not None else _fake_resize(payload, width, height)
 
 
 def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id") -> DataFrame:
@@ -122,7 +145,7 @@ def resize_images(df: DataFrame, width: int, height: int, id_col: str = "doc_id"
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "payload": pdf["payload"].map(lambda b: _fake_resize(b, width, height)),
+                    "payload": pdf["payload"].map(lambda b: _resize_payload(b, width, height)),
                     "width": width,
                     "height": height,
                 }

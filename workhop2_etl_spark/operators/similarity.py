@@ -360,3 +360,41 @@ def topk_cosine_lsh(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "score", F.col("__rn").alias("rank"))
     )
+
+
+def fit_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Train an IVF coarse quantizer with Spark ML KMeans (seeded)
+    and return it in ``ivf_assign``'s ``(centroid_id, vector)`` shape.
+
+    The deterministic modulo-seeded centroid set the oracle queries
+    use (suite/similarity.py) is reproducible cross-engine but makes
+    no attempt to balance cells; a real corpus wants centroids that
+    track the data distribution — fewer near-empty and overfull
+    cells, so per-query probe cost is even and recall at fixed nprobe
+    is higher. KMeans training is the standard bounded driver-side
+    step of IVF index builds (FAISS does exactly this on a sample):
+    the distributed work is Lloyd iterations over the corpus
+    (aggregates per round), and only k centroid vectors come back to
+    the driver. ``sample_fraction`` trains on a seeded sample — at
+    100 TB the quantizer is fit on a few million vectors, never the
+    full corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = train.select(array_to_vector(F.col("__v")).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    return [
+        (i, [float(x) for x in center])
+        for i, center in enumerate(model.clusterCenters())
+    ]

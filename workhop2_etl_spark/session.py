@@ -106,7 +106,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return spark.read.parquet(path)
     from pyspark.sql import functions as F
 
-    if _events_ts_is_nanos(path):
+    if _events_ts_is_nanos(spark, path):
         # The legacy conf is consulted at EXECUTION time (per-file
         # footer conversion), not just at analysis, so it cannot be
         # restored while an events frame is alive; setting it only
@@ -124,27 +124,68 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return raw.withColumn("ts", ts)
 
 
-def _events_ts_is_nanos(path: str) -> bool:
-    """Driver-side footer probe (pyarrow, no Spark conf needed):
-    True when this testdata generation ships events.ts as
-    TIMESTAMP(NANOS) — which Spark's reader rejects without the
-    legacy nanos-as-long conf."""
-    import pyarrow.parquet as pq
-
-    probe = path
+def _local_parquet_part(path: str) -> str | None:
+    """Resolve ``path`` to a driver-local parquet part file, or None
+    when the path is remote (``hdfs:``/``s3a:``/...) or a partitioned
+    directory with no top-level part files — those take the
+    Spark-native fallback probe instead."""
+    scheme, sep, rest = path.partition("://")
+    if sep:
+        if scheme != "file":
+            return None
+        path = rest if rest.startswith("/") else "/" + rest
+    elif path.startswith("file:"):
+        path = path[len("file:"):]
+    if os.path.isfile(path):
+        return path
     if os.path.isdir(path):
         parts = sorted(
             f for f in os.listdir(path)
             if f.endswith(".parquet") and not f.startswith(("_", "."))
         )
-        if not parts:
+        if parts:
+            return os.path.join(path, parts[0])
+    return None
+
+
+def _events_ts_is_nanos(spark: SparkSession, path: str) -> bool:
+    """True when this testdata generation ships events.ts as
+    TIMESTAMP(NANOS) — which Spark's reader rejects without the
+    legacy nanos-as-long conf.
+
+    Fast path: a driver-side pyarrow footer probe on a local part
+    file (pyarrow is a driver-only dependency of this fast path).
+    Fallback — remote schemes, partitioned layouts, or pyarrow
+    absent — probes through Spark itself: with the legacy conf set,
+    schema ANALYSIS (footer-only, no job) reports a nanos column as
+    LongType and a real timestamp as TimestampType; the conf is
+    restored before returning, so alive frames from earlier loads
+    keep decoding the way they were planned."""
+    probe = _local_parquet_part(path)
+    if probe is not None:
+        try:
+            import pyarrow.parquet as pq
+
+            return str(pq.read_schema(probe).field("ts").type) == "timestamp[ns]"
+        except ImportError:
+            pass  # fall through to the Spark-native probe
+        except (KeyError, OSError):
             return False
-        probe = os.path.join(path, parts[0])
+    from pyspark.sql.types import LongType
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
     try:
-        field = pq.read_schema(probe).field("ts")
-    except (KeyError, OSError):
-        return False
-    return str(field.type) == "timestamp[ns]"
+        schema = spark.read.parquet(path).schema
+        if "ts" not in schema.names:
+            return False
+        return isinstance(schema["ts"].dataType, LongType)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

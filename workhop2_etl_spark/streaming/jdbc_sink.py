@@ -109,6 +109,19 @@ def jdbc_upsert_batch(
     drive it directly with synthetic epoch ids.
     """
     spark = batch_df.sparkSession
+    # The generated names (table, _STAGE, _EPOCHS) are interpolated
+    # UNQUOTED into DDL/MERGE so the database's identifier folding
+    # matches the folding-aware _table_exists probe. That contract
+    # only holds for plain identifiers — a mixed-case or reserved
+    # name would need quoting everywhere at once (a dialect adapter,
+    # like MySQL's), so reject it loudly instead of breaking halfway.
+    import re
+
+    if not re.fullmatch(r"[A-Za-z][A-Za-z0-9_]*", table):
+        raise ValueError(
+            f"jdbc sink target {table!r} is not a plain SQL identifier; "
+            "quoted/mixed-case targets need a dialect adapter"
+        )
     staging, ledger = f"{table}_STAGE", f"{table}_EPOCHS"
     conn = _connect(spark, url, jdbc_options)
     try:
@@ -124,17 +137,19 @@ def jdbc_upsert_batch(
         # a second pipeline sharing the target): skipping would
         # silently drop every new batch, so fail loudly instead (the
         # same divergence rule dedup_stream's index sink enforces).
-        rs = conn.createStatement().executeQuery(
-            f"SELECT MAX(batch_id) FROM {ledger}"
-        )
+        st = conn.createStatement()
         try:
-            top = None
-            if rs.next():
-                v = rs.getLong(1)
-                if not rs.wasNull():  # wasNull is only valid after getLong
-                    top = int(v)
+            rs = st.executeQuery(f"SELECT MAX(batch_id) FROM {ledger}")
+            try:
+                top = None
+                if rs.next():
+                    v = rs.getLong(1)
+                    if not rs.wasNull():  # wasNull is only valid after getLong
+                        top = int(v)
+            finally:
+                rs.close()
         finally:
-            rs.close()
+            st.close()
         if top is not None:
             if int(epoch_id) == top:
                 return False  # replay of the in-flight batch: no-op

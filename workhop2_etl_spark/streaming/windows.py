@@ -294,9 +294,19 @@ def stream_upsert_to_parquet(
     from workhop2_etl_spark.sources import fs
 
     schema = spark.read.parquet(parquet_path).schema
+    tmp_dir = table_dir.rstrip("/") + "__tmp"
+    old_dir = table_dir.rstrip("/") + "__old"
 
     def apply_batch(batch_df, epoch_id: int) -> None:
         spark_l = batch_df.sparkSession
+        # Crash recovery from an interrupted publish: if a previous
+        # run died between swap-out (table→old) and swap-in
+        # (tmp→table), the only live copy is old_dir — restore it
+        # before reading. Any other leftover tmp/old is superseded.
+        if fs.has_data(spark_l, old_dir) and not fs.has_data(spark_l, table_dir):
+            fs.rename_or_raise(spark_l, old_dir, table_dir)
+        fs.delete(spark_l, tmp_dir)
+        fs.delete(spark_l, old_dir)
         # Hadoop-FS existence probe (sources/fs.py): the table can
         # live on HDFS / S3A / local disk interchangeably.
         if any(
@@ -306,14 +316,23 @@ def stream_upsert_to_parquet(
             merged = merge_upsert(base, batch_df, keys)
         else:
             merged = batch_df
-        # Materialize the merge BEFORE overwriting the files it read
-        # (same write-barrier as refresh_daily_rollup): one pinned
-        # copy + one overwrite, instead of the old tmp-dir double
-        # write that moved every byte twice per batch. Atomic commits
-        # are still the caller's job — a real deployment targets a
-        # table format.
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(table_dir)
+        # Durable publish-by-rename (same discipline as
+        # compact_rollup_epochs): the merge is WRITTEN to tmp before
+        # the base it read is touched — at every instant a complete
+        # copy of the table exists ON DISK (a localCheckpoint pin is
+        # executor memory/disk blocks, not durable storage). Renames
+        # are metadata ops on HDFS/local, so bytes still move once
+        # per batch; foreachBatch replays re-merge idempotently
+        # (last-writer-wins on `keys`), covering every crash window.
+        merged.write.mode("overwrite").parquet(tmp_dir)
+        if fs.has_data(spark_l, table_dir):
+            fs.rename_or_raise(spark_l, table_dir, old_dir)
+        else:
+            # an existing-but-empty dst would make Hadoop rename move
+            # tmp INSIDE it instead of onto it
+            fs.delete(spark_l, table_dir)
+        fs.rename_or_raise(spark_l, tmp_dir, table_dir)
+        fs.delete(spark_l, old_dir)
 
     q = (
         spark.readStream.schema(schema)
