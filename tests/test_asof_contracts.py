@@ -162,3 +162,40 @@ def test_asof_tolerance_bounds_match_distance(spark):
     }
     assert fwd("1 hour") == {1: 201, 2: None}
     assert fwd("30 minutes") == {1: None, 2: None}
+
+
+def test_interval_overlap_join_contracts(spark):
+    """Exactly-once emission across bucket boundaries, inclusive
+    endpoint semantics, NULL endpoints never match, and collision
+    suffixing — the contracts the SQL restatement in the j12 oracle
+    relies on."""
+    from workhop2_etl_spark.operators.asof import interval_overlap_join
+
+    m = lambda mins: _ts(0, 0) + dt.timedelta(minutes=mins)
+    left = spark.createDataFrame(
+        [
+            (1, 1, m(0), m(50)),    # spans many 10-minute buckets
+            (2, 1, m(60), m(61)),   # disjoint from everything on key 1
+            (3, 2, m(0), m(1)),     # other key
+            (4, 1, None, m(5)),     # NULL start never matches
+        ],
+        "lid long, k long, s timestamp, e timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (101, 1, m(10), m(20)),  # inside lid=1's interval
+            (102, 1, m(50), m(55)),  # touches lid=1 exactly at the end
+            (103, 1, m(51), m(52)),  # just past lid=1 (closed-interval miss)
+            (104, 2, m(1), m(2)),    # touches lid=3 at its end point
+        ],
+        "rid long, k long, s timestamp, e timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, on="k", left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket="10 minutes",
+    )
+    pairs = [(r["lid"], r["rid"]) for r in out.collect()]
+    # exactly once despite lid=1 and rid=101 sharing ~10 buckets
+    assert sorted(pairs) == [(1, 101), (1, 102), (3, 104)]
+    # collision suffixing: right's k/s/e renamed, all columns unambiguous
+    assert out.columns == ["lid", "k", "s", "e", "rid", "k_r", "s_r", "e_r"]

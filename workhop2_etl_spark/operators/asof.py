@@ -204,23 +204,107 @@ def range_join(
     # each left row carries exactly one bucket, so a (left, right)
     # pair can match on at most one replica — no dedup needed.
     joined = l_side.alias("__l").join(r_side.alias("__r"), cond, "inner")
-    # collision suffixing against a LIVE set: suffixing into a name the
-    # left side also holds (left has both `x` and `x_r`, right has `x`)
-    # would re-introduce the ambiguity the suffix exists to remove, so
-    # each assigned name is claimed before the next is chosen and the
-    # suffix repeats until the name is free.
-    taken = set(left.columns)
-    right_names: list[str] = []
-    for c in right.columns:
-        out = c
-        while out in taken:
-            out = out + right_suffix
-        taken.add(out)
-        right_names.append(out)
     return joined.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[
             F.col(f"__r.{c}").alias(out)
-            for c, out in zip(right.columns, right_names)
+            for c, out in zip(
+                right.columns,
+                _collision_free_names(left.columns, right.columns, right_suffix),
+            )
+        ],
+    )
+
+
+def _collision_free_names(
+    left_cols: list[str], right_cols: list[str], suffix: str
+) -> list[str]:
+    """Output names for the right side of a two-sided projection —
+    suffixed against a LIVE set: suffixing into a name the left side
+    also holds (left has both `x` and `x_r`, right has `x`) would
+    re-introduce the ambiguity the suffix exists to remove, so each
+    assigned name is claimed before the next is chosen and the suffix
+    repeats until the name is free."""
+    taken = set(left_cols)
+    out_names: list[str] = []
+    for c in right_cols:
+        out = c
+        while out in taken:
+            out = out + suffix
+        taken.add(out)
+        out_names.append(out)
+    return out_names
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket: str = "7 days",
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Join interval relations on a key where the intervals OVERLAP:
+    ``l.start <= r.end AND r.start <= l.end`` (closed intervals) —
+    the reservation/session/validity-window join Spark has no
+    primitive for.
+
+    Scale shape: the time axis is bucketed and BOTH sides replicate
+    one row per bucket their interval spans, so the non-equi overlap
+    condition becomes a (key, bucket) equi-join + residual filter.
+    Shuffle ∝ Σ interval_length/bucket over both inputs — never
+    |L|×|R|; size ``bucket`` near the typical interval length to keep
+    the replication factor ~2. A matching pair would meet in every
+    shared bucket, so each pair is emitted EXACTLY ONCE by keeping
+    only the bucket that contains ``greatest(l.start, r.start)`` —
+    which both intervals contain whenever they overlap.
+
+    Output: all left columns, then all right columns with collision
+    suffixing. Rows with NULL interval endpoints never match (SQL
+    comparison semantics), mirroring the SQL restatement.
+    """
+    # bucket floor via epoch arithmetic, not F.window: a projection may
+    # hold only ONE time-window expression (Spark restriction), and the
+    # replication needs both interval endpoints bucketed at once
+    secs = _interval_seconds(left.sparkSession, bucket)
+    iv = F.expr(f"INTERVAL {bucket}")
+
+    def bucket_of(c) -> F.Column:
+        return F.timestamp_seconds(
+            F.floor(c.cast("double") / secs).cast("long") * secs
+        )
+
+    def replicate(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.filter(
+            F.col(s).isNotNull() & F.col(e).isNotNull() & (F.col(s) <= F.col(e))
+        ).withColumn(
+            "__bucket",
+            F.explode(F.sequence(bucket_of(F.col(s)), bucket_of(F.col(e)), iv)),
+        )
+
+    l_side = replicate(left, left_start, left_end)
+    r_side = replicate(right, right_start, right_end)
+    canon_bucket = bucket_of(
+        F.greatest(F.col(f"__l.{left_start}"), F.col(f"__r.{right_start}"))
+    )
+    cond = (
+        (F.col(f"__l.{on}") == F.col(f"__r.{on}"))
+        & (F.col("__l.__bucket") == F.col("__r.__bucket"))
+        & (F.col(f"__l.{left_start}") <= F.col(f"__r.{right_end}"))
+        & (F.col(f"__r.{right_start}") <= F.col(f"__l.{left_end}"))
+        & (F.col("__l.__bucket") == canon_bucket)
+    )
+    joined = l_side.alias("__l").join(r_side.alias("__r"), cond, "inner")
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[
+            F.col(f"__r.{c}").alias(out)
+            for c, out in zip(
+                right.columns,
+                _collision_free_names(left.columns, right.columns, right_suffix),
+            )
         ],
     )

@@ -1158,3 +1158,132 @@ def dq3_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# w7: rolling correlation between two daily series per key — does
+# volume track value? (trend/drift detection over metric pairs, the
+# monitoring sibling of dq2's rolling z-score). Pearson r over the
+# trailing 7-row frame, assembled from COMPONENT SUMS (n, Σx, Σy,
+# Σx², Σy², Σxy) with the identical formula on both engines — never
+# the engines' own corr() aggregates, whose accumulation orders
+# differ. Inputs are rounded before the window so both engines fold
+# the same doubles; frames with <3 points or zero variance abstain
+# (NULL). Same bounded per-key window shape as w6/dq2: 7 rows of
+# state per key, one shuffle on event_type.
+# ---------------------------------------------------------------------------
+@query(
+    "w7_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(count(*) AS DOUBLE) AS x,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type,
+           CAST(x AS BIGINT) AS n_events,
+           y AS daily_value,
+           CASE WHEN n >= 3 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+                THEN round((n*sxy - sx*sy)
+                           / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 3)
+           END AS corr_7d
+    FROM (
+      SELECT day, event_type, x, y,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x*x) OVER w AS sxx, sum(y*y) OVER w AS syy,
+             sum(x*y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    ORDER BY event_type, day
+    """,
+)
+def w7_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("x"),
+        F.round(F.sum("value"), 4).alias("y"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    syy = F.sum(F.col("y") * F.col("y")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    var_x, var_y = n * sxx - sx * sx, n * syy - sy * sy
+    corr = F.when(
+        (n >= 3) & (var_x > 0) & (var_y > 0),
+        F.round((n * sxy - sx * sy) / F.sqrt(var_x * var_y), 3),
+    )
+    return (
+        daily.select(
+            "day",
+            "event_type",
+            F.col("x").cast("bigint").alias("n_events"),
+            F.col("y").alias("daily_value"),
+            corr.alias("corr_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dq4: snapshot profile drift (operators/quality.py::profile_drift) —
+# the between-generations monitor: split the event log into two
+# interleaved snapshots (odd/even day-of-year — a deterministic stand-
+# in for yesterday-vs-today) and compare per-type row counts, NULL
+# rates, and value means in ONE conditional-aggregate pass. The split
+# rule is a parameter of the operator; the comparison algebra is
+# what's under test.
+# ---------------------------------------------------------------------------
+@query(
+    "dq4_profile_drift",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CASE WHEN dayofyear(CAST(ts AS DATE)) % 2 = 1
+                  THEN 1 ELSE 0 END AS b
+      FROM events)
+    SELECT event_type,
+           sum(1 - b) AS n_a, sum(b) AS n_b,
+           round(sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END) * 1.0
+                 / sum(1 - b), 4) AS null_rate_a,
+           round(sum(CASE WHEN value IS NULL THEN b ELSE 0 END) * 1.0
+                 / sum(b), 4) AS null_rate_b,
+           round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
+                 / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)),
+                 4) AS mean_a,
+           round(sum(CASE WHEN b = 1 THEN value ELSE 0 END)
+                 / (sum(b) - sum(CASE WHEN value IS NULL THEN b ELSE 0 END)),
+                 4) AS mean_b,
+           round(abs(round(sum(CASE WHEN b = 1 THEN value ELSE 0 END)
+                           / (sum(b) - sum(CASE WHEN value IS NULL THEN b ELSE 0 END)), 4)
+                     - round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
+                             / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)), 4))
+                 / abs(round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
+                             / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)), 4)),
+                 4) AS mean_drift,
+           (round(abs(round(sum(CASE WHEN b = 1 THEN value ELSE 0 END)
+                            / (sum(b) - sum(CASE WHEN value IS NULL THEN b ELSE 0 END)), 4)
+                      - round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
+                              / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)), 4))
+                  / abs(round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
+                              / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)), 4)),
+                  4) > 0.1) AS drifted
+    FROM e GROUP BY event_type ORDER BY event_type
+    """,
+)
+def dq4_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.quality import profile_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    is_b = F.dayofyear(F.to_date("ts")) % 2 == 1
+    return profile_drift(ev, is_b, ["event_type"], "value").orderBy("event_type")

@@ -502,3 +502,60 @@ def e9_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# e10: RFM segmentation — per-user recency/frequency/monetary scores
+# (terciles) over purchase events, rolled up to segment sizes. Each
+# ntile orders by (metric, user_id): the explicit total order makes
+# bucket boundaries reproducible cross-engine (ties broken the same
+# way everywhere). The global ntile windows are single-partition —
+# fine for a user-cardinality frame; the 100 TB variant computes
+# tercile BOUNDARIES (approx_percentile over the per-user frame,
+# itself already shuffled once) and buckets row-locally instead.
+# ---------------------------------------------------------------------------
+@query(
+    "e10_rfm_segments",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id, max(CAST(ts AS DATE)) AS last_day, count(*) AS freq,
+             coalesce(round(sum(value), 4), 0.0) AS monetary
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    sc AS (
+      SELECT CAST(ntile(3) OVER (ORDER BY last_day, user_id) AS INTEGER) AS r_score,
+             CAST(ntile(3) OVER (ORDER BY freq, user_id) AS INTEGER) AS f_score,
+             CAST(ntile(3) OVER (ORDER BY monetary, user_id) AS INTEGER) AS m_score,
+             monetary
+      FROM pu)
+    SELECT r_score, f_score, m_score, count(*) AS n_users,
+           round(sum(monetary), 2) AS total_monetary
+    FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def e10_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.coalesce(F.round(F.sum("value"), 4), F.lit(0.0)).alias("monetary"),
+        )
+    )
+    scored = per_user.select(
+        F.ntile(3).over(Window.orderBy("last_day", "user_id")).alias("r_score"),
+        F.ntile(3).over(Window.orderBy("freq", "user_id")).alias("f_score"),
+        F.ntile(3).over(Window.orderBy("monetary", "user_id")).alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.sum("monetary"), 2).alias("total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

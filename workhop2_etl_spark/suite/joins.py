@@ -646,3 +646,53 @@ def j11_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg_label")
     )
+
+
+# ---------------------------------------------------------------------------
+# J12: interval OVERLAP join (operators/asof.py::interval_overlap_join)
+# — the validity-window/reservation shape: which order pairs of the
+# same customer have overlapping 20-day fulfillment windows. Both
+# sides bucket-replicate so the overlap predicate is a (key, bucket)
+# equi-join + residual filter, with exactly-once emission via the
+# greatest-start bucket; the oracle is the direct quadratic SQL
+# restatement (safe at oracle scale, not at 100 TB — which is the
+# point of the bucketed plan).
+# ---------------------------------------------------------------------------
+@query(
+    "j12_interval_overlap",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS custkey, o_orderkey AS okey,
+             CAST(o_orderdate AS TIMESTAMP) AS s,
+             CAST(o_orderdate AS TIMESTAMP) + INTERVAL 20 DAY AS e
+      FROM orders WHERE year(o_orderdate) = 1995
+    )
+    SELECT a.custkey AS custkey, count(*) AS n_pairs
+    FROM o a JOIN o b ON a.custkey = b.custkey
+     AND a.s <= b.e AND b.s <= a.e AND a.okey < b.okey
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def j12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.asof import interval_overlap_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_orderdate").cast("timestamp").alias("s"),
+        )
+        .withColumn("e", F.col("s") + F.expr("INTERVAL 20 DAYS"))
+    )
+    pairs = interval_overlap_join(
+        o, o, on="custkey", left_start="s", left_end="e",
+        right_start="s", right_end="e", bucket="20 days",
+    )
+    return (
+        pairs.filter(F.col("okey") < F.col("okey_r"))
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("custkey")
+    )

@@ -110,3 +110,58 @@ def m4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frames = MM.sample_video_frames(MM.attach_binary_payload(docs), every_n_seconds=2.0)
     return frames.orderBy("doc_id", "frame_idx")
+
+
+# ---------------------------------------------------------------------------
+# m5: REAL image decode in the oracle gate — payloads are genuine PNG
+# bytes (unbase64 of three fixed files generated once with
+# operators/imagecodec.png_encode), and the metadata stage must
+# recover each file's TRUE header dimensions through the same
+# mapInPandas kernel the stub fixtures use. The oracle states the
+# known dims/sizes per variant (constants verifiable offline with any
+# PNG tool), so a regression anywhere in unbase64 → Arrow batch →
+# header parse breaks the hash.
+# ---------------------------------------------------------------------------
+#: 20x10 RGB / 7x5 gray / 4x9 RGBA PNGs (deterministic gradients).
+_PNG_B64 = {
+    0: "iVBORw0KGgoAAAANSUhEUgAAABQAAAAKCAIAAAA7N+mxAAACVUlEQVR4nGNgkLViV3Hk0/YQNfKXsQxTdojVck8x9Mu2CC2yj6l0S27wzWoPKeyLrpiaVD8ns21xQe+q8ikb62bvaF20n4FXy13E0E/aIlTJPkbTLdnAN8s8pNAuusI1qd4nsy24oDeqfEpi3eyM1kX5PSvLJm+onbW9ZeG+7hVHJ60/wyBlHqJoF63hmqTvk2kWXGAbVe6SWOed0RqU3xNZNjmhdlZ6y8K87hWlk9bXzNzWvGBv1/IjE9ednrH10vw9NxnUXRL1vDNMg/JtIsucE2q90lsC87ojSifF18xMa16Q27W8ZOK66hlbm+bv6Vx2eMLaU9O3XJy3+8bSQ/fXnHzGYBKYZx1R6hRf45nWHJDbFV4yMa56RmrT/JzOZcUT1lZN39I4b3fH0kP9a05O23xh7q7rSw7eW33i6abzb3Ze+8zgGFftkdrkn9MZVjwhtmp6SuO87I6lRf1rKqdtbpi7q33Jwb7VJ6ZuOj9n57XFB+6uOv5k47nXO65+2n/n57HHDAx+2R2hRf0xldOSG+ZmtS8p7FtdMXVT/ZydbYsP9K46PmXjudk7ri7af2flsccbzr7afuXjvts/jj76f+Yl2+UPvAxY46Bn5bHJG87O2n5l4b7bK44+Wn/m5bbLH/be+n7k4b/TL1gvvee5+U34wV8pBqxxMHPb5QV7by0/8nDd6RdbL73fc/Pb4Qd/Tz1nufiO+8ZXoft/JJ8xK7zlUmfAGgfLDj9Ye+r5lovvdt/4euj+n5PPmC+85br+RfDeb4mnTPJvONU+C+j+EjcBAKfyTgDlllnwAAAAAElFTkSuQmCC",
+    1: "iVBORw0KGgoAAAANSUhEUgAAAAcAAAAFCAAAAACs8akEAAAAMElEQVR4nGNgYOcTlVHWYuAVkVbSNDBnkFLU0DezdWFQ1zO1cfYKZDCxdvIMCI8DAGBoBm5YNXnyAAAAAElFTkSuQmCC",
+    2: "iVBORw0KGgoAAAANSUhEUgAAAAQAAAAJCAYAAAAVb42gAAAApElEQVR4nAGZAGb/AAAdOlcHJEFeDitIZRUyT2wADSpHZBQxTmsbOFVyIj9ceQAaN1RxIT5beChFYn8vTGmGACdEYX4uS2iFNVJvjDxZdpMANFFuiztYdZJCX3yZSWaDoABBXnuYSGWCn09siaZWc5CtAE5riKVVco+sXHmWs2OAnboAW3iVsmJ/nLlphqPAcI2qxwBohaK/b4ypxnaTsM19mrfUbec7odfc+nMAAAAASUVORK5CYII=",
+}
+
+
+@query(
+    "m5_real_image_dims",
+    oracle="""
+    WITH v AS (
+      SELECT CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 20 WHEN 1 THEN 7 ELSE 4 END AS width,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 10 WHEN 1 THEN 5 ELSE 9 END AS height,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 4 END AS channels,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 654 WHEN 1 THEN 105 ELSE 221 END AS n_bytes
+      FROM documents
+    )
+    SELECT width::INTEGER AS width, height::INTEGER AS height,
+           channels::INTEGER AS channels, n_bytes::BIGINT AS n_bytes,
+           count(*) AS n_docs
+    FROM v GROUP BY 1, 2, 3, 4 ORDER BY width
+    """,
+)
+def m5_real_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    variant = (F.col("doc_id") % 3).cast("int")
+    b64 = (
+        F.when(variant == 0, F.lit(_PNG_B64[0]))
+        .when(variant == 1, F.lit(_PNG_B64[1]))
+        .otherwise(F.lit(_PNG_B64[2]))
+    )
+    staged = docs.select("doc_id", F.unbase64(b64).alias("payload"))
+    meta = MM.extract_image_meta(staged)
+    return (
+        meta.groupBy("width", "height", "channels", "n_bytes")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("width")
+    )

@@ -244,3 +244,62 @@ def x3_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("sum_price"))
         .orderBy("l_returnflag")
     )
+
+
+def _x13_hex8() -> str:
+    # hex→int SQL shared with the dedup oracles, applied to the same
+    # md5(doc_id) key the Spark side uses (F.conv(..., 16, 10))
+    from workhop2_etl_spark.suite.dedup import _hex_int_sql
+
+    return _hex_int_sql("md5(CAST(doc_id AS VARCHAR))", 8)
+
+
+@query(
+    "x13_weighted_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, n_chars,
+             {_x13_hex8()} / 4294967296.0 AS frac,
+             least(1.0, n_chars / 1000.0) AS w
+      FROM documents)
+    SELECT source, count(*) AS n_total,
+           sum(CASE WHEN frac < w THEN 1 ELSE 0 END) AS n_sampled,
+           round(avg(n_chars), 2) AS avg_chars_all,
+           round(sum(CASE WHEN frac < w THEN n_chars ELSE 0 END) * 1.0
+                 / sum(CASE WHEN frac < w THEN 1 ELSE 0 END), 2) AS avg_chars_sampled
+    FROM d GROUP BY source ORDER BY source
+    """,
+)
+def x13_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling — include a document
+    with probability proportional to its quality weight (here:
+    length-derived, capped at 1), decided by comparing the md5
+    keyspace fraction of its KEY against the weight. The upsampling
+    primitive for training mixtures: longer/higher-quality docs keep
+    higher inclusion odds, yet the decision is a pure row-local
+    function of (key, weight) — reproducible across engines, runs,
+    and partitionings, no rand() anywhere, pushes to the scan. The
+    report shows the induced length bias (sampled mean length >
+    population mean) per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    frac = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / float(1 << 32)
+    )
+    w = F.least(F.lit(1.0), F.col("n_chars") / 1000.0)
+    picked = (frac < w).cast("int")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(picked).alias("n_sampled"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars_all"),
+            F.round(
+                F.sum(F.when(frac < w, F.col("n_chars")).otherwise(0))
+                / F.sum(picked),
+                2,
+            ).alias("avg_chars_sampled"),
+        )
+        .orderBy("source")
+    )
