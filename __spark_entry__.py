@@ -28,104 +28,93 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # The driver's correctness pass covers exactly the first 50 registry
 # entries in insertion order, so ordering decides which queries get an
 # oracle verdict. This comment is the maintained spec for the window —
-# keep it exact. Round-5 window, final composition:
-# (a) 27 queries NEW this round (never driver-verified — always
-#     first);
-# (b) 7 queries whose query code or oracle changed this round, so
-#     their old verdicts pre-date the code under them: e3 (cohort
-#     period validation + month path), d1 (NULL-fingerprint exclusion
-#     in exact dedup), j8 (range_join collision-suffix projection),
-#     d2 (the word_shingles→all_ngrams kernel factoring — the
-#     signature/band path; t5/t10, the other all_ngrams consumers,
-#     are in-window under (c)/(a)), j7 (tie-collapse of equal-instant
-#     clicks on both Spark and oracle sides; j10 covers the forward
-#     direction of the same change), and — counted under (a) since
-#     they are also new — w6 (oracle weights now generated from
-#     _EWMA_W) and s6 (per-process io_dir sinks, shared with
-#     in-window s1);
-# (c) 17 of the 31 queries whose latest green is r02 — the stalest
-#     verdicts, including the t-family tokenization kernels that
-#     moved in round 4 and the m-family Arrow kernels (m1 meta, m3
-#     resize — INDEPENDENT mapInPandas kernels, both in-window);
-# (d) x6_sequence_pack, whose (lang, shard) fix landed in round 4 so
-#     its r03 green pre-dates the code under it.
+# keep it exact. The window now composes from tools/staleness_report.py
+# (latest green per CORRECTNESS_r*.json + last kernel-touching commit
+# round from git), ordered never-verified > kernel-changed > oldest
+# green; the r06 window below follows the r06-head report output.
+# Round-6 window composition:
+# (a) 6 queries NEW this round (never driver-verified — always
+#     first): m5 (real-PNG decode through the metadata kernel), j12
+#     (interval overlap join), w7 (rolling correlation), dq4
+#     (snapshot profile drift), x13 (weighted sampling), e10 (RFM);
+# (b) 6 queries whose kernel changed this round, so their old greens
+#     pre-date the code under them: g7 (localCheckpoint + explode
+#     plan fix), m1/m3 (real-decode tiers inside the mapInPandas
+#     kernels), j8 (range_join live-set suffix projection), g6
+#     (graph.py shared file; pagerank function body unchanged), st8
+#     (r04 green; included so the streaming outer interval join —
+#     the round-5 verdict's ask #5, already shipped as st8 — holds a
+#     fresh driver verdict);
+# (c) ALL 14 r02-latest greens — the entire verdict-staleness tail,
+#     led by q13 (the round-5 self-declared weakest deferral):
+#     q13, f7, t3, m2, m4, u3, x5, v6, q2, q5, q7, q18, q21, q22;
+# (d) 24 of the 31 r03-latest greens, staleness-report order,
+#     kernel-diverse (joins, dedup+clusters, pivot family, windows,
+#     ANN, sinks, aggregates).
 # Deferred to a same-kernel in-window sibling (each keeps its local
-# pytest + verify_local gate, and ALL 154 queries were re-verified
-# green locally this round): t3→t1/t2/t4/t6 (per-row text kernel,
-# unchanged since r02), u3→u2 (set-op family), m2→m1 (m1's meta
-# extraction + a filter), m4→m1/m3 (same Arrow batch plumbing),
-# x5→x4 (md5-keyspace split), v6→v2 (LSH signature kernel; v6's
-# recall gate runs in pytest), q2/q5/q7/q13/q18/q21/q22→q3/q9 (the
-# star family shares suite/star*.py load/broadcast helpers; q13's
-# outer-join shape noted as the weakest deferral), d6/d3/d5/d7→d2
-# (the changed all_ngrams/shingle kernel is upstream of all of them;
-# d6's clusters path adds only graph.py CC, unchanged since r03),
-# s2/s3→s1/s6 (io_dir path helper shared by all four round-trips).
-# NOT re-verified on purpose: j1–j4 (joins.py unchanged since r03).
+# pytest + verify_local gate; the FULL 154-query local sweep was re-
+# run green at r06 head after the session/graph/asof/multimodal
+# changes, and every new query verified individually): j2→j1 (same
+# impute-join kernel), d5→d3 (same ngram-Jaccard kernel), g3/g4→
+# g1/g2 (same pivot/rollup family file), w2/w3→w1+w7 (window-frame
+# kernels), x3→x13 (md5-keyspace idiom) — plus the r04 cohort
+# (e/f/p/s/sql/st/t8/t9/u/x families) which held r04 greens two
+# rounds old at most.
 _PRIORITY = [
     # (a) never driver-verified (new this round)
+    "m5_real_image_dims",
+    "j12_interval_overlap",
+    "w7_rolling_corr",
+    "dq4_profile_drift",
+    "x13_weighted_sample",
+    "e10_rfm_segments",
+    # (b) kernel changed this round
     "g7_triangle_count",
-    "k2_salted_skew_join",
-    "d8_chunk_dup_ratio",
-    "e9_attribution",
-    "w6_ewma",
-    "dq2_rolling_outliers",
-    "e7_cohort_month",
-    "r1_daily_rollup",
-    "r2_combine_partials",
-    "z1_zorder_key",
-    "k1_salted_agg",
-    "t10_bigram_topk",
-    "u5_apply_changes",
-    "s6_schema_evolution",
-    "j10_asof_forward_tolerance",
-    "w4_ohlc_resample",
-    "g6_pagerank",
-    "e8_scd2_lookup",
-    "j11_nullsafe_join",
-    "a12_weighted_median",
-    "a13_profile_stats",
-    "w5_gapfill_days",
-    "a14_equidepth_deciles",
-    "st10_windowed_distinct_users",
-    "x10_group_sample",
-    "x11_cdc_chunks",
-    "dq3_mad_outliers",
-    # (b) query code or oracle changed this round (see head comment)
-    "e3_cohort_retention",
-    "d1_exact_dup_groups",
-    "j8_range_join",
-    "d2_minhash_lsh_pairs",
-    "j7_asof_join",
-    # (c) r02-latest greens (stalest; shared kernels moved in r4).
-    # f7_cast_sentinel defers: clean.py's cast kernel holds r04
-    # greens via f3-f9 and f7 keeps its pytest gate — displaced by
-    # never-verified dq3_mad_outliers
-    "dq1_constraints",
-    "t1_token_counts",
-    "t2_quality_profile",
-    # t3_lang_id defers: operators/text.py's per-row expression
-    # kernel is unchanged since r02 and t1/t2/t4/t6 re-verify the
-    # family — displaced by never-verified x11_cdc_chunks
-    "t4_fingerprint",
-    "t5_repetition_ratio",
-    "t6_pii_scrub",
-    "t7_contamination",
-    "x4_stratified_split",
-    "u2_intersect",
-    # u3_except shares union_ops/set-op kernels with u2 — one fresh
-    # verdict covers the family; u3 keeps the local pytest gate
     "m1_image_meta",
     "m3_resize_plumbing",
-    "v1_topk_cosine_bruteforce",
-    "v2_topk_cosine_lsh",
-    "v4_embedding_near_dup",
-    "v5_topk_cosine_ivf",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    # (d) r03 green on round-4-touched code: the (lang, shard) fix
-    # landed in round 4, so x6's r03 green pre-dates the code under it
-    "x6_sequence_pack",
+    "j8_range_join",
+    "g6_pagerank",
+    "st8_left_outer_interval_join",
+    # (c) the full r02-latest tail, weakest deferral first
+    "q13_order_count_dist",
+    "f7_cast_sentinel",
+    "t3_lang_id",
+    "m2_meta_filter",
+    "m4_frame_sample",
+    "u3_except",
+    "x5_domain_mix",
+    "v6_topk_cosine_lsh_multiprobe",
+    "q2_best_value_supplier",
+    "q5_local_volume",
+    "q7_nation_volume",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    # (d) r03-latest greens, staleness-report order, kernel-diverse
+    "j1_impute_left_join",
+    "j3_fuzzy_two_pass",
+    "j4_argmax_dedupe",
+    "d3_near_dup_pairs",
+    "d4_simhash_groups",
+    "d6_dup_clusters",
+    "d7_canonical_docs",
+    "f1_normalize_text",
+    "q1_pricing_summary",
+    "a1_topk_group_count",
+    "a2_count_distinct",
+    "a4_dup_counts",
+    "a5_histogram",
+    "a6_full_dedupe",
+    "a8_top_entities",
+    "a10_percentiles",
+    "g1_pivot",
+    "g2_cube",
+    "s2_json_roundtrip",
+    "s5_jdbc_roundtrip",
+    "v3_embedding_norms",
+    "v7_topk_cosine_ivf_nprobe",
+    "w1_running_and_lag",
+    "x1_word_count",
 ]
 
 
