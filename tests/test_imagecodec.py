@@ -166,3 +166,43 @@ def test_resize_images_real_png_payload(media_df):
     # stub tier keeps its deterministic length contract
     assert len(out[3]["payload"]) == 5 * 4 * 3
     assert out[4]["payload"] is None
+
+
+# ---------------------------------------------------------------------------
+# audio codec (operators/audiocodec.py) — same real-tier pattern
+# ---------------------------------------------------------------------------
+
+
+def test_wav_meta_roundtrip_and_rejects():
+    from workhop2_etl_spark.operators import audiocodec as ac
+
+    w = ac.wav_encode(32000, channels=2, sample_rate=8000, bits=16)
+    assert ac.wav_meta(w) == (2, 8000, 16, 32000, 4.0)
+    w2 = ac.wav_encode(441, channels=1, sample_rate=44100, bits=8)
+    assert ac.wav_meta(w2) == (1, 44100, 8, 441, 0.01)
+    # chunk-walk: a junk chunk before fmt must not break parsing
+    junk = w[:12] + b"JUNK" + (4).to_bytes(4, "little") + b"abcd" + w[12:]
+    assert ac.wav_meta(junk) == (2, 8000, 16, 32000, 4.0)
+    assert ac.wav_meta(b"not audio") is None
+    assert ac.wav_meta(None) is None
+    assert ac.wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None  # no fmt/data
+
+
+def test_extract_audio_meta_true_fields(spark):
+    from workhop2_etl_spark.operators import audiocodec as ac
+    from workhop2_etl_spark.operators.multimodal import extract_audio_meta
+
+    rows = [
+        (1, bytearray(ac.wav_encode(1600, channels=1, sample_rate=16000))),
+        (2, bytearray(b"text payload")),  # stub tier
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    meta = {r["doc_id"]: r for r in extract_audio_meta(df).collect()}
+    m1 = meta[1]
+    assert (m1["channels"], m1["sample_rate"], m1["n_frames"], m1["duration_s"]) == (
+        1, 16000, 1600, 0.1,
+    )
+    n = len(b"text payload")
+    assert meta[2]["n_frames"] == n * 5  # stub contract
+    assert meta[3]["channels"] is None and meta[3]["n_bytes"] is None

@@ -401,3 +401,44 @@ def test_foreach_batch_upsert_on_file_uri(spark, events_path, tmp_path):
 
     stray = [d for d in _os.listdir(str(tmp_path)) if ".epoch" in d]
     assert stray == []
+
+
+def test_stream_upsert_recovers_interrupted_publish(spark, events_path, tmp_path):
+    """Crash-window recovery for the rename-swap publish: if a prior
+    run died between swap-out (table→__old) and swap-in (tmp→table),
+    the next batch must restore the __old copy BEFORE reading its
+    base — no rows lost, leftovers cleaned. Also: a stale __tmp from
+    a pre-publish crash is discarded, never merged."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    table_dir = str(tmp_path / "table")
+    SW.stream_upsert_to_parquet(
+        spark, events_path, table_dir, keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt1"),
+    )
+    baseline = spark.read.parquet(table_dir).count()
+    assert baseline > 0
+
+    # simulate the mid-swap crash: the only live copy is __old
+    shutil.move(table_dir, table_dir + "__old")
+    # plus a stale pre-publish tmp with poison rows that must NOT
+    # survive recovery
+    poison = str(tmp_path / "poison")
+    spark.read.parquet(events_path).limit(1).withColumn(
+        "event_type", F.lit("POISON")
+    ).write.parquet(poison)
+    shutil.copytree(poison, table_dir + "__tmp")
+
+    # a fresh checkpoint replays all input; recovery must restore the
+    # old table first, then merge idempotently on event_id
+    SW.stream_upsert_to_parquet(
+        spark, events_path, table_dir, keys=["event_id"],
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    got = spark.read.parquet(table_dir)
+    assert got.count() == baseline
+    assert got.filter(F.col("event_type") == "POISON").count() == 0
+    assert not os.path.exists(table_dir + "__old")
+    assert not os.path.exists(table_dir + "__tmp")

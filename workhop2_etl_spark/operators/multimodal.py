@@ -19,8 +19,10 @@ re-encode in the resize stage (PIL when installed, else the stdlib
 zlib PNG codec). Unrecognized payloads (the synthetic text-bytes
 fixtures, real-world corrupt bytes) fall back to the deterministic
 stubs, so every kernel stays a total, pure function of its input.
-Video/audio probes remain stubs (no container format is trivially
-parseable stdlib-side); their plumbing is identical.
+Audio gets the same treatment via operators/audiocodec.py: RIFF/WAVE
+payloads yield their true (channels, rate, bits, frames, duration)
+from the chunk list. Video probes remain stubs (no video container
+is trivially parseable stdlib-side); the plumbing is identical.
 """
 
 from __future__ import annotations
@@ -249,3 +251,61 @@ def embed_images(df: DataFrame, id_col: str = "doc_id", dim: int = 16) -> DataFr
             yield pd.DataFrame({id_col: pdf[id_col], "embedding": vecs})
 
     return df.select(id_col, "payload").mapInPandas(kernel, schema)
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("bits", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_s", T.DoubleType(), True),
+    ]
+)
+
+
+def _fake_audio_meta(payload: bytes) -> tuple[int, int, int, int, float]:
+    """Stub tier for non-WAV payloads: deterministic metadata from
+    the byte length (mirrors _fake_decode_image's contract)."""
+    n = len(payload)
+    frames = n * 5
+    return (n % 2 + 1, 16000, 16, frames, round(frames / 16000, 6))
+
+
+def _decode_audio_meta(payload: bytes):
+    if payload is None:
+        return (None, None, None, None, None)
+    from workhop2_etl_spark.operators import audiocodec
+
+    meta = audiocodec.wav_meta(payload)
+    return meta if meta is not None else _fake_audio_meta(payload)
+
+
+def extract_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Audio decode stage: binary payload → typed metadata via the
+    same Arrow mapInPandas shape as extract_image_meta. Real
+    RIFF/WAVE payloads get true header metadata
+    (operators/audiocodec.py); unrecognized bytes take the stub tier.
+    Row-local, shuffle-free; payload bytes are dropped before any
+    downstream shuffle."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(_decode_audio_meta)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else None
+                    ),
+                    "channels": metas.map(lambda m: m[0]),
+                    "sample_rate": metas.map(lambda m: m[1]),
+                    "bits": metas.map(lambda m: m[2]),
+                    "n_frames": metas.map(lambda m: m[3]),
+                    "duration_s": metas.map(lambda m: m[4]),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(decode, AUDIO_META_SCHEMA)
