@@ -33,11 +33,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # round from git), ordered never-verified > kernel-changed > oldest
 # green; the r06 window below follows the r06-head report output.
 # Round-6 window composition:
-# (a) 7 queries NEW this round (never driver-verified — always
+# (a) 8 queries NEW this round (never driver-verified — always
 #     first): m5 (real-PNG decode through the metadata kernel), j12
 #     (interval overlap join), w7 (rolling correlation), dq4
 #     (snapshot profile drift), x13 (weighted sampling), e10 (RFM),
-#     m6 (real-WAV audio metadata through the audio kernel);
+#     m6 (real-WAV audio metadata through the audio kernel), st11
+#     (stream-stream FULL outer interval join — completes st6/st8's
+#     family; stream≡batch expiry test alongside);
 # (b) 6 queries whose kernel changed this round, so their old greens
 #     pre-date the code under them: g7 (localCheckpoint + explode
 #     plan fix), m1/m3 (real-decode tiers inside the mapInPandas
@@ -49,7 +51,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (c) ALL 14 r02-latest greens — the entire verdict-staleness tail,
 #     led by q13 (the round-5 self-declared weakest deferral):
 #     q13, f7, t3, m2, m4, u3, x5, v6, q2, q5, q7, q18, q21, q22;
-# (d) 23 of the 31 r03-latest greens, staleness-report order,
+# (d) 22 of the 31 r03-latest greens, staleness-report order,
 #     kernel-diverse (joins, dedup+clusters, pivot family, windows,
 #     ANN, sinks, aggregates).
 # Deferred to a same-kernel in-window sibling (each keeps its local
@@ -57,8 +59,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # run green at r06 head after the session/graph/asof/multimodal
 # changes, and every new query verified individually): j2→j1 (same
 # impute-join kernel), d5→d3 (same ngram-Jaccard kernel), g3/g4→
-# g1/g2 (same pivot/rollup family file), w2/w3→w1+w7 (window-frame
-# kernels), x1/x3→x13 (md5-keyspace idiom) — plus the r04 cohort
+# g1/g2 (same pivot/rollup family file), w1/w2/w3→w7 (window-frame
+# kernels; w1's kernel untouched since r03), x1/x3→x13 (md5-keyspace idiom) — plus the r04 cohort
 # (e/f/p/s/sql/st/t8/t9/u/x families) which held r04 greens two
 # rounds old at most.
 _PRIORITY = [
@@ -70,6 +72,7 @@ _PRIORITY = [
     "x13_weighted_sample",
     "e10_rfm_segments",
     "m6_real_audio_meta",
+    "st11_full_outer_interval_join",
     # (b) kernel changed this round
     "g7_triangle_count",
     "m1_image_meta",
@@ -115,7 +118,6 @@ _PRIORITY = [
     "s5_jdbc_roundtrip",
     "v3_embedding_norms",
     "v7_topk_cosine_ivf_nprobe",
-    "w1_running_and_lag",
 ]
 
 

@@ -442,3 +442,74 @@ def test_stream_upsert_recovers_interrupted_publish(spark, events_path, tmp_path
     assert got.filter(F.col("event_type") == "POISON").count() == 0
     assert not os.path.exists(table_dir + "__old")
     assert not os.path.exists(table_dir + "__tmp")
+
+
+def test_stream_full_outer_interval_join_emits_both_null_sides(spark):
+    """FULL OUTER stream-stream interval join: unmatched LEFT rows
+    flush with NULL right after the watermark passes left.ts+within
+    (as in the left-outer test), and unmatched RIGHT rows flush with
+    NULL left after the watermark passes their own ts. Batch 0 plants
+    one matched pair, one never-matched view, and one never-matched
+    click (a click 40min after the view — outside the 30min window in
+    BOTH directions); batches 1-2 advance both inputs' watermarks with
+    self-matching far-future pairs. Final emissions must equal the
+    batch full join, including the key on right-only rows."""
+    import datetime as dt
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    def ev(eid, uid, minute, etype):
+        return (eid, dt.datetime(2024, 1, 1, 0, 0) + dt.timedelta(minutes=minute),
+                uid, etype, 1.0, "{}")
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    src = tempfile.mkdtemp(prefix="w2e_foj_")
+    batches = [
+        # v1+c1 match; v2 never matched; c2 (40min after v2) matches
+        # nothing in either direction
+        [ev(1, 7, 0, "view"), ev(3, 7, 10, "click"),
+         ev(2, 8, 5, "view"), ev(4, 8, 45, "click")],
+        [ev(100, 999, 1300, "view"), ev(101, 999, 1305, "click")],
+        [ev(102, 998, 3000, "view"), ev(103, 998, 3005, "click")],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+    parts = _parts_in_batch_order(src)
+    assert len(parts) == 3
+    for i, p in enumerate(parts):
+        os.utime(p, (1_700_000_000 + i * 1000,) * 2)
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "view"),
+            df.filter(F.col("event_type") == "click"),
+        )
+
+    bv, bc = split(spark.read.parquet(src))
+    batch = SW.interval_join_pairs(bv, bc, within="30 minutes", how="fullOuter")
+    # non-vacuous: the batch face has a NULL-left row carrying the
+    # right side's key (the coalesce contract)
+    rows = batch.collect()
+    assert any(r.l_event_id is None and r.user_id == 8 for r in rows)
+    assert any(r.r_event_id is None and r.user_id == 8 for r in rows)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sv, sc = split(stream)
+    q = (
+        SW.interval_join_pairs(
+            sv, sc, within="30 minutes", watermark="10 minutes", how="fullOuter"
+        )
+        .writeStream.format("memory")
+        .queryName("stream_foj")
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="w2e_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert _rows(spark.table("stream_foj")) == _rows(batch)

@@ -245,6 +245,11 @@ def interval_join_pairs(
     state store then knows no future match can arrive), which is why
     outer interval joins REQUIRE watermarks on both inputs. In batch
     it's an ordinary left join with the same condition.
+    ``how="fullOuter"`` additionally emits each unmatched RIGHT row
+    once with a NULL left side when ITS state expires (watermark past
+    right.ts — a right row's only join window is the ``within``
+    interval preceding it, so expiry is symmetric); the output key is
+    taken from whichever side is present.
     """
     l = _maybe_watermark(left, ts_col, watermark).select(
         F.col(on).alias("__k"),
@@ -264,8 +269,11 @@ def interval_join_pairs(
         & (F.col("r_ts") <= F.expr(f"l_ts + {within_expr}")),
         how,
     )
+    # coalesce the key across sides: under fullOuter an unmatched
+    # RIGHT row has NULL __k — its key lives in __rk (no-op for
+    # inner/leftOuter, where __k is always populated)
     return joined.select(
-        F.col("__k").alias(on),
+        F.coalesce(F.col("__k"), F.col("__rk")).alias(on),
         "l_event_id",
         "r_event_id",
         _ntz("l_ts").alias("l_ts"),

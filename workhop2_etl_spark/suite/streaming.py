@@ -334,3 +334,40 @@ def st9_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 def st10_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return SW.windowed_distinct_users(ev, "1 hour").orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# st11: stream-stream FULL OUTER interval join (batch face) — st8's
+# left-outer plus the symmetric side: a click with no view in the 30
+# minutes before it emits alone with a NULL left side. In streaming
+# both directions flush on state expiry (watermark past each side's
+# own horizon); asserted stream ≡ batch in tests/test_streaming.py.
+# The output key coalesces across sides (an unmatched right row's
+# key would otherwise be NULL).
+# ---------------------------------------------------------------------------
+@query(
+    "st11_full_outer_interval_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type,
+             make_timestamp(epoch_ns(ts) // 1000) AS ts
+      FROM events
+    ),
+    v AS (SELECT * FROM ev WHERE event_type = 'view'),
+    c AS (SELECT * FROM ev WHERE event_type = 'click')
+    SELECT coalesce(v.user_id, c.user_id) AS user_id,
+           v.event_id AS l_event_id, c.event_id AS r_event_id,
+           v.ts AS l_ts, c.ts AS r_ts
+    FROM v FULL JOIN c
+      ON v.user_id = c.user_id
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    ORDER BY user_id, l_event_id, r_event_id
+    """,
+)
+def st11_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    return SW.interval_join_pairs(
+        views, clicks, within="30 minutes", how="fullOuter"
+    ).orderBy("user_id", "l_event_id", "r_event_id")
