@@ -620,3 +620,76 @@ def x10_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "rk", "doc_id")
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# x14: temperature-scaled language mixing — the multilingual-corpus
+# resampling rule (sample languages ∝ share^alpha, alpha<1 upweights
+# low-resource languages relative to their natural share; the mT5 /
+# XLM-R mixing scheme). Per-language keep rates come from ONE tiny
+# aggregate (|languages| rows) broadcast back onto the scan; the
+# accept decision is the same deterministic md5-uniform as x5, so the
+# sample is reproducible row-locally — no rand(), no global sort. At
+# 100 TB the only non-map stage is the |languages|-row aggregate.
+# Double-summation caveat: sum(n^alpha) is order-sensitive in the
+# last ulp, so keep_rate is rounded to 12 dp in BOTH engines before
+# the threshold compare (u's resolution is 2^-32 ≈ 2.3e-10, three
+# orders coarser — the boundary cannot flip).
+# ---------------------------------------------------------------------------
+_TMIX_ALPHA = 0.5
+_TMIX_TARGET = 300
+
+
+@query(
+    "x14_temperature_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT lang, count(*) AS n_total, pow(count(*), {_TMIX_ALPHA}) AS w
+      FROM documents GROUP BY lang
+    ),
+    rates AS (
+      SELECT lang, n_total,
+             round(least(1.0, {_TMIX_TARGET} * w / (SELECT sum(w) FROM per)
+                              / n_total), 12) AS keep_rate
+      FROM per
+    )
+    SELECT d.lang, r.n_total, round(r.keep_rate, 6) AS keep_rate,
+           count(*) FILTER (WHERE
+             CAST(('0x' || substring(md5('tmix:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 < r.keep_rate) AS n_kept
+    FROM documents d JOIN rates r ON d.lang = r.lang
+    GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+)
+def x14_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    per = per.withColumn("w", F.pow("n_total", F.lit(_TMIX_ALPHA)))
+    total = per.agg(F.sum("w").alias("sum_w"))
+    rates = per.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_total",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                _TMIX_TARGET * F.col("w") / F.col("sum_w") / F.col("n_total"),
+            ),
+            12,
+        ).alias("keep_rate"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("tmix:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_total", F.round("keep_rate", 6).alias("keep_rate"))
+        .agg(F.count(F.when(u < F.col("keep_rate"), 1)).alias("n_kept"))
+        .orderBy("lang")
+    )

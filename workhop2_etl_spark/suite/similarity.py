@@ -352,3 +352,87 @@ def v7_topk_cosine_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.topk_cosine_ivf(emb, queries, centroids, k=K, nprobe=NPROBE).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# d9: semantic dedup (SemDeDup-style) — cluster embeddings into IVF
+# cells (the same deterministic modulo-seed centroid set as v5; a
+# production run swaps in operators/similarity.py::fit_centroids),
+# compare pairs ONLY within a cell, and drop the higher vec_id of
+# every pair with cosine >= tau. Candidate generation is the cell
+# equi-join — never all-pairs: at 100 TB the cell count scales with
+# the corpus so per-cell population stays bounded, and the quadratic
+# step is per-cell-local exactly as in the published SemDeDup recipe
+# (Abbas et al., 2023). The keep/drop rule (survivor = smallest id of
+# its near-set) is greedy-by-id, SQL-expressible without recursion.
+# ---------------------------------------------------------------------------
+_SEMDEDUP_TAU = 0.3
+
+
+@query(
+    "d9_semantic_dedup",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cid FROM scored_c WHERE rn = 1),
+    pairs AS (
+      SELECT a.cid, b.vec_id, {_pair_cos_sql('a.v', 'b.v')} AS cos
+      FROM cells a JOIN cells b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    )
+    SELECT cid, vec_id, count(*) AS n_nearer,
+           round(max(cos), 6) AS max_cosine
+    FROM pairs WHERE cos >= {_SEMDEDUP_TAU}
+    GROUP BY cid, vec_id
+    ORDER BY cid, vec_id
+    """,
+)
+def d9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    cells = SIM.ivf_assign(emb, centroids)
+    # per-row norm folds once pre-join (same sequential fold as the
+    # oracle's sqrt(list_reduce(...)) — identical doubles)
+    a = cells.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        SIM.l2_norm(F.col("embedding")).alias("na"),
+    )
+    b = cells.select(
+        F.col("centroid_id").alias("cid_b"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("vb"),
+        SIM.l2_norm(F.col("embedding")).alias("nb"),
+    )
+    pairs = a.join(
+        b, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("vec_id"))
+    )
+    cos = SIM.cosine_with_norms(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
+    )
+    return (
+        pairs.select("cid", "vec_id", cos.alias("cos"))
+        .filter(F.col("cos") >= _SEMDEDUP_TAU)
+        .groupBy("cid", "vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearer"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+        )
+        .orderBy("cid", "vec_id")
+    )
