@@ -199,3 +199,64 @@ def test_interval_overlap_join_contracts(spark):
     assert sorted(pairs) == [(1, 101), (1, 102), (3, 104)]
     # collision suffixing: right's k/s/e renamed, all columns unambiguous
     assert out.columns == ["lid", "k", "s", "e", "rid", "k_r", "s_r", "e_r"]
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    from workhop2_etl_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame([(1, _ts(3))], "k long, t timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(2), "before"), (1, _ts(4), "after")],
+        "k long, t timestamp, tag string",
+    )
+    out = asof_nearest_join(
+        left, right, left_key="k", right_key="k",
+        left_time="t", right_time="t", payload=["tag"],
+    )
+    assert out.collect()[0].tag == "before"
+
+
+def test_asof_nearest_picks_closer_side_and_exact_match(spark):
+    from workhop2_etl_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(3)), (2, _ts(3)), (3, _ts(3))], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(1), "far-b"), (1, _ts(3, 30), "near-f"),
+            (2, _ts(2, 45), "near-b"), (2, _ts(5), "far-f"),
+            (3, _ts(3), "exact"), (3, _ts(3, 1), "later"),
+        ],
+        "k long, t timestamp, tag string",
+    )
+    out = asof_nearest_join(
+        left, right, left_key="k", right_key="k",
+        left_time="t", right_time="t", payload=["tag"],
+    )
+    rows = {r.k: r.tag for r in out.collect()}
+    assert rows == {1: "near-f", 2: "near-b", 3: "exact"}
+
+
+def test_asof_nearest_tolerance_and_null_times(spark):
+    from workhop2_etl_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(3)), (2, None), (3, _ts(12))], "k long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts(5), "out-of-tol"),      # 2h away, tol 1h
+            (2, _ts(1), "null-left"),        # left time NULL -> no match
+            (3, None, "null-right"),         # NULL right never matches
+            (3, _ts(11, 30), "in-tol"),
+        ],
+        "k long, t timestamp, tag string",
+    )
+    out = asof_nearest_join(
+        left, right, left_key="k", right_key="k",
+        left_time="t", right_time="t", payload=["tag"],
+        tolerance="1 hour",
+    )
+    rows = {r.k: r.tag for r in out.collect()}
+    assert rows == {1: None, 2: None, 3: "in-tol"}

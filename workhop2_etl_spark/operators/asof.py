@@ -308,3 +308,109 @@ def interval_overlap_join(
             )
         ],
     )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    payload: list[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """Nearest-in-time as-of join: for each left row, the right row on
+    the same key minimizing |right_time - left_time|, ties resolved
+    BACKWARD (the at-or-before candidate wins over an equally distant
+    at-or-after one). ``tolerance`` bounds the distance both ways; a
+    left row with no candidate in bounds (or a NULL time) survives
+    with NULL payload. Output rows == left rows.
+
+    Single-sort plan: the same union-and-carry as ``asof_join`` but
+    BOTH directions ride one (key, time)-ordered window — the
+    backward candidate via last(ignorenulls) over the preceding
+    frame, the forward candidate via first(ignorenulls) over the
+    following frame. One shuffle of |L|+|R| rows, no join fan-out;
+    Spark evaluates both frames over the one sort.
+
+    Exact-time matches land in the backward frame (right rows order
+    before left rows at the same instant), so the forward frame's
+    blindness to them is immaterial: distance 0 always wins backward.
+    Right rows with NULL time are dropped, as in ``asof_join``; tied
+    right rows at one (key, instant) must be collapsed upstream for
+    determinism (same contract as ``asof_join``).
+    """
+    right = right.filter(F.col(right_time).isNotNull())
+    payload_t = right.select(
+        F.struct(*[F.col(c) for c in payload]).alias("s")
+    ).schema["s"].dataType
+    lrow_t = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("s")
+    ).schema["s"].dataType
+
+    l_tag = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(payload_t).alias("__payload"),
+    )
+    r_tag = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lrow_t).alias("__lrow"),
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+
+    # asc nulls-first: NULL-time left rows sort before every right
+    # row; their backward frame is empty and their forward carry is
+    # discarded by the explicit NULL guard below.
+    order = [F.asc("__t"), F.asc("__is_left")]
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(*order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    r_time = F.when(F.col("__is_left") == 0, F.col("__t"))
+    carried = (
+        unioned.withColumn("__bm", F.last("__payload", ignorenulls=True).over(wb))
+        .withColumn("__bt", F.last(r_time, ignorenulls=True).over(wb))
+        .withColumn("__fm", F.first("__payload", ignorenulls=True).over(wf))
+        .withColumn("__ft", F.first(r_time, ignorenulls=True).over(wf))
+    )
+
+    # distances in exact integer MICROSECONDS — double seconds would
+    # carry ~0.5µs rounding, enough to flip a 1µs-margin tiebreak.
+    # The session timezone is UTC (session.py), so the ntz→timestamp
+    # cast inside unix_micros is offset-free.
+    def micros(c: str) -> F.Column:
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    d_b = micros("__t") - micros("__bt")
+    d_f = micros("__ft") - micros("__t")
+    b_ok = F.col("__bt").isNotNull()
+    f_ok = F.col("__ft").isNotNull()
+    if tolerance is not None:
+        tol = F.lit(
+            1_000_000 * _interval_seconds(left.sparkSession, tolerance)
+        ).cast("long")
+        b_ok = b_ok & (d_b <= tol)
+        f_ok = f_ok & (d_f <= tol)
+    pick_b = b_ok & (~f_ok | (d_b <= d_f))
+    match = F.when(
+        F.col("__t").isNotNull(),
+        F.when(pick_b, F.col("__bm")).when(f_ok, F.col("__fm")),
+    )
+    out = carried.filter(F.col("__is_left") == 1).withColumn("__match", match)
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__match.{c}").alias(c) for c in payload],
+    )

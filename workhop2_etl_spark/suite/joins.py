@@ -696,3 +696,65 @@ def j12_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy("custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# j13: NEAREST as-of join — each click matched to the closest-in-time
+# purchase of the same user within ±45 minutes, ties to the earlier
+# (backward) candidate. Completes the as-of family (j7 backward, j10
+# forward+tolerance): one union-and-carry sort serves BOTH direction
+# frames (last over preceding, first over following) — still a single
+# shuffle of |L|+|R| rows, zero join fan-out. Distances compare in
+# exact integer microseconds (operators/asof.py::asof_nearest_join).
+# ---------------------------------------------------------------------------
+@query(
+    "j13_asof_nearest",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+             event_type
+      FROM events
+    ),
+    c AS (SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'),
+    p AS (SELECT min(event_id) AS purchase_id, user_id, ts AS pts
+          FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts),
+    cand AS (
+      SELECT c.event_id, c.user_id, c.ts, p.purchase_id,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY abs(epoch_us(p.pts) - epoch_us(c.ts)) ASC,
+                                         p.pts ASC) AS rn
+      FROM c LEFT JOIN p
+        ON c.user_id = p.user_id
+       AND p.pts >= c.ts - INTERVAL 45 MINUTE
+       AND p.pts <= c.ts + INTERVAL 45 MINUTE
+    )
+    SELECT event_id, user_id, ts, purchase_id
+    FROM cand WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def j13_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.asof import asof_nearest_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # collapse tied (user, instant) purchases — same determinism
+    # contract as j7/j10.
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    out = asof_nearest_join(
+        clicks,
+        purchases,
+        left_key="user_id",
+        right_key="user_id",
+        left_time="ts",
+        right_time="ts",
+        payload=["purchase_id"],
+        tolerance="45 minutes",
+    )
+    return out.select("event_id", "user_id", "ts", "purchase_id").orderBy("event_id")
