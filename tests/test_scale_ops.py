@@ -954,3 +954,62 @@ def test_ivf_trained_centroids_beat_modulo_seed(spark):
     # reproducible or incremental re-indexing diverges)
     again = SIM.fit_centroids(emb, N_CENTROIDS)
     assert trained == again
+
+
+def test_hist_rollup_combine_exact_and_epoch_protocol(spark, sf_dir, tmp_path):
+    """Histogram quantiles as a combinable measure: (1) merged
+    per-split partials are BIT-IDENTICAL (integer bin adds) to the
+    single-pass histogram; (2) the measure rides the epoch sink /
+    reader protocol unchanged (rollup_fn/combine_fn plug-in); (3) the
+    upper-edge estimate brackets the exact percentile within one bin
+    width."""
+    from workhop2_etl_spark.operators.incremental import (
+        _HIST_BINS,
+        combine_hist_rollups,
+        hist_quantile,
+        rollup_events_daily_hist,
+    )
+    from workhop2_etl_spark.session import load_table
+    from workhop2_etl_spark.streaming.windows import read_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_id") % 3 == 0)
+    b = ev.filter(F.col("event_id") % 3 != 0)
+
+    # (2) write the partials as epoch generations and read through
+    # the protocol reader with the histogram combine algebra
+    tdir = str(tmp_path / "hist_rollup")
+    rollup_events_daily_hist(a).write.mode("overwrite").parquet(f"{tdir}/epoch=0")
+    rollup_events_daily_hist(b).write.mode("overwrite").parquet(f"{tdir}/epoch=1")
+    via_epochs = read_rollup(spark, tdir, combine_fn=combine_hist_rollups)
+
+    single = rollup_events_daily_hist(ev)
+    key = lambda r: (r.day, r.event_type)
+    got = {key(r): (r.n, list(r.hist)) for r in via_epochs.collect()}
+    want = {key(r): (r.n, list(r.hist)) for r in single.collect()}
+    assert got == want  # (1) bit-identical partial-combine algebra
+
+    # (3) the estimate is the upper edge of the bin holding the
+    # ceil(0.95·n)-th smallest value — so that order statistic must
+    # sit within one bin width below the estimate
+    est = {
+        key(r): r.p95
+        for r in via_epochs.select(
+            "day", "event_type",
+            hist_quantile(F.col("hist"), F.col("n"), 19, 20).alias("p95"),
+        ).collect()
+    }
+    exact = {
+        key(r): r.v
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.expr(
+                "element_at(sort_array(collect_list(value)),"
+                " cast(ceil(0.95 * count(value)) as int))"
+            ).alias("v")
+        )
+        .collect()
+    }
+    width = (500.0 - 0.0) / _HIST_BINS
+    for k, e in est.items():
+        assert e - width <= exact[k] <= e, (k, e, exact[k])

@@ -264,3 +264,95 @@ def compact_rollup_epochs(
         fs.delete(spark, d)
     sweep_stale(new_k)
     return len(foldable)
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histograms as a COMBINABLE quantile measure
+# ---------------------------------------------------------------------------
+#
+# Quantiles are the other classic rollup-breaker (exact percentiles
+# need the full value multiset). A fixed-bin equi-width histogram is
+# a combinable partial — bin-count vectors ADD — so approximate
+# quantiles join the same epoch/compaction algebra as sums and HLL
+# sketches: combine(hist(A), hist(B)) is BIT-IDENTICAL to hist(A∪B)
+# (integer adds), and the quantile estimate (upper edge of the first
+# bin whose cumulative count reaches ceil(q·n)) is exact integer
+# arithmetic — deterministic however the data was split across
+# epochs or batches. Error is bounded by bin width, chosen at
+# measure-definition time; at 100 TB the partial per cell is a
+# constant `bins`-length long array regardless of row count.
+
+_HIST_BINS = 20
+_HIST_LO = 0.0
+_HIST_HI = 500.0
+
+
+def rollup_events_daily_hist(
+    events: DataFrame,
+    bins: int = _HIST_BINS,
+    lo: float = _HIST_LO,
+    hi: float = _HIST_HI,
+) -> DataFrame:
+    """(day, event_type, n, hist: array<long>) — per-cell bin counts
+    of ``value`` over [lo, hi) with out-of-range values clamped to
+    the edge bins; NULL values count in neither ``n`` nor ``hist``."""
+    width = (hi - lo) / bins
+    b = F.when(
+        F.col("value").isNotNull(),
+        F.least(
+            F.greatest(
+                F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        ),
+    )
+    return events.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count("value").alias("n"),
+        F.array(
+            *[
+                F.sum(F.when(b == i, F.lit(1)).otherwise(0)).cast("long")
+                for i in range(bins)
+            ]
+        ).alias("hist"),
+    )
+
+
+def combine_hist_rollups(parts: DataFrame, bins: int = _HIST_BINS) -> DataFrame:
+    """Merge partial histogram rollups: counts add element-wise."""
+    return parts.groupBy(*_KEYS).agg(
+        F.sum("n").alias("n"),
+        F.array(
+            *[F.sum(F.element_at("hist", i + 1)).cast("long") for i in range(bins)]
+        ).alias("hist"),
+    )
+
+
+def hist_quantile(
+    hist,
+    n,
+    q_num: int,
+    q_den: int,
+    bins: int = _HIST_BINS,
+    lo: float = _HIST_LO,
+    hi: float = _HIST_HI,
+):
+    """Quantile q = q_num/q_den from a bin-count vector: the UPPER
+    EDGE of the first bin whose cumulative count reaches ceil(q·n),
+    via the exact integer compare q_den·cum >= q_num·n. Pure array
+    expression (no shuffle, no explode); NULL when n = 0."""
+    width = (hi - lo) / bins
+    k = F.element_at(
+        F.filter(
+            F.sequence(F.lit(1), F.lit(bins)),
+            lambda kk: F.lit(q_den)
+            * F.aggregate(
+                F.slice(hist, F.lit(1), kk),
+                F.lit(0).cast("long"),
+                lambda a, v: a + v,
+            )
+            >= F.lit(q_num) * n,
+        ),
+        1,
+    )
+    return F.when(n > 0, F.lit(lo) + F.lit(width) * k.cast("double"))

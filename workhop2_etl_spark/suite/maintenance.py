@@ -378,3 +378,55 @@ def g7_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(picked).orderBy("node")
+
+
+# ---------------------------------------------------------------------------
+# r3: approximate quantiles as a COMBINABLE rollup measure — the
+# Spark side splits events on event_id parity, builds an equi-width
+# histogram partial per half, merges them (bin counts add), and
+# estimates p50/p95 from the merged vector; the oracle is the
+# single-pass histogram over everything. Equality proves quantile
+# estimates obey the same partial-combine algebra as sums/HLL, so
+# they ride the epoch/compaction protocol without fact-table rescans.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "r3_hist_quantiles",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             least(greatest(CAST(floor(value / 25.0) AS BIGINT), 0), 19) AS bin
+      FROM events WHERE value IS NOT NULL
+    ),
+    h AS (SELECT day, event_type, bin, count(*) AS nb FROM b GROUP BY 1, 2, 3),
+    c AS (
+      SELECT day, event_type, bin, nb,
+             sum(nb) OVER (PARTITION BY day, event_type ORDER BY bin) AS cum,
+             sum(nb) OVER (PARTITION BY day, event_type) AS n
+      FROM h
+    )
+    SELECT day, event_type, n,
+           min(CASE WHEN 2 * cum >= n THEN CAST(25.0 AS DOUBLE) * (bin + 1) END) AS p50_est,
+           min(CASE WHEN 20 * cum >= 19 * n THEN CAST(25.0 AS DOUBLE) * (bin + 1) END) AS p95_est
+    FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+)
+def r3_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.incremental import (
+        combine_hist_rollups,
+        hist_quantile,
+        rollup_events_daily_hist,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    even = rollup_events_daily_hist(ev.filter(F.col("event_id") % 2 == 0))
+    odd = rollup_events_daily_hist(ev.filter(F.col("event_id") % 2 == 1))
+    merged = combine_hist_rollups(even.unionByName(odd))
+    return merged.select(
+        "day",
+        "event_type",
+        "n",
+        hist_quantile(F.col("hist"), F.col("n"), 1, 2).alias("p50_est"),
+        hist_quantile(F.col("hist"), F.col("n"), 19, 20).alias("p95_est"),
+    ).orderBy("day", "event_type")
