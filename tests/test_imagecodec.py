@@ -206,3 +206,105 @@ def test_extract_audio_meta_true_fields(spark):
     n = len(b"text payload")
     assert meta[2]["n_frames"] == n * 5  # stub contract
     assert meta[3]["channels"] is None and meta[3]["n_bytes"] is None
+
+
+# ---------------------------------------------------------------------------
+# GIF container codec
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode_gif(data: bytes, min_code: int) -> list[int]:
+    """Independent reference LZW decoder (straight from the GIF89a
+    spec) — proves gif_encode's bitstream is genuine, not merely
+    self-consistent with gif_frames' block walk."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = 0
+    acc = nbits = 0
+    width = min_code + 1
+    table: list[list[int]] = [[i] for i in range(1 << min_code)] + [[], []]
+    out: list[int] = []
+    prev: list[int] | None = None
+
+    def read() -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read()
+        if code == eoi:
+            return out
+        if code == clear:
+            table = table[: (1 << min_code) + 2]
+            width = min_code + 1
+            prev = None
+            continue
+        if code < len(table) and table[code]:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + [prev[0]]
+        else:
+            raise AssertionError(f"bad LZW code {code}")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + [entry[0]])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def test_gif_encode_bitstream_decodes_with_reference_lzw():
+    from workhop2_etl_spark.operators.imagecodec import gif_encode
+
+    # big enough to force code-width growth AND a mid-stream clear
+    for w, h in [(20, 10), (7, 5), (200, 120)]:
+        g = gif_encode([(w, h, 0, 0, 10)], w, h)  # frame 0 -> color 0
+        # extract the first frame's LZW data by walking the bytes
+        # independently: skip header+LSD+GCT, GCE, image descriptor
+        pos = 13 + 12  # header/LSD + 4-entry GCT
+        assert g[pos] == 0x21 and g[pos + 1] == 0xF9
+        pos += 8  # GCE incl. terminator
+        assert g[pos] == 0x2C
+        pos += 10  # image descriptor
+        min_code = g[pos]
+        pos += 1
+        data = bytearray()
+        while g[pos] != 0:
+            n = g[pos]
+            data += g[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        pixels = _lzw_decode_gif(bytes(data), min_code)
+        assert pixels == [0] * (w * h)
+
+
+def test_gif_frames_walk_and_timing():
+    from workhop2_etl_spark.operators.imagecodec import gif_frames, gif_encode
+
+    g = gif_encode([(7, 5, 0, 0, 5), (7, 5, 2, 1, 10), (7, 5, 0, 0, 15)], 9, 6)
+    fr = gif_frames(g)
+    assert [f["delay_cs"] for f in fr] == [5, 10, 15]
+    assert [(f["left"], f["top"]) for f in fr] == [(0, 0), (2, 1), (0, 0)]
+    # non-GIF and truncated payloads return None (stub tier decides)
+    assert gif_frames(b"not a gif at all") is None
+    assert gif_frames(g[: len(g) // 2]) is None
+
+
+def test_sample_video_frames_real_gif_tier(spark):
+    from workhop2_etl_spark.operators.imagecodec import gif_encode
+    from workhop2_etl_spark.operators.multimodal import sample_video_frames
+
+    g = gif_encode([(4, 4, 0, 0, 5), (4, 4, 0, 0, 10), (4, 4, 0, 0, 15)], 4, 4)
+    df = spark.createDataFrame([(1, bytearray(g))], "doc_id long, payload binary")
+    rows = sample_video_frames(df, every_n_seconds=0.04).collect()
+    # timeline: starts 0 / 0.05 / 0.15, duration 0.30 -> 8 ticks
+    assert [r.frame_idx for r in sorted(rows, key=lambda r: r.ts_seconds)] == [
+        0, 0, 1, 1, 2, 2, 2, 2,
+    ]
+    # fingerprints keyed by TRUE frame index: 3 distinct shas
+    assert len({r.frame_sha for r in rows}) == 3

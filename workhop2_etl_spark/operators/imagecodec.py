@@ -201,3 +201,159 @@ def resize_real(payload: bytes, width: int, height: int) -> bytes | None:
     ys = np.minimum((np.arange(height) * h_in) // height, h_in - 1)
     xs = np.minimum((np.arange(width) * w_in) // width, w_in - 1)
     return png_encode(arr[ys][:, xs])
+
+
+# ---------------------------------------------------------------------------
+# GIF container codec (animated GIF as the "video" fixture format)
+# ---------------------------------------------------------------------------
+#
+# The frame-sampling stage needs a real multi-frame container to prove
+# itself on. Animated GIF is the one video-ish format whose layout is
+# simple enough for a dependency-free codec: `gif_frames` walks the
+# public block structure (GIF89a spec: logical screen descriptor,
+# graphic-control extensions, image descriptors, sub-block chains) and
+# returns every frame's descriptor + timing without decoding pixels;
+# `gif_encode` writes a GENUINE animated GIF — the LZW bitstream is
+# real (literal-coded with correct decoder-table width growth and
+# periodic clear codes), so any standard viewer renders the output.
+
+
+def _lzw_solid(n_pixels: int, color_idx: int, min_code: int = 2) -> bytes:
+    """Valid GIF-LZW stream for ``n_pixels`` of one color index.
+    All-literal coding: the decoder adds one table entry per code
+    after each clear, so the encoder mirrors that growth to time its
+    code-width increments, clearing before the table can overflow."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    next_code = eoi + 1
+    emit(clear, width)
+    first = True
+    for _ in range(n_pixels):
+        emit(color_idx, width)
+        if first:
+            first = False
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            if next_code >= 4093:
+                emit(clear, width)
+                width = min_code + 1
+                next_code = eoi + 1
+                first = True
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def gif_encode(
+    frames: list[tuple[int, int, int, int, int]],
+    screen_w: int,
+    screen_h: int,
+) -> bytes:
+    """Animated GIF89a from ``(width, height, left, top, delay_cs)``
+    frame specs; frame i is a solid block of palette color i % 4."""
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", screen_w, screen_h)
+    out += bytes([0x80 | 0x01, 0x00, 0x00])  # 4-entry GCT, bg 0
+    out += bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])  # GCT
+    for i, (w, h, left, top, delay_cs) in enumerate(frames):
+        out += bytes([0x21, 0xF9, 0x04, 0x00])  # GCE
+        out += struct.pack("<H", delay_cs)
+        out += bytes([0x00, 0x00])  # transparent idx, terminator
+        out += bytes([0x2C]) + struct.pack("<HHHH", left, top, w, h)
+        out += bytes([0x00])  # no LCT, not interlaced
+        out += bytes([0x02])  # LZW min code size
+        data = _lzw_solid(w * h, i % 4)
+        for off in range(0, len(data), 255):
+            block = data[off : off + 255]
+            out += bytes([len(block)]) + block
+        out += bytes([0x00])  # end of image data
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def gif_frames(payload: bytes) -> list[dict] | None:
+    """Container walk: one dict per frame —
+    ``{idx, left, top, width, height, delay_cs}`` (delay from the
+    preceding graphic-control extension, 0 if none) — or None when
+    the payload is not a GIF / is truncated mid-structure."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    pos = 6
+    pos += 4  # screen w/h
+    packed = b[pos]
+    pos += 3
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))  # global color table
+    frames: list[dict] = []
+    delay_cs = 0
+    try:
+        while True:
+            marker = b[pos]
+            pos += 1
+            if marker == 0x3B:  # trailer
+                break
+            if marker == 0x21:  # extension
+                label = b[pos]
+                pos += 1
+                if label == 0xF9:  # graphic control
+                    size = b[pos]
+                    if size >= 4:
+                        delay_cs = struct.unpack(
+                            "<H", b[pos + 2 : pos + 4]
+                        )[0]
+                # skip this extension's sub-blocks (incl. the GCE's)
+                while True:
+                    n = b[pos]
+                    pos += 1
+                    if n == 0:
+                        break
+                    pos += n
+            elif marker == 0x2C:  # image descriptor
+                left, top, w, h = struct.unpack("<HHHH", b[pos : pos + 8])
+                pos += 8
+                ipacked = b[pos]
+                pos += 1
+                if ipacked & 0x80:
+                    pos += 3 * (2 << (ipacked & 0x07))  # local color table
+                pos += 1  # LZW min code size
+                while True:  # image data sub-blocks
+                    n = b[pos]
+                    pos += 1
+                    if n == 0:
+                        break
+                    pos += n
+                frames.append(
+                    {
+                        "idx": len(frames),
+                        "left": left,
+                        "top": top,
+                        "width": w,
+                        "height": h,
+                        "delay_cs": delay_cs,
+                    }
+                )
+                delay_cs = 0
+            else:
+                return None  # unknown block: not a well-formed GIF
+    except (IndexError, struct.error):
+        return None  # truncated
+    return frames or None

@@ -21,8 +21,10 @@ fixtures, real-world corrupt bytes) fall back to the deterministic
 stubs, so every kernel stays a total, pure function of its input.
 Audio gets the same treatment via operators/audiocodec.py: RIFF/WAVE
 payloads yield their true (channels, rate, bits, frames, duration)
-from the chunk list. Video probes remain stubs (no video container
-is trivially parseable stdlib-side); the plumbing is identical.
+from the chunk list. Video's real tier uses animated GIF as the
+container (imagecodec.gif_frames): frame-sampling walks the true
+frame descriptors + per-frame delays; non-GIF payloads keep the
+duration stub.
 """
 
 from __future__ import annotations
@@ -176,28 +178,61 @@ def sample_video_frames(
     df: DataFrame, every_n_seconds: float = 1.0, id_col: str = "doc_id"
 ) -> DataFrame:
     """Frame-sampling stage: one video row fans out to one row per
-    sampled frame (timestamps 0, n, 2n, … < duration) via mapInPandas
+    sampled tick (timestamps 0, n, 2n, … < duration) via mapInPandas
     — the iterator contract makes 1→N emission natural. Only frame
     fingerprints travel here; a real decoder would emit the frame
     bytes in the same shape (and the downstream shuffle, if any,
-    should happen AFTER per-frame feature extraction shrinks them)."""
+    should happen AFTER per-frame feature extraction shrinks them).
+
+    Real tier: an animated-GIF payload is container-walked
+    (imagecodec.gif_frames) — each tick maps to the TRUE frame active
+    at that instant per the stream's own delay timeline (delays ≤1 cs
+    clamped to the conventional 10 cs), so frame_idx is the genuine
+    frame number. Unrecognized payloads keep the duration stub with
+    tick-numbered frames."""
+    from workhop2_etl_spark.operators.imagecodec import gif_frames
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "ts_seconds": [], "frame_sha": []}
+
+            def emit(doc_id, payload, idx: int, t: float) -> None:
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(idx)
+                out["ts_seconds"].append(t)
+                out["frame_sha"].append(
+                    hashlib.sha256(payload + str(idx).encode()).hexdigest()
+                    if payload is not None
+                    else None
+                )
+
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                frames = gif_frames(payload) if payload is not None else None
+                if frames is not None:
+                    starts = []
+                    t0 = 0.0
+                    for fr in frames:
+                        starts.append(t0)
+                        d = fr["delay_cs"]
+                        t0 += (d if d > 1 else 10) / 100.0
+                    dur = t0
+                    k = 0
+                    t = 0.0
+                    while t < dur:
+                        # the frame active at tick t: last start <= t
+                        fi = 0
+                        for j, s in enumerate(starts):
+                            if s <= t:
+                                fi = j
+                        emit(doc_id, payload, fi, t)
+                        k += 1
+                        t = k * every_n_seconds
+                    continue
                 dur = _fake_video_duration(payload)
                 idx = 0
                 t = 0.0
                 while t < dur:
-                    out["doc_id"].append(doc_id)
-                    out["frame_idx"].append(idx)
-                    out["ts_seconds"].append(t)
-                    out["frame_sha"].append(
-                        hashlib.sha256(payload + str(idx).encode()).hexdigest()
-                        if payload is not None
-                        else None
-                    )
+                    emit(doc_id, payload, idx, t)
                     idx += 1
                     t = idx * every_n_seconds
             yield pd.DataFrame(out)
