@@ -33,13 +33,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # round from git), ordered never-verified > kernel-changed > oldest
 # green; the r06 window below follows the r06-head report output.
 # Round-6 window composition:
-# (a) 8 queries NEW this round (never driver-verified — always
+# (a) 13 queries NEW this round (never driver-verified — always
 #     first): m5 (real-PNG decode through the metadata kernel), j12
 #     (interval overlap join), w7 (rolling correlation), dq4
 #     (snapshot profile drift), x13 (weighted sampling), e10 (RFM),
 #     m6 (real-WAV audio metadata through the audio kernel), st11
 #     (stream-stream FULL outer interval join — completes st6/st8's
-#     family; stream≡batch expiry test alongside);
+#     family; stream≡batch expiry test alongside), and the 6b batch:
+#     x14 (temperature-scaled language mixing), d9 (SemDeDup-style
+#     cluster-bucketed semantic dedup), j13 (nearest-direction as-of
+#     join), r3 (combinable histogram-quantile rollup measure), m7
+#     (real animated-GIF frame sampling);
 # (b) 6 queries whose kernel changed this round, so their old greens
 #     pre-date the code under them: g7 (localCheckpoint + explode
 #     plan fix), m1/m3 (real-decode tiers inside the mapInPandas
@@ -51,9 +55,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (c) ALL 14 r02-latest greens — the entire verdict-staleness tail,
 #     led by q13 (the round-5 self-declared weakest deferral):
 #     q13, f7, t3, m2, m4, u3, x5, v6, q2, q5, q7, q18, q21, q22;
-# (d) 22 of the 31 r03-latest greens, staleness-report order,
+# (d) 17 of the 31 r03-latest greens, staleness-report order,
 #     kernel-diverse (joins, dedup+clusters, pivot family, windows,
-#     ANN, sinks, aggregates).
+#     ANN, sinks, aggregates). Five of the original 22 slots went to
+#     the 6b batch; the five displaced (g2_cube, s2_json_roundtrip,
+#     v3_embedding_norms, a5_histogram, a6_full_dedupe) each have a
+#     SAME-KERNEL sibling still in the window (g1 pivot family, s1/
+#     s3 reader-writer kernels, v7's norm fold, a1/a2/a4/a8/a10
+#     aggs, a4's dedupe kernel) and keep their local gates.
 # Deferred to a same-kernel in-window sibling (each keeps its local
 # pytest + verify_local gate; the FULL 154-query local sweep was re-
 # run green at r06 head after the session/graph/asof/multimodal
@@ -73,6 +82,11 @@ _PRIORITY = [
     "e10_rfm_segments",
     "m6_real_audio_meta",
     "st11_full_outer_interval_join",
+    "x14_temperature_mix",
+    "d9_semantic_dedup",
+    "j13_asof_nearest",
+    "r3_hist_quantiles",
+    "m7_real_gif_frames",
     # (b) kernel changed this round
     "g7_triangle_count",
     "m1_image_meta",
@@ -108,15 +122,10 @@ _PRIORITY = [
     "a1_topk_group_count",
     "a2_count_distinct",
     "a4_dup_counts",
-    "a5_histogram",
-    "a6_full_dedupe",
     "a8_top_entities",
     "a10_percentiles",
     "g1_pivot",
-    "g2_cube",
-    "s2_json_roundtrip",
     "s5_jdbc_roundtrip",
-    "v3_embedding_norms",
     "v7_topk_cosine_ivf_nprobe",
 ]
 
