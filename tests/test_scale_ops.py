@@ -1013,3 +1013,59 @@ def test_hist_rollup_combine_exact_and_epoch_protocol(spark, sf_dir, tmp_path):
     width = (500.0 - 0.0) / _HIST_BINS
     for k, e in est.items():
         assert e - width <= exact[k] <= e, (k, e, exact[k])
+
+
+def test_incremental_join_view_matches_full_rejoin(spark, sf_dir, tmp_path):
+    """Delta-join view maintenance: after three append batches on
+    BOTH sides, the maintained view equals the full inner join of the
+    accumulated inputs; replaying the middle epoch (at-least-once
+    delivery) changes nothing; both delta joins broadcast the delta
+    side (no history shuffle)."""
+    from workhop2_etl_spark.operators.incremental import (
+        apply_join_delta,
+        read_join_view,
+    )
+    from workhop2_etl_spark.session import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    a_dir = str(tmp_path / "a")
+    b_dir = str(tmp_path / "b")
+    v_dir = str(tmp_path / "view")
+
+    splits = [
+        (orders.filter(F.col("o_orderkey") % 3 == k),
+         cust.filter(F.col("o_custkey") % 3 == k))
+        for k in range(3)
+    ]
+    for n, (da, db) in enumerate(splits):
+        apply_join_delta(spark, a_dir, b_dir, v_dir, da, db, "o_custkey", n)
+
+    # at-least-once replay of epoch 1 with the same deltas: no-op
+    apply_join_delta(spark, a_dir, b_dir, v_dir, splits[1][0], splits[1][1],
+                     "o_custkey", 1)
+
+    got = read_join_view(spark, v_dir)
+    want = orders.join(cust, "o_custkey", "inner")
+    key = lambda r: (r.o_custkey, r.o_orderkey, r.c_name)
+    grows = sorted(got.collect(), key=key)
+    wrows = sorted(want.collect(), key=key)
+    assert len(grows) == len(wrows) and len(wrows) > 0
+    assert [key(r) for r in grows] == [key(r) for r in wrows]
+
+    # plan shape: a mid-size refresh broadcasts the delta sides
+    da, db = splits[2]
+    from workhop2_etl_spark.operators.incremental import (
+        _epochs_below,
+        _union_epochs,
+    )
+    a_old = _union_epochs(spark, _epochs_below(spark, a_dir, 2), da)
+    plan = (
+        a_old.join(db.hint("broadcast"), "o_custkey", "inner")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan

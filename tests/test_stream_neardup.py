@@ -541,3 +541,70 @@ def test_stream_distinct_sketch_rollup_matches_batch(spark, tmp_path_factory):
     ) >= 2
     after = estimates(SW.read_rollup(spark, table, combine_fn=combine_distinct_rollups))
     assert after == want
+
+
+def test_stream_hist_rollup_and_epoch_time_travel(spark, tmp_path_factory):
+    """The epoch sink carries the histogram-quantile measure, and the
+    reader time-travels: as_of=N combines exactly the first N+1
+    epochs' partials; compaction preserves the present but makes
+    pre-fold snapshots raise instead of answering wrong."""
+    import pytest as _pytest
+
+    from workhop2_etl_spark.operators.incremental import (
+        combine_hist_rollups,
+        compact_rollup_epochs,
+        rollup_events_daily_hist,
+    )
+    from workhop2_etl_spark.session import load_table
+
+    root = tmp_path_factory.mktemp("hist_stream")
+    src = str(root / "events.parquet")
+    table = str(root / "daily_hist")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    SW.stream_rollup_to_parquet(
+        spark,
+        src,
+        table,
+        str(root / "ckpt"),
+        max_files_per_trigger=1,
+        rollup_fn=rollup_events_daily_hist,
+    )
+
+    def cells(df):
+        return {(r.day, r.event_type): (r.n, list(r.hist)) for r in df.collect()}
+
+    full = cells(SW.read_rollup(spark, table, combine_fn=combine_hist_rollups))
+    want = cells(rollup_events_daily_hist(spark.read.parquet(src)))
+    assert full == want  # bit-identical bin vectors, however split
+
+    # snapshot as of epoch 1: exactly epochs {0, 1}'s partials (the
+    # stream assigns files to epochs in its own order, so the
+    # expectation reads the epoch dirs it actually wrote)
+    snap1_want = cells(
+        combine_hist_rollups(
+            spark.read.parquet(f"{table}/epoch=0", f"{table}/epoch=1")
+        )
+    )
+    snap = cells(
+        SW.read_rollup(spark, table, combine_fn=combine_hist_rollups, as_of=1)
+    )
+    assert snap == snap1_want
+    assert sum(n for n, _ in snap.values()) < sum(n for n, _ in full.values())
+    snap2_want = cells(
+        combine_hist_rollups(
+            spark.read.parquet(*[f"{table}/epoch={e}" for e in (0, 1, 2)])
+        )
+    )
+
+    # compaction folds epochs 0-2 into base=2; present unchanged,
+    # pre-fold history now refuses rather than lying
+    assert compact_rollup_epochs(spark, table, combine_fn=combine_hist_rollups) == 3
+    after = cells(SW.read_rollup(spark, table, combine_fn=combine_hist_rollups))
+    assert after == want
+    assert cells(
+        SW.read_rollup(spark, table, combine_fn=combine_hist_rollups, as_of=2)
+    ) == snap2_want
+    with _pytest.raises(ValueError, match="compacted away"):
+        SW.read_rollup(spark, table, combine_fn=combine_hist_rollups, as_of=1)

@@ -205,11 +205,45 @@ def sweep_stale_generations(
             fs.delete(spark, fs.join(table_dir, n))
 
 
-def rollup_part_dirs(spark: SparkSession, table_dir: str) -> list[str]:
+def rollup_part_dirs(
+    spark: SparkSession, table_dir: str, as_of: int | None = None
+) -> list[str]:
     """Directories a reader must combine: the newest base generation
     (if any) plus every live epoch above it — the reader half of the
-    compaction protocol documented in the module docstring."""
-    k, epochs = _scan_generations(spark, table_dir)
+    compaction protocol documented in the module docstring.
+
+    ``as_of`` time-travels to the table as of epoch N: the newest
+    base with k ≤ N plus epochs in (k, N]. Compaction destroys
+    history below its fold point, so a snapshot older than the best
+    base raises rather than silently answering with a different
+    epoch's totals — retention is exactly "epochs not yet folded".
+    """
+    names = fs.list_child_dirs(spark, table_dir) if as_of is not None else None
+    if as_of is None:
+        k, epochs = _scan_generations(spark, table_dir)
+    else:
+        bases = sorted(
+            b
+            for n in names
+            if n.startswith("base=")
+            for b in [int(n.split("=", 1)[1])]
+            if b <= as_of
+        )
+        all_bases = [int(n.split("=", 1)[1]) for n in names if n.startswith("base=")]
+        if not bases and all_bases:
+            raise ValueError(
+                f"snapshot as_of={as_of} predates the oldest base "
+                f"generation base={min(all_bases)}: that history was "
+                "compacted away"
+            )
+        k = bases[-1] if bases else -1
+        epochs = sorted(
+            e
+            for n in names
+            if n.startswith("epoch=")
+            for e in [int(n.split("=", 1)[1])]
+            if k < e <= as_of
+        )
     dirs = []
     if k >= 0:
         dirs.append(fs.join(table_dir, f"base={k}"))
@@ -356,3 +390,93 @@ def hist_quantile(
         1,
     )
     return F.when(n > 0, F.lit(lo) + F.lit(width) * k.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta joins)
+# ---------------------------------------------------------------------------
+#
+# A materialized equi-join view A ⋈ B refreshed from append-only
+# deltas without re-joining history — the standard delta-join
+# algebra (DBSP / materialized-view literature):
+#
+#     Δview_N  =  dA ⋈ (B_{<N} ∪ dB)  ∪  A_{<N} ⋈ dB
+#
+# Inputs and view all use the ``epoch=<N>`` dir layout the rollup
+# protocol established: a refresh OVERWRITES its own epoch dirs, so
+# an at-least-once replay (same epoch, same deltas) converges to the
+# same bytes, and a crash between the three writes leaves a view
+# whose readers see a consistent as-of-(N-1) state — history reads
+# always use epochs STRICTLY BELOW the refresh epoch, never the
+# partially written one.
+#
+# Scale shape: both delta joins broadcast the DELTA side, so each is
+# a map-side join over the big input's scan — no shuffle of history,
+# no shuffle of the view. The |A_{<N}| scan per refresh is the
+# textbook cost; partition/bucket the base dirs by join key (or
+# z-order + min-max prune) to cut it, exactly as a 100 TB deployment
+# would.
+
+
+def _epochs_below(spark: SparkSession, d: str, below: int) -> list[str]:
+    if not fs.is_dir(spark, d):
+        return []
+    out = []
+    for name in fs.list_names(spark, d):
+        if name.startswith("epoch="):
+            try:
+                e = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if e < below:
+                out.append(fs.join(d, name))
+    return sorted(out)
+
+
+def _union_epochs(spark: SparkSession, dirs: list[str], like: DataFrame):
+    if not dirs:
+        return spark.createDataFrame([], like.schema)
+    return spark.read.schema(like.schema).parquet(*dirs)
+
+
+def apply_join_delta(
+    spark: SparkSession,
+    a_dir: str,
+    b_dir: str,
+    view_dir: str,
+    a_delta: DataFrame,
+    b_delta: DataFrame,
+    on: str,
+    epoch_id: int,
+) -> None:
+    """Fold one batch of appends (either delta may be empty) into the
+    maintained inner-join view. Column names other than ``on`` must
+    be disjoint between the two sides (the view carries both)."""
+    n = int(epoch_id)
+    a_old = _union_epochs(spark, _epochs_below(spark, a_dir, n), a_delta)
+    b_old = _union_epochs(spark, _epochs_below(spark, b_dir, n), b_delta)
+
+    d_view = a_delta.hint("broadcast").join(
+        b_old.unionByName(b_delta), on, "inner"
+    ).unionByName(a_old.join(b_delta.hint("broadcast"), on, "inner"))
+
+    # History reads stop strictly below n, so every partial state is
+    # replay-safe: whichever of the three epoch-n dirs a crash left
+    # behind, re-delivering (epoch_id, deltas) recomputes the SAME
+    # d_view from the unchanged <n history and overwrites all three.
+    # The caller must guarantee redelivery of an incomplete epoch
+    # (foreachBatch checkpointing does).
+    d_view.write.mode("overwrite").parquet(fs.join(view_dir, f"epoch={n}"))
+    a_delta.write.mode("overwrite").parquet(fs.join(a_dir, f"epoch={n}"))
+    b_delta.write.mode("overwrite").parquet(fs.join(b_dir, f"epoch={n}"))
+
+
+def read_join_view(spark: SparkSession, view_dir: str, like: DataFrame | None = None):
+    """Union of all committed view epochs (dirs are self-describing;
+    ``like`` only supplies a schema for the empty-view case)."""
+    dirs = _epochs_below(spark, view_dir, 1 << 62)
+    if not dirs:
+        if like is None:
+            raise ValueError(f"join view {view_dir} is empty")
+        return spark.createDataFrame([], like.schema)
+    return spark.read.parquet(*dirs)

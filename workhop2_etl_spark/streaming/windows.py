@@ -426,14 +426,19 @@ def stream_rollup_to_parquet(
     )
 
 
-def read_rollup(spark, table_dir: str, combine_fn=None) -> DataFrame:
+def read_rollup(
+    spark, table_dir: str, combine_fn=None, as_of: int | None = None
+) -> DataFrame:
     """Combine the rollup partials into the current totals — the
     reader half of stream_rollup_to_parquet. Reads the newest
     ``base=<k>`` generation plus every ``epoch>k`` dir (the
     compaction protocol's reader rule), so replayed folded epochs are
     ignored. ``combine_fn`` (default: counts/sums add, min/min,
     max/max) must match the sink's ``rollup_fn`` measure algebra —
-    pass ``combine_distinct_rollups`` for the HLL sketch rollup."""
+    pass ``combine_distinct_rollups`` for the HLL sketch rollup.
+    ``as_of`` time-travels to the totals as of that epoch id (raises
+    if compaction already folded that history — see
+    ``rollup_part_dirs``)."""
     from workhop2_etl_spark.operators.incremental import (
         _combine_parts,
         rollup_part_dirs,
@@ -441,7 +446,9 @@ def read_rollup(spark, table_dir: str, combine_fn=None) -> DataFrame:
 
     if combine_fn is None:
         combine_fn = _combine_parts
-    return combine_fn(spark.read.parquet(*rollup_part_dirs(spark, table_dir)))
+    return combine_fn(
+        spark.read.parquet(*rollup_part_dirs(spark, table_dir, as_of=as_of))
+    )
 
 
 def windowed_distinct_users(
