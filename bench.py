@@ -93,6 +93,11 @@ HEADLINE = [
     # (133 shuffles from re-executed lineage); benched so the
     # localCheckpoint + explode fix keeps wall-clock signal
     "g7_triangle_count",
+    # round-6b: semantic dedup (the per-cell quadratic shape — bench
+    # guards the cell-bucketing) and the nearest as-of join (one
+    # sort, two window frames)
+    "d9_semantic_dedup",
+    "j13_asof_nearest",
 ]
 
 

@@ -1069,3 +1069,36 @@ def test_incremental_join_view_matches_full_rejoin(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    """Two unit-weight cliques bridged by one weak edge: synchronous
+    LPA(2) must label each clique with its own min id and never merge
+    across the bridge; weights dominate ties (a heavy edge outvotes
+    two light ones)."""
+    from workhop2_etl_spark.operators.graph import label_propagation
+
+    cliq = lambda ns: [(a, b) for a in ns for b in ns if a < b]
+    edges = spark.createDataFrame(
+        cliq([1, 2, 3, 4]) + cliq([10, 11, 12, 13]) + [(4, 10)],
+        "src long, dst long",
+    )
+    got = {r.node: r.label for r in label_propagation(edges, iters=2).collect()}
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+
+    # weighted, one synchronous round (so neighbor labels are still
+    # their ids — exact dynamics): node 5 sees label 1 at weight 1
+    # and label 10 at weight 3; the heavy edge must outvote, and
+    # against unit weights the (weight desc, label asc) tie must
+    # break to the smaller label (node 6: labels 7 and 8 at w1 → 7)
+    w_edges = spark.createDataFrame(
+        [(1, 5, 1), (10, 5, 3), (6, 7, 1), (6, 8, 1)],
+        "src long, dst long, w int",
+    )
+    got_w = {
+        r.node: r.label
+        for r in label_propagation(w_edges, iters=1, weight_col="w").collect()
+    }
+    assert got_w[5] == 10
+    assert got_w[6] == 7

@@ -24,7 +24,7 @@ rounds.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -261,3 +261,52 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def label_propagation(
+    edges: DataFrame, iters: int = 2, weight_col: str | None = None
+) -> DataFrame:
+    """Synchronous (weighted) label propagation over an undirected
+    view of ``edges (src, dst [, weight_col])``: every node starts
+    labeled with its own id; each round it adopts the label carrying
+    the greatest total neighbor weight (ties → smallest label). Fully
+    deterministic — synchronous rounds plus the (weight desc, label
+    asc) tiebreak remove LPA's usual order-dependence, so a fixed
+    ``iters`` unrolls to a SQL-expressible chain of join+argmax
+    rounds (the g8 oracle replays it).
+
+    Scale shape per round: one equi-join of the label table onto the
+    neighbor list, one (node, label) hash aggregate, one per-node
+    argmax window — all keyed by node, no all-pairs step. The label
+    table is node-sized; ``localCheckpoint`` after every round cuts
+    the re-execution lineage exactly as in ``connected_components``.
+    """
+    w = F.col(weight_col) if weight_col else F.lit(1)
+    nbrs = (
+        edges.select(
+            F.col("src").alias("node"), F.col("dst").alias("nbr"), w.alias("w")
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("node"), F.col("src").alias("nbr"), w.alias("w")
+            )
+        )
+        .localCheckpoint()
+    )
+    labels = nbrs.select("node").distinct().withColumn("label", F.col("node"))
+    win = Window.partitionBy("node").orderBy(F.desc("wt"), F.asc("label"))
+    for _ in range(iters):
+        scored = (
+            nbrs.join(
+                labels.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.sum("w").alias("wt"))
+        )
+        labels = (
+            scored.withColumn("rk", F.row_number().over(win))
+            .filter(F.col("rk") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

@@ -20,7 +20,7 @@ on the algebra is strictly stronger than a self-consistent pytest:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from workhop2_etl_spark.operators.incremental import (
@@ -430,3 +430,89 @@ def r3_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_quantile(F.col("hist"), F.col("n"), 1, 2).alias("p50_est"),
         hist_quantile(F.col("hist"), F.col("n"), 19, 20).alias("p95_est"),
     ).orderBy("day", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# g8: community detection via synchronous WEIGHTED label propagation
+# on the sparsified nation trade graph: each nation keeps its top-3
+# heaviest partners (same k-NN sparsification as g7 — the full trade
+# graph is near-complete, where every community method degenerates to
+# one blob), edge weight = order-line count. Deterministic by
+# construction —
+# synchronous rounds + (weight desc, label asc) tiebreaks — so the
+# oracle replays the identical two unrolled rounds in SQL. Per-round
+# cost at scale: label-table equi-join + (node, label) aggregate +
+# per-node argmax window, everything node/edge-sized.
+# ---------------------------------------------------------------------------
+
+_LPA_ROUND = """
+    s{next} AS (
+      SELECT nb.node, l{cur}.label, sum(nb.w) AS wt
+      FROM nb JOIN l{cur} ON nb.nbr = l{cur}.node GROUP BY 1, 2
+    ),
+    l{next} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY wt DESC, label ASC) AS rk
+        FROM s{next}) WHERE rk = 1
+    )"""
+
+
+@query(
+    "g8_label_propagation",
+    oracle="""
+    WITH links AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey <> s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    picked AS (
+      SELECT src, dst, w FROM (
+        SELECT src, dst, w,
+               row_number() OVER (PARTITION BY src
+                                  ORDER BY w DESC, dst ASC) AS rk
+        FROM links) WHERE rk <= 3
+    ),
+    nb AS (
+      SELECT src AS node, dst AS nbr, w FROM picked
+      UNION ALL
+      SELECT dst, src, w FROM picked
+    ),
+    l0 AS (SELECT DISTINCT node, node AS label FROM nb),"""
+    + ",".join(_LPA_ROUND.format(cur=i, next=i + 1) for i in range(2))
+    + """
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l2 ORDER BY node
+    """,
+)
+def g8_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.graph import label_propagation
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    links = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    picked = links.withColumn("rk", rk).filter(F.col("rk") <= 3).drop("rk")
+    out = label_propagation(picked, iters=2, weight_col="w")
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    ).orderBy("node")
