@@ -16,7 +16,7 @@ cardinality down the funnel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from workhop2_etl_spark.operators import events as EV
@@ -558,4 +558,51 @@ def e10_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("monetary"), 2).alias("total_monetary"),
         )
         .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e11: path mining — the top-10 3-event sequences users actually
+# follow, the funnel-DISCOVERY query (e2/e6 measure a funnel you
+# already know; this finds the candidates). One window per user
+# (lead×2 over (ts, event_id) order), then a plain count — no joins,
+# no self-join over the event log. At 100 TB: one shuffle by user_id
+# + one hash aggregate over (path) — path cardinality is |event
+# types|^3, tiny.
+# ---------------------------------------------------------------------------
+@query(
+    "e11_top_paths",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ),
+    seq AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           count(*) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 10
+    """,
+)
+def e11_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
     )
