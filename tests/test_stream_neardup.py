@@ -608,3 +608,46 @@ def test_stream_hist_rollup_and_epoch_time_travel(spark, tmp_path_factory):
     ) == snap2_want
     with _pytest.raises(ValueError, match="compacted away"):
         SW.read_rollup(spark, table, combine_fn=combine_hist_rollups, as_of=1)
+
+
+def test_stream_join_view_matches_batch_join(spark, tmp_path_factory):
+    """Checkpointed streaming join-view maintenance: fact appends
+    arrive in micro-batches, the dim seeds once, the maintained view
+    equals the batch inner join; a second availableNow run with the
+    same checkpoint adds nothing (exactly-once through replay-
+    idempotent epoch overwrites)."""
+    from workhop2_etl_spark.operators.incremental import read_join_view
+    from workhop2_etl_spark.session import load_table
+
+    root = tmp_path_factory.mktemp("join_view_stream")
+    src = str(root / "orders.parquet")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    orders.repartition(3).write.mode("overwrite").parquet(src)
+
+    kw = dict(
+        fact_path=src,
+        dim=cust,
+        a_dir=str(root / "a"),
+        b_dir=str(root / "b"),
+        view_dir=str(root / "view"),
+        on="o_custkey",
+        checkpoint_dir=str(root / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    SW.stream_join_view_to_parquet(spark, **kw)
+
+    got = read_join_view(spark, str(root / "view"))
+    want = orders.join(cust, "o_custkey", "inner")
+    key = lambda r: (r.o_custkey, r.o_orderkey)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    n = got.count()
+    assert n > 0
+
+    # same checkpoint, no new files: nothing re-processed, view flat
+    SW.stream_join_view_to_parquet(spark, **kw)
+    assert read_join_view(spark, str(root / "view")).count() == n

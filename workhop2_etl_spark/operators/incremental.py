@@ -452,6 +452,12 @@ def apply_join_delta(
     """Fold one batch of appends (either delta may be empty) into the
     maintained inner-join view. Column names other than ``on`` must
     be disjoint between the two sides (the view carries both)."""
+    dup = (set(a_delta.columns) & set(b_delta.columns)) - {on}
+    if dup:
+        raise ValueError(
+            f"join-view sides share non-key columns {sorted(dup)}: "
+            "rename before maintaining (the view carries both sides)"
+        )
     n = int(epoch_id)
     a_old = _union_epochs(spark, _epochs_below(spark, a_dir, n), a_delta)
     b_old = _union_epochs(spark, _epochs_below(spark, b_dir, n), b_delta)

@@ -485,3 +485,61 @@ def windowed_distinct_users(
             "n_users",
         )
     )
+
+
+def stream_join_view_to_parquet(
+    spark,
+    fact_path: str,
+    dim: DataFrame,
+    a_dir: str,
+    b_dir: str,
+    view_dir: str,
+    on: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming materialized JOIN view: fact appends arrive as a
+    file stream, the dimension is seeded once, and every micro-batch
+    folds in through the delta-join algebra
+    (operators/incremental.py::apply_join_delta) — each batch joins
+    only against accumulated history, never re-joining the whole
+    fact table. Epoch layout: the dim seed is epoch 0 (with an empty
+    fact delta), micro-batch N lands as epoch N+1; foreachBatch's
+    at-least-once replays overwrite their own epoch dirs, so the
+    view converges to exactly-once contents (same argument as
+    ``stream_rollup_to_parquet``)."""
+    from workhop2_etl_spark.operators.incremental import apply_join_delta
+    from workhop2_etl_spark.sources import fs
+
+    schema = spark.read.parquet(fact_path).schema
+    empty_fact = spark.createDataFrame([], schema)
+    if not fs.exists(spark, fs.join(b_dir, "epoch=0")):
+        apply_join_delta(
+            spark, a_dir, b_dir, view_dir, empty_fact, dim, on, epoch_id=0
+        )
+    empty_dim = spark.createDataFrame([], dim.schema)
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(fact_path)
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        apply_join_delta(
+            spark,
+            a_dir,
+            b_dir,
+            view_dir,
+            batch_df,
+            empty_dim,
+            on,
+            epoch_id=int(epoch_id) + 1,
+        )
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
