@@ -340,6 +340,11 @@ def asof_nearest_join(
     Right rows with NULL time are dropped, as in ``asof_join``; tied
     right rows at one (key, instant) must be collapsed upstream for
     determinism (same contract as ``asof_join``).
+
+    TIMESTAMP_NTZ inputs: distances convert through the session
+    timezone (UTC in this engine — session.py); under a non-UTC
+    session zone, candidate pairs straddling a DST transition would
+    compare with the wall-clock gap, not the physical one.
     """
     right = right.filter(F.col(right_time).isNotNull())
     payload_t = right.select(
