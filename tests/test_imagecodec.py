@@ -308,3 +308,34 @@ def test_sample_video_frames_real_gif_tier(spark):
     ]
     # fingerprints keyed by TRUE frame index: 3 distinct shas
     assert len({r.frame_sha for r in rows}) == 3
+
+
+def test_extract_image_features_true_stats_and_null_tier(spark):
+    """Features computed from genuinely decoded pixels: a synthesized
+    RGB PNG must yield its exact channel means / luma std through the
+    mapInPandas kernel; undecodable payloads yield NULL features
+    (honest unknowns), not fabricated stats."""
+    import numpy as np
+
+    from workhop2_etl_spark.operators.imagecodec import png_encode
+    from workhop2_etl_spark.operators.multimodal import extract_image_features
+
+    rng = np.random.RandomState(7)
+    arr = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint8)
+    png = png_encode(arr)
+    a = arr.astype(np.float64)
+    luma = 0.299 * a[:, :, 0] + 0.587 * a[:, :, 1] + 0.114 * a[:, :, 2]
+
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in extract_image_features(df).collect()}
+    r1 = rows[1]
+    assert (r1.width, r1.height) == (5, 6)
+    assert abs(r1.mean_r - a[:, :, 0].mean()) < 1e-9
+    assert abs(r1.mean_g - a[:, :, 1].mean()) < 1e-9
+    assert abs(r1.mean_b - a[:, :, 2].mean()) < 1e-9
+    assert abs(r1.luma_std - luma.std()) < 1e-9
+    r2 = rows[2]
+    assert r2.width is None and r2.mean_r is None and r2.luma_std is None

@@ -357,3 +357,21 @@ def gif_frames(payload: bytes) -> list[dict] | None:
     except (IndexError, struct.error):
         return None  # truncated
     return frames or None
+
+
+def decode_array(payload: bytes):
+    """Best-tier pixel decode to an (h, w, channels) uint8 array:
+    PIL when installed (any format), else the stdlib PNG codec; None
+    when no tier can decode the payload."""
+    if HAVE_PIL:
+        import io
+
+        import numpy as np
+
+        try:
+            with Image.open(io.BytesIO(bytes(payload or b""))) as im:
+                arr = np.asarray(im.convert("RGB" if im.mode not in ("L", "RGB", "RGBA") else im.mode))
+                return arr[:, :, None] if arr.ndim == 2 else arr
+        except Exception:
+            pass  # fall through to the stdlib tier
+    return png_decode(payload)

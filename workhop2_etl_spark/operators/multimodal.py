@@ -344,3 +344,60 @@ def extract_audio_meta(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col, "payload").mapInPandas(decode, AUDIO_META_SCHEMA)
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("luma_std", T.DoubleType(), True),
+    ]
+)
+
+
+def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL feature extraction over decoded pixels: per-channel means
+    and Rec.601 luma standard deviation, via the best decode tier
+    (PIL, else the stdlib PNG codec). Payloads no tier can decode
+    yield NULL features — honest unknowns, not fabricated stats.
+    Grayscale replicates its single channel; alpha is ignored.
+
+    Same scale shape as embed_images (this IS the feature stage a
+    vision encoder replaces): Arrow-batched mapInPandas, narrow, no
+    shuffle; float64 numpy throughout so values are deterministic.
+    """
+    import numpy as np
+
+    from workhop2_etl_spark.operators.imagecodec import decode_array
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "luma_std")}
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                arr = decode_array(payload) if payload is not None else None
+                out["doc_id"].append(doc_id)
+                if arr is None:
+                    for k in ("width", "height", "mean_r", "mean_g", "mean_b", "luma_std"):
+                        out[k].append(None)
+                    continue
+                h, w, ch = arr.shape
+                a = arr.astype(np.float64)
+                if ch == 1:
+                    r = g = b = a[:, :, 0]
+                else:
+                    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+                luma = 0.299 * r + 0.587 * g + 0.114 * b
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mean_r"].append(float(r.mean()))
+                out["mean_g"].append(float(g.mean()))
+                out["mean_b"].append(float(b.mean()))
+                out["luma_std"].append(float(luma.std()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, "payload").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
