@@ -33,7 +33,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # round from git), ordered never-verified > kernel-changed > oldest
 # green; the r06 window below follows the r06-head report output.
 # Round-6 window composition:
-# (a) 16 queries NEW this round (never driver-verified — always
+# (a) 17 queries NEW this round (never driver-verified — always
 #     first): m5 (real-PNG decode through the metadata kernel), j12
 #     (interval overlap join), w7 (rolling correlation), dq4
 #     (snapshot profile drift), x13 (weighted sampling), e10 (RFM),
@@ -45,7 +45,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     join), r3 (combinable histogram-quantile rollup measure), m7
 #     (real animated-GIF frame sampling), g8 (weighted label-
 #     propagation communities), e11 (3-event path mining), m8 (real
-#     pixel-statistics feature extraction);
+#     pixel-statistics feature extraction), x15 (training-loader
+#     token-offset manifest);
 # (b) 6 queries whose kernel changed this round, so their old greens
 #     pre-date the code under them: g7 (localCheckpoint + explode
 #     plan fix), m1/m3 (real-decode tiers inside the mapInPandas
@@ -57,17 +58,17 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (c) ALL 14 r02-latest greens — the entire verdict-staleness tail,
 #     led by q13 (the round-5 self-declared weakest deferral):
 #     q13, f7, t3, m2, m4, u3, x5, v6, q2, q5, q7, q18, q21, q22;
-# (d) 14 of the 31 r03-latest greens, staleness-report order,
+# (d) 13 of the 31 r03-latest greens, staleness-report order,
 #     kernel-diverse (joins, dedup+clusters, pivot family, windows,
 #     ANN, sinks, aggregates). Five of the original 22 slots went to
-#     the 6b batch; the eight displaced (g2_cube, s2_json_roundtrip,
+#     the 6b batch; the nine displaced (g2_cube, s2_json_roundtrip,
 #     v3_embedding_norms, a5_histogram, a6_full_dedupe,
-#     a10_percentiles, d7_canonical_docs, d4_simhash_groups) each
-#     have a SAME-KERNEL
+#     a10_percentiles, d7_canonical_docs, d4_simhash_groups,
+#     j4_argmax_dedupe) each have a SAME-KERNEL
 #     sibling still in the window (g1 pivot family, s1/s3 reader-
 #     writer kernels, v7's norm fold, a1/a2/a4/a8 aggs, a4's dedupe
-#     kernel, d6's CC output, d3's dedup_text kernel) and keep their
-#     local gates.
+#     kernel, d6's CC output, d3's dedup_text kernel, a4/a7's
+#     dedupe.py windows) and keep their local gates.
 # Deferred to a same-kernel in-window sibling (each keeps its local
 # pytest + verify_local gate; the FULL 154-query local sweep was re-
 # run green at r06 head after the session/graph/asof/multimodal
@@ -95,6 +96,7 @@ _PRIORITY = [
     "g8_label_propagation",
     "e11_top_paths",
     "m8_real_image_features",
+    "x15_pack_manifest",
     # (b) kernel changed this round
     "g7_triangle_count",
     "m1_image_meta",
@@ -120,7 +122,6 @@ _PRIORITY = [
     # (d) r03-latest greens, staleness-report order, kernel-diverse
     "j1_impute_left_join",
     "j3_fuzzy_two_pass",
-    "j4_argmax_dedupe",
     "d3_near_dup_pairs",
     "d6_dup_clusters",
     "f1_normalize_text",

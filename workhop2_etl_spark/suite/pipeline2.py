@@ -693,3 +693,63 @@ def x14_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.when(u < F.col("keep_rate"), 1)).alias("n_kept"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# x15: training-loader manifest — the artifact a data loader actually
+# consumes: per (lang, shard) stream ordered by doc_id, every doc's
+# exact starting TOKEN OFFSET and length, so a reader can seek any
+# doc without scanning its predecessors. Same (lang, shard) window as
+# x6's packer (shard = md5 keyspace → parallelism scales with the
+# shard knob, not language count); the exclusive running sum IS the
+# offset. One sort per shard, no joins.
+# ---------------------------------------------------------------------------
+@query(
+    "x15_pack_manifest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % {_PACK_SHARDS} AS shard,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tok
+      FROM documents
+    )
+    SELECT lang, shard, doc_id,
+           CAST(sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tok
+                AS BIGINT) AS token_offset,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM toks
+    ORDER BY lang, shard, doc_id
+    """,
+)
+def x15_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks())
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _PACK_SHARDS
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.select("lang", "doc_id", shard.alias("shard"), n_tok.alias("n_tok"))
+        .withColumn(
+            "token_offset",
+            (F.sum("n_tok").over(w) - F.col("n_tok")).cast("long"),
+        )
+        .select(
+            "lang", "shard", "doc_id", "token_offset", F.col("n_tok").cast("long").alias("n_tok")
+        )
+        .orderBy("lang", "shard", "doc_id")
+    )
