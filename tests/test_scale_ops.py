@@ -1057,6 +1057,19 @@ def test_incremental_join_view_matches_full_rejoin(spark, sf_dir, tmp_path):
     assert len(grows) == len(wrows) and len(wrows) > 0
     assert [key(r) for r in grows] == [key(r) for r in wrows]
 
+    # compaction folds epochs below the top into base=<k> on all
+    # three ledgers; contents unchanged, and a replay of the live
+    # top epoch still converges (history reads base + (k, n))
+    from workhop2_etl_spark.operators.incremental import compact_join_view
+
+    assert compact_join_view(spark, a_dir, b_dir, v_dir) == 6  # 2 each
+    after = sorted(map(key, read_join_view(spark, v_dir).collect()))
+    assert after == [key(r) for r in wrows]
+    apply_join_delta(spark, a_dir, b_dir, v_dir, splits[2][0], splits[2][1],
+                     "o_custkey", 2)
+    again = sorted(map(key, read_join_view(spark, v_dir).collect()))
+    assert again == [key(r) for r in wrows]
+
     # plan shape: a mid-size refresh broadcasts the delta sides
     da, db = splits[2]
     from workhop2_etl_spark.operators.incremental import (

@@ -419,16 +419,31 @@ def hist_quantile(
 
 
 def _epochs_below(spark: SparkSession, d: str, below: int) -> list[str]:
+    """History dirs covering every epoch < ``below``, under the same
+    generation rule as the rollup protocol: the newest ``base=<k>``
+    (which folds epochs ≤ k) plus live ``epoch=<e>`` dirs with
+    k < e < below. Join-view compaction folds strictly below the top
+    epoch, so any base always satisfies k < the epoch being applied —
+    replays of the live epoch never read their own rows as history."""
     if not fs.is_dir(spark, d):
         return []
-    out = []
-    for name in fs.list_names(spark, d):
+    names = fs.list_names(spark, d)
+    bases = sorted(
+        b
+        for n in names
+        if n.startswith("base=")
+        for b in [int(n.split("=", 1)[1])]
+        if b < below
+    )
+    k = bases[-1] if bases else -(1 << 62)
+    out = [fs.join(d, f"base={k}")] if bases else []
+    for name in names:
         if name.startswith("epoch="):
             try:
                 e = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-            if e < below:
+            if k < e < below:
                 out.append(fs.join(d, name))
     return sorted(out)
 
@@ -478,11 +493,30 @@ def apply_join_delta(
 
 
 def read_join_view(spark: SparkSession, view_dir: str, like: DataFrame | None = None):
-    """Union of all committed view epochs (dirs are self-describing;
-    ``like`` only supplies a schema for the empty-view case)."""
+    """Union of all committed view generations (newest base plus live
+    epochs; dirs are self-describing; ``like`` only supplies a schema
+    for the empty-view case)."""
     dirs = _epochs_below(spark, view_dir, 1 << 62)
     if not dirs:
         if like is None:
             raise ValueError(f"join view {view_dir} is empty")
         return spark.createDataFrame([], like.schema)
     return spark.read.parquet(*dirs)
+
+
+def compact_join_view(
+    spark: SparkSession, a_dir: str, b_dir: str, view_dir: str
+) -> int:
+    """Fold each of the three epoch ledgers' dirs strictly below
+    their top epoch into a ``base=<k>`` generation — the same
+    crash/replay-safe publish protocol as the rollup compaction, with
+    identity "combine" (these ledgers are append-only row sets, not
+    keyed partials). Bounds reader file counts as epochs accumulate;
+    history reads keep working because any base satisfies k < the
+    live epoch (only the top epoch can replay). Returns total epoch
+    dirs folded."""
+    ident = lambda df: df
+    return sum(
+        compact_rollup_epochs(spark, d, combine_fn=ident)
+        for d in (view_dir, a_dir, b_dir)
+    )
