@@ -429,3 +429,53 @@ def test_pagerank_mass_and_positivity(spark):
     total = sum(x["rank"] for x in ranks)
     assert abs(total - 1.0) < 1e-6, total
     assert all(x["rank"] >= (1 - 0.85) / n - 1e-12 for x in ranks)
+
+
+def test_asof_nearest_matches_python_replay(spark):
+    """Randomized NEAREST as-of with tolerance vs exhaustive replay:
+    every match is a minimum-|Δt| in-tolerance right row; exact ties
+    between sides resolve backward; no candidate in tolerance → NULL."""
+    import datetime as dt
+    import random
+
+    from workhop2_etl_spark.operators.asof import asof_nearest_join
+
+    r = random.Random(20260814)
+    base = dt.datetime(2024, 1, 1)
+    keys = [1, 2, 3]
+    left = [
+        (k, base + dt.timedelta(minutes=r.randrange(0, 300)))
+        for k in keys
+        for _ in range(30)
+    ]
+    # unique (key, instant) right rows — the operator's determinism
+    # contract (tied instants collapsed upstream)
+    right_times = {
+        (k, r.randrange(0, 300)) for k in keys for _ in range(15)
+    }
+    right = [
+        (k, base + dt.timedelta(minutes=m), f"p{k}:{m}")
+        for (k, m) in sorted(right_times)
+    ]
+    ldf = spark.createDataFrame(left, "k long, t timestamp")
+    rdf = spark.createDataFrame(right, "k long, t timestamp, tag string")
+    tol = dt.timedelta(minutes=20)
+
+    out = asof_nearest_join(
+        ldf, rdf, "k", "k", "t", "t", ["tag"], tolerance="20 minutes"
+    ).collect()
+    assert len(out) == len(left)
+    for row in out:
+        cands = [
+            (abs((t - row.t).total_seconds()), t, g)
+            for (k, t, g) in right
+            if k == row.k and abs(t - row.t) <= tol
+        ]
+        if not cands:
+            assert row.tag is None, row
+            continue
+        best_d = min(c[0] for c in cands)
+        winners = [c for c in cands if c[0] == best_d]
+        # tie between sides → the earlier (backward) instant wins
+        want = min(winners, key=lambda c: c[1])[2]
+        assert row.tag == want, (row, winners)
