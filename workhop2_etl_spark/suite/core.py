@@ -603,3 +603,67 @@ def s6_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# dq5: referential integrity across the star schema — orphan counts
+# for every FK edge, each an ANTI join (dimension side broadcast;
+# the one fact-fact edge shuffles on its key). The operator a
+# pipeline runs before trusting any join result: an orphan count
+# that is nonzero means inner joins silently drop rows.
+# ---------------------------------------------------------------------------
+@query(
+    "dq5_referential_integrity",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey->orders' AS relationship,
+             (SELECT count(*) FROM lineitem) AS n_child,
+             count(*) AS n_orphans
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier',
+             (SELECT count(*) FROM lineitem), count(*)
+      FROM lineitem l WHERE NOT EXISTS
+        (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      UNION ALL
+      SELECT 'orders.o_custkey->customer',
+             (SELECT count(*) FROM orders), count(*)
+      FROM orders o WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation',
+             (SELECT count(*) FROM customer), count(*)
+      FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    ) ORDER BY relationship
+    """,
+)
+def dq5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, child_key, parent, parent_key, broadcast_parent):
+        p = parent.select(parent_key).distinct()
+        if broadcast_parent:
+            p = F.broadcast(p)
+        orphans = (
+            child.join(p, child[child_key] == p[parent_key], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        n_child = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        # two 1-row frames — the crossJoin is a broadcast of scalars,
+        # and the whole check stays one lazy plan (no driver actions)
+        return orphans.crossJoin(n_child).select(
+            F.lit(name).alias("relationship"), "n_child", "n_orphans"
+        )
+    out = (
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders, "o_orderkey", False)
+        .unionByName(edge("lineitem.l_suppkey->supplier", li, "l_suppkey", sup, "s_suppkey", True))
+        .unionByName(edge("orders.o_custkey->customer", orders, "o_custkey", cust, "c_custkey", True))
+        .unionByName(edge("customer.c_nationkey->nation", cust, "c_nationkey", nation, "n_nationkey", True))
+    )
+    return out.orderBy("relationship")

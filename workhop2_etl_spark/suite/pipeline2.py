@@ -753,3 +753,68 @@ def x15_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x16: corpus datasheet — the one-row summary a dataset card quotes:
+# sizes, language skew, source fan-out, exact-duplicate rate, length
+# profile. One pass over documents for the additive stats, one tiny
+# (lang) aggregate for the head language, one distinct-count on the
+# normalized-text digest for the dup rate; everything else derives.
+# At 100 TB: two scans and a 5-row broadcast — a datasheet should
+# never cost more than the data cleaning it describes.
+# ---------------------------------------------------------------------------
+@query(
+    "x16_corpus_datasheet",
+    oracle=f"""
+    WITH base AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(CASE WHEN {_NORM} = '' THEN 0
+                           ELSE len(string_split({_NORM}, ' ')) END) AS BIGINT)
+               AS total_tokens,
+             count(DISTINCT lang) AS n_langs,
+             count(DISTINCT source) AS n_sources,
+             round(avg(n_chars), 2) AS avg_chars,
+             count(DISTINCT md5(coalesce({_NORM}, '<NULL>'))) AS n_distinct_texts
+      FROM documents
+    ),
+    top AS (
+      SELECT lang AS top_lang, count(*) AS top_n FROM documents
+      GROUP BY lang ORDER BY count(*) DESC, lang LIMIT 1
+    )
+    SELECT n_docs, total_tokens, n_langs, n_sources,
+           CAST(avg_chars AS DOUBLE) AS avg_chars,
+           CAST(n_docs - n_distinct_texts AS BIGINT) AS n_exact_dups,
+           top_lang,
+           round(top_n * 1.0 / n_docs, 4) AS top_lang_share
+    FROM base CROSS JOIN top
+    """,
+)
+def x16_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_toks())).cast("long").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.countDistinct(F.md5(F.coalesce(norm, F.lit("<NULL>"))))
+        .alias("n_distinct_texts"),
+    )
+    top = (
+        docs.groupBy(F.col("lang").alias("top_lang"))
+        .agg(F.count(F.lit(1)).alias("top_n"))
+        .orderBy(F.desc("top_n"), F.asc("top_lang"))
+        .limit(1)
+    )
+    return base.crossJoin(F.broadcast(top)).select(
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        "n_sources",
+        "avg_chars",
+        (F.col("n_docs") - F.col("n_distinct_texts")).cast("long").alias("n_exact_dups"),
+        "top_lang",
+        F.round(F.col("top_n") / F.col("n_docs"), 4).alias("top_lang_share"),
+    )
