@@ -1115,3 +1115,58 @@ def test_label_propagation_finds_planted_communities(spark):
     }
     assert got_w[5] == 10
     assert got_w[6] == 7
+
+
+def test_semantic_dedup_trained_cells_catch_planted_dups(spark):
+    """Semantic dedup on the PRODUCTION centroid path: plant slightly
+    perturbed copies of corpus vectors (cosine ≈ 1 to their source),
+    cluster with fit_centroids at nprobe=2 (multi-probe assignment —
+    the recall knob for SemDeDup's known cell-boundary miss mode:
+    single-probe left one planted pair straddling two cells), score
+    pairs only within shared cells — every planted copy must be
+    flagged against its source, and no original-corpus pair may be
+    flagged at tau=0.95."""
+    import hashlib
+
+    from workhop2_etl_spark.operators import similarity as SIM
+    from workhop2_etl_spark.suite.similarity import N_CENTROIDS
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 25 == 0).orderBy("vec_id").limit(15).collect()
+
+    def noise(q, d, scale):
+        h = hashlib.md5(f"sd{q}:{d}".encode()).hexdigest()[:8]
+        return (int(h, 16) / float(1 << 31) - 1.0) * scale
+
+    dups = [
+        (int(r.vec_id) + 1_000_000,
+         [float(v) + noise(r.vec_id, d, 0.01) for d, v in enumerate(r.embedding)])
+        for r in base
+    ]
+    corpus = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(dups, "vec_id long, embedding array<float>")
+    )
+    cells = SIM.ivf_assign(corpus, SIM.fit_centroids(emb, N_CENTROIDS), nprobe=2)
+    a = cells.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+    )
+    b = cells.select(
+        F.col("centroid_id").alias("cid_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    pairs = a.join(
+        b, (F.col("cid") == F.col("cid_b")) & (F.col("id_a") < F.col("id_b"))
+    ).select("id_a", "id_b", SIM.cosine(F.col("va"), F.col("vb")).alias("cos"))
+    flagged = {
+        (r.id_a, r.id_b) for r in pairs.filter(F.col("cos") >= 0.95).collect()
+    }
+    for r in base:
+        src = int(r.vec_id)
+        assert (src, src + 1_000_000) in flagged, f"planted dup of {src} missed"
+    # no false positives among original corpus vectors (synthetic
+    # embeddings are near-orthogonal at dim 64)
+    originals = {p for p in flagged if p[1] < 1_000_000}
+    assert not originals, f"false dup pairs: {sorted(originals)[:5]}"
