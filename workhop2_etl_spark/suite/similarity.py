@@ -365,6 +365,11 @@ def v7_topk_cosine_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # step is per-cell-local exactly as in the published SemDeDup recipe
 # (Abbas et al., 2023). The keep/drop rule (survivor = smallest id of
 # its near-set) is greedy-by-id, SQL-expressible without recursion.
+# Known miss mode: a dup pair straddling a cell boundary is never
+# compared — mitigated by multi-probe assignment (ivf_assign(...,
+# nprobe=2): pairs meet in any shared cell), proven on planted dups
+# with trained centroids in tests/test_scale_ops.py; the oracle query
+# stays single-probe for cross-engine reproducibility.
 # ---------------------------------------------------------------------------
 _SEMDEDUP_TAU = 0.3
 
