@@ -339,3 +339,14 @@ def test_extract_image_features_true_stats_and_null_tier(spark):
     assert abs(r1.luma_std - luma.std()) < 1e-9
     r2 = rows[2]
     assert r2.width is None and r2.mean_r is None and r2.luma_std is None
+
+
+def test_sample_video_frames_rejects_nonpositive_tick(spark):
+    import pytest as _pytest
+
+    from workhop2_etl_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"x"))], "doc_id long, payload binary")
+    for bad in (0, -0.5, float("nan")):
+        with _pytest.raises(ValueError, match="every_n_seconds"):
+            sample_video_frames(df, every_n_seconds=bad)

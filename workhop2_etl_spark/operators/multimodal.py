@@ -192,6 +192,11 @@ def sample_video_frames(
     tick-numbered frames."""
     from workhop2_etl_spark.operators.imagecodec import gif_frames
 
+    if not every_n_seconds > 0:  # also rejects NaN
+        raise ValueError(
+            f"every_n_seconds must be positive, got {every_n_seconds!r}"
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "ts_seconds": [], "frame_sha": []}
