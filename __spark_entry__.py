@@ -33,7 +33,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # round from git), ordered never-verified > kernel-changed > oldest
 # green; the r06 window below follows the r06-head report output.
 # Round-6 window composition:
-# (a) 19 queries NEW this round (never driver-verified — always
+# (a) 20 queries NEW this round (never driver-verified — always
 #     first): m5 (real-PNG decode through the metadata kernel), j12
 #     (interval overlap join), w7 (rolling correlation), dq4
 #     (snapshot profile drift), x13 (weighted sampling), e10 (RFM),
@@ -47,7 +47,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     propagation communities), e11 (3-event path mining), m8 (real
 #     pixel-statistics feature extraction), x15 (training-loader
 #     token-offset manifest), dq5 (FK referential integrity), x16
-#     (corpus datasheet);
+#     (corpus datasheet), x17 (the five-stage corpus-preparation
+#     pipeline end-to-end in one plan);
 # (b) 6 queries whose kernel changed this round, so their old greens
 #     pre-date the code under them: g7 (localCheckpoint + explode
 #     plan fix), m1/m3 (real-decode tiers inside the mapInPandas
@@ -59,19 +60,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (c) ALL 14 r02-latest greens — the entire verdict-staleness tail,
 #     led by q13 (the round-5 self-declared weakest deferral):
 #     q13, f7, t3, m2, m4, u3, x5, v6, q2, q5, q7, q18, q21, q22;
-# (d) 11 of the 31 r03-latest greens, staleness-report order,
+# (d) 10 of the 31 r03-latest greens, staleness-report order,
 #     kernel-diverse (joins, dedup+clusters, pivot family, windows,
 #     ANN, sinks, aggregates). Five of the original 22 slots went to
-#     the 6b batch; the eleven displaced (g2_cube, s2_json_roundtrip,
+#     the 6b batch; the twelve displaced (g2_cube, s2_json_roundtrip,
 #     v3_embedding_norms, a5_histogram, a6_full_dedupe,
 #     a10_percentiles, d7_canonical_docs, d4_simhash_groups,
-#     j4_argmax_dedupe, a2_count_distinct, a8_top_entities) each
-#     have a SAME-KERNEL
+#     j4_argmax_dedupe, a2_count_distinct, a8_top_entities,
+#     f1_normalize_text) each have a SAME-KERNEL
 #     sibling still in the window (g1 pivot family, s1/s3 reader-
 #     writer kernels, v7's norm fold, a1/a2/a4/a8 aggs, a4's dedupe
 #     kernel, d6's CC output, d3's dedup_text kernel, a4/a7's
-#     dedupe.py windows, a1's aggs.py kernels for a2/a8) and keep
-#     their local gates.
+#     dedupe.py windows, a1's aggs.py kernels for a2/a8, f7 +
+#     x17's inlined normalize for f1) and keep their local gates.
 # Deferred to a same-kernel in-window sibling (each keeps its local
 # pytest + verify_local gate; the FULL 154-query local sweep was re-
 # run green at r06 head after the session/graph/asof/multimodal
@@ -102,6 +103,7 @@ _PRIORITY = [
     "x15_pack_manifest",
     "dq5_referential_integrity",
     "x16_corpus_datasheet",
+    "x17_corpus_pipeline",
     # (b) kernel changed this round
     "g7_triangle_count",
     "m1_image_meta",
@@ -129,7 +131,6 @@ _PRIORITY = [
     "j3_fuzzy_two_pass",
     "d3_near_dup_pairs",
     "d6_dup_clusters",
-    "f1_normalize_text",
     "q1_pricing_summary",
     "a1_topk_group_count",
     "a4_dup_counts",

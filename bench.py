@@ -94,10 +94,12 @@ HEADLINE = [
     # localCheckpoint + explode fix keeps wall-clock signal
     "g7_triangle_count",
     # round-6b: semantic dedup (the per-cell quadratic shape — bench
-    # guards the cell-bucketing) and the nearest as-of join (one
-    # sort, two window frames)
+    # guards the cell-bucketing), the nearest as-of join (one sort,
+    # two window frames), and the five-stage corpus pipeline (one
+    # fused DAG — the number that regresses if a stage materializes)
     "d9_semantic_dedup",
     "j13_asof_nearest",
+    "x17_corpus_pipeline",
 ]
 
 

@@ -818,3 +818,152 @@ def x16_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang",
         F.round(F.col("top_n") / F.col("n_docs"), 4).alias("top_lang_share"),
     )
+
+
+_SIMHASH_BITS_SQL = " + ".join(
+    f"CASE WHEN 2 * len(list_filter(hs, h -> (h // {1 << b}) % 2 = 1)) - len(hs) > 0 "
+    f"THEN {1 << b} ELSE 0 END"
+    for b in range(16)
+)
+
+
+# ---------------------------------------------------------------------------
+# x17: the corpus-preparation pipeline END TO END as one lazy plan —
+# quality gate (x8's rules) → exact dedup (d1's fingerprint, min-id
+# survivor) → SimHash near-dup collapse (d4's 16-bit signature,
+# min-id survivor) → deterministic split (x4's md5 keyspace, train
+# side) → sequence packing (x6's (lang, shard) running-token
+# window). Every stage is the already-oracle-checked kernel; the
+# composite proves they CHAIN — one Catalyst DAG, no materialization
+# between stages, so column pruning and filter pushdown cross stage
+# boundaries. The oracle replays the same five stages as chained
+# CTEs. At 100 TB the plan is: one scan, two hash dedup aggregates
+# + semi-joins, one window per (lang, shard) — the whole pipeline
+# shuffles the corpus three times, not once per stage.
+# ---------------------------------------------------------------------------
+@query(
+    "x17_corpus_pipeline",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, text, lang, n_chars,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE len(string_split({_NORM}, ' ')) END AS n_tok,
+             CASE WHEN {_NORM} = '' THEN 0
+                  ELSE len(list_distinct(string_split({_NORM}, ' '))) END AS n_dtok,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_sym,
+             length(text) AS n_raw
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, text, lang, n_tok FROM m
+      WHERE n_chars >= 50 AND n_chars <= 20000 AND n_tok >= 10
+        AND n_dtok * 10 >= n_tok * 3 AND n_sym * 10 <= n_raw * 3
+    ),
+    fpk AS (
+      SELECT q.*, md5({_NORM}) AS fp FROM q
+    ),
+    ex AS (
+      SELECT doc_id, text, lang, n_tok FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM fpk) WHERE rk = 1
+    ),
+    toks2 AS (
+      SELECT doc_id,
+             CASE WHEN {_NORM} = '' THEN []::VARCHAR[]
+                  ELSE string_split({_NORM}, ' ') END AS tk
+      FROM ex
+    ),
+    hv AS (
+      SELECT doc_id,
+             [(strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+              + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+              + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)
+              FOR t IN list_distinct(tk)] AS hs
+      FROM toks2
+    ),
+    sim AS (
+      SELECT doc_id, ({_SIMHASH_BITS_SQL}) AS simhash FROM hv
+    ),
+    keepers AS (SELECT min(doc_id) AS doc_id FROM sim GROUP BY simhash),
+    near AS (SELECT ex.* FROM ex JOIN keepers USING (doc_id)),
+    train AS (
+      SELECT * FROM near
+      WHERE substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) > '19'
+    ),
+    staged AS (
+      SELECT lang, doc_id, n_tok,
+             CAST(('0x' || substring(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) % {_PACK_SHARDS} AS shard
+      FROM train
+    ),
+    packed AS (
+      SELECT lang, shard, n_tok,
+             CAST(floor((sum(n_tok) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                          ROWS UNBOUNDED PRECEDING) - n_tok)
+                        / 512.0) AS BIGINT) AS pack_id
+      FROM staged
+    )
+    SELECT lang, shard, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+    FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def x17_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators import dedup_text as DD
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    n_dtok = F.size(F.array_distinct(toks))
+    n_sym = F.length(F.regexp_replace(F.col("text"), "[A-Za-z0-9 ]", ""))
+    n_raw = F.length(F.col("text"))
+    nc = F.col("n_chars")
+    passed = docs.filter(
+        (nc >= 50) & (nc <= 20000) & (n_tok >= 10)
+        & (n_dtok * 10 >= n_tok * 3) & (n_sym * 10 <= n_raw * 3)
+    ).select("doc_id", "text", "lang", n_tok.alias("n_tok"))
+
+    ex = DD.dedupe_exact(passed)
+    sim_keep = (
+        ex.select("doc_id", DD.simhash16(F.col("text")).alias("sh"))
+        .groupBy("sh")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near = ex.join(sim_keep, "doc_id", "left_semi")
+    train = near.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        > "19"
+    )
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("shard:"), F.col("doc_id").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _PACK_SHARDS
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = train.select(
+        "lang", "doc_id", shard.alias("shard"), "n_tok"
+    ).withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).cast("long"),
+    )
+    return (
+        packed.groupBy("lang", "shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("pack_tokens"),
+        )
+        .orderBy("lang", "shard", "pack_id")
+    )
