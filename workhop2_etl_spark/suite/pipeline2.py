@@ -837,9 +837,9 @@ _SIMHASH_BITS_SQL = " + ".join(
 # composite proves they CHAIN — one Catalyst DAG, no materialization
 # between stages, so column pruning and filter pushdown cross stage
 # boundaries. The oracle replays the same five stages as chained
-# CTEs. At 100 TB the plan is: one scan, two hash dedup aggregates
-# + semi-joins, one window per (lang, shard) — the whole pipeline
-# shuffles the corpus three times, not once per stage.
+# CTEs. Measured plan (PLAN_r06): 4 corpus shuffles — the two dedup
+# aggregates, the (lang, shard) pack window, and the pack rollup —
+# plus broadcast semi-joins; not one materialization per stage.
 # ---------------------------------------------------------------------------
 @query(
     "x17_corpus_pipeline",
