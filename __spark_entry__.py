@@ -61,22 +61,22 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     led by q13 (the round-5 self-declared weakest deferral):
 #     q13, f7, t3, m2, m4, u3, x5, v6, q2, q5, q7, q18, q21, q22;
 # (d) 10 of the 31 r03-latest greens, staleness-report order,
-#     kernel-diverse (joins, dedup+clusters, pivot family, windows,
-#     ANN, sinks, aggregates). Five of the original 22 slots went to
-#     the 6b batch; the twelve displaced (g2_cube, s2_json_roundtrip,
+#     kernel-diverse (joins, dedup+clusters, pivot family, ANN,
+#     sinks, aggregates). Twelve of the original 22 slots were
+#     progressively handed to the 6b batch as it grew; each
+#     displaced entry (g2_cube, s2_json_roundtrip,
 #     v3_embedding_norms, a5_histogram, a6_full_dedupe,
 #     a10_percentiles, d7_canonical_docs, d4_simhash_groups,
 #     j4_argmax_dedupe, a2_count_distinct, a8_top_entities,
-#     f1_normalize_text) each have a SAME-KERNEL
-#     sibling still in the window (g1 pivot family, s1/s3 reader-
-#     writer kernels, v7's norm fold, a1/a2/a4/a8 aggs, a4's dedupe
-#     kernel, d6's CC output, d3's dedup_text kernel, a4/a7's
-#     dedupe.py windows, a1's aggs.py kernels for a2/a8, f7 +
-#     x17's inlined normalize for f1) and keep their local gates.
+#     f1_normalize_text) has a SAME-KERNEL sibling still in the
+#     window (g1 pivot family, s1/s3 reader-writer kernels, v7's
+#     norm fold, a1's aggs.py kernels, a4/a7's dedupe.py windows,
+#     d6's CC output, d3's dedup_text kernel, f7 + x17's inlined
+#     normalize for clean.py) and keeps its local gates; the FULL
+#     174-query verify_local sweep re-ran green at 6b close.
 # Deferred to a same-kernel in-window sibling (each keeps its local
-# pytest + verify_local gate; the FULL 154-query local sweep was re-
-# run green at r06 head after the session/graph/asof/multimodal
-# changes, and every new query verified individually): j2→j1 (same
+# pytest + verify_local gate; every new query was verified
+# individually at sf0.01 AND sf0.001 when added): j2→j1 (same
 # impute-join kernel), d5→d3 (same ngram-Jaccard kernel), g3/g4→
 # g1/g2 (same pivot/rollup family file), w1/w2/w3→w7 (window-frame
 # kernels; w1's kernel untouched since r03), x1/x3→x13 (md5-keyspace idiom) — plus the r04 cohort
