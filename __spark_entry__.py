@@ -33,7 +33,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # round from git), ordered never-verified > kernel-changed > oldest
 # green; the r06 window below follows the r06-head report output.
 # Round-6 window composition:
-# (a) 20 queries NEW this round (never driver-verified — always
+# (a) 21 queries NEW this round (never driver-verified — always
 #     first): m5 (real-PNG decode through the metadata kernel), j12
 #     (interval overlap join), w7 (rolling correlation), dq4
 #     (snapshot profile drift), x13 (weighted sampling), e10 (RFM),
@@ -48,7 +48,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     pixel-statistics feature extraction), x15 (training-loader
 #     token-offset manifest), dq5 (FK referential integrity), x16
 #     (corpus datasheet), x17 (the five-stage corpus-preparation
-#     pipeline end-to-end in one plan);
+#     pipeline end-to-end in one plan), w8 (rolling OLS trend slope);
 # (b) 6 queries whose kernel changed this round, so their old greens
 #     pre-date the code under them: g7 (localCheckpoint + explode
 #     plan fix), m1/m3 (real-decode tiers inside the mapInPandas
@@ -60,7 +60,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (c) ALL 14 r02-latest greens — the entire verdict-staleness tail,
 #     led by q13 (the round-5 self-declared weakest deferral):
 #     q13, f7, t3, m2, m4, u3, x5, v6, q2, q5, q7, q18, q21, q22;
-# (d) 10 of the 31 r03-latest greens, staleness-report order,
+# (d) 9 of the 31 r03-latest greens, staleness-report order,
 #     kernel-diverse (joins, dedup+clusters, pivot family, ANN,
 #     sinks, aggregates). Twelve of the original 22 slots were
 #     progressively handed to the 6b batch as it grew; each
@@ -68,11 +68,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     v3_embedding_norms, a5_histogram, a6_full_dedupe,
 #     a10_percentiles, d7_canonical_docs, d4_simhash_groups,
 #     j4_argmax_dedupe, a2_count_distinct, a8_top_entities,
-#     f1_normalize_text) has a SAME-KERNEL sibling still in the
+#     f1_normalize_text, a1_topk_group_count) has a SAME-KERNEL
+#     sibling still in the
 #     window (g1 pivot family, s1/s3 reader-writer kernels, v7's
 #     norm fold, a1's aggs.py kernels, a4/a7's dedupe.py windows,
 #     d6's CC output, d3's dedup_text kernel, f7 + x17's inlined
-#     normalize for clean.py) and keeps its local gates; the FULL
+#     normalize for clean.py, e11/x16's count+top-k shapes for a1)
+#     and keeps its local gates; the FULL
 #     174-query verify_local sweep re-ran green at 6b close.
 # Deferred to a same-kernel in-window sibling (each keeps its local
 # pytest + verify_local gate; every new query was verified
@@ -104,6 +106,7 @@ _PRIORITY = [
     "dq5_referential_integrity",
     "x16_corpus_datasheet",
     "x17_corpus_pipeline",
+    "w8_rolling_slope",
     # (b) kernel changed this round
     "g7_triangle_count",
     "m1_image_meta",
@@ -132,7 +135,6 @@ _PRIORITY = [
     "d3_near_dup_pairs",
     "d6_dup_clusters",
     "q1_pricing_summary",
-    "a1_topk_group_count",
     "a4_dup_counts",
     "g1_pivot",
     "s5_jdbc_roundtrip",

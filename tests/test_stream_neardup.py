@@ -651,3 +651,64 @@ def test_stream_join_view_matches_batch_join(spark, tmp_path_factory):
     # same checkpoint, no new files: nothing re-processed, view flat
     SW.stream_join_view_to_parquet(spark, **kw)
     assert read_join_view(spark, str(root / "view")).count() == n
+
+
+def test_stream_two_sided_join_view(spark, tmp_path_factory):
+    """Both join sides interleaved on ONE stream (CDC-feed shape):
+    the maintained view equals the batch join — including pairs whose
+    two sides arrived in the same micro-batch (the dA⋈dB term) — and
+    a same-checkpoint re-run adds nothing."""
+    from workhop2_etl_spark.operators.incremental import read_join_view
+    from workhop2_etl_spark.session import load_table
+
+    root = tmp_path_factory.mktemp("two_sided_view")
+    src = str(root / "feed.parquet")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal"
+    )
+    feed = (
+        orders.select(
+            F.lit("a").alias("side"), "o_custkey", "o_orderkey",
+            "o_totalprice", F.lit(None).cast("string").alias("c_name"),
+            F.lit(None).cast("double").alias("c_acctbal"),
+        )
+        .unionByName(
+            cust.select(
+                F.lit("b").alias("side"), "o_custkey",
+                F.lit(None).cast("long").alias("o_orderkey"),
+                F.lit(None).cast("double").alias("o_totalprice"),
+                "c_name", "c_acctbal",
+            )
+        )
+    )
+    feed.repartition(3).write.mode("overwrite").parquet(src)
+
+    kw = dict(
+        src_path=src,
+        split_a=lambda b: b.filter(F.col("side") == "a").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        ),
+        split_b=lambda b: b.filter(F.col("side") == "b").select(
+            "o_custkey", "c_name", "c_acctbal"
+        ),
+        a_dir=str(root / "a"),
+        b_dir=str(root / "b"),
+        view_dir=str(root / "view"),
+        on="o_custkey",
+        checkpoint_dir=str(root / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    SW.stream_join_view_two_sided(spark, **kw)
+
+    got = read_join_view(spark, str(root / "view"))
+    want = orders.join(cust, "o_custkey", "inner")
+    key = lambda r: (r.o_custkey, r.o_orderkey)
+    assert sorted(map(key, got.collect())) == sorted(map(key, want.collect()))
+    n = got.count()
+    assert n > 0
+
+    SW.stream_join_view_two_sided(spark, **kw)
+    assert read_join_view(spark, str(root / "view")).count() == n

@@ -543,3 +543,51 @@ def stream_join_view_to_parquet(
         .start()
         .awaitTermination()
     )
+
+
+def stream_join_view_two_sided(
+    spark,
+    src_path: str,
+    split_a,
+    split_b,
+    a_dir: str,
+    b_dir: str,
+    view_dir: str,
+    on: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Join-view maintenance where BOTH sides arrive on one stream (a
+    CDC feed carrying interleaved entity types is exactly this):
+    ``split_a``/``split_b`` carve each micro-batch into the two
+    sides' deltas, and apply_join_delta folds them in under one epoch
+    id — so the dA⋈dB term (rows of both sides arriving in the same
+    batch joining each other) is exercised, not just fact-vs-seeded
+    dim. Same replay-idempotence argument as the one-sided wrapper."""
+    from workhop2_etl_spark.operators.incremental import apply_join_delta
+
+    schema = spark.read.parquet(src_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(src_path)
+
+    def apply_batch(batch_df, epoch_id: int) -> None:
+        apply_join_delta(
+            spark,
+            a_dir,
+            b_dir,
+            view_dir,
+            split_a(batch_df),
+            split_b(batch_df),
+            on,
+            epoch_id=int(epoch_id),
+        )
+
+    (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -1287,3 +1287,70 @@ def dq4_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     is_b = F.dayofyear(F.to_date("ts")) % 2 == 1
     return profile_drift(ev, is_b, ["event_type"], "value").orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# w8: rolling TREND — trailing-7-day OLS slope of daily value per
+# event_type, from the same component-sum idiom as w7 (x = exact
+# integer day number, y = rounded daily sum, five running sums over
+# one frame): slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²). The window
+# analytics pair: w7 answers "do these series move together", w8
+# answers "which way is this one moving" — both in one shuffle per
+# key with O(1) state.
+# ---------------------------------------------------------------------------
+@query(
+    "w8_rolling_slope",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS DOUBLE)
+               AS x,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY 1, 2, 3)
+    SELECT day, event_type, y AS daily_value,
+           CASE WHEN n >= 3 AND n*sxx - sx*sx > 0
+                THEN round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4)
+           END AS slope_7d
+    FROM (
+      SELECT day, event_type, y,
+             CAST(count(*) OVER w AS DOUBLE) AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x*x) OVER w AS sxx, sum(x*y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    ORDER BY event_type, day
+    """,
+)
+def w8_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx, sy = F.sum("x").over(w), F.sum("y").over(w)
+    sxx = F.sum(F.col("x") * F.col("x")).over(w)
+    sxy = F.sum(F.col("x") * F.col("y")).over(w)
+    var_x = n * sxx - sx * sx
+    slope = F.when(
+        (n >= 3) & (var_x > 0), F.round((n * sxy - sx * sy) / var_x, 4)
+    )
+    return (
+        daily.select(
+            "day", "event_type", F.col("y").alias("daily_value"),
+            slope.alias("slope_7d"),
+        )
+        .orderBy("event_type", "day")
+    )
