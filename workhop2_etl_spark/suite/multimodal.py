@@ -354,3 +354,69 @@ def m8_real_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("variant")
     )
+
+
+# ---------------------------------------------------------------------------
+# m9: the multimodal pipeline END TO END — raw files on disk through
+# the binaryFile source (glob filters decoys at listing time, so the
+# .txt files are never opened) → Arrow-batched pixel decode → feature
+# stats → summary, in one plan. The staged directory holds 30 real
+# PNGs (10 per m5/m8 fixture variant) plus 5 text decoys; the oracle
+# states each variant's known dimensions and pixel statistics with
+# exact file counts — so ingestion, globbing, decoding, and the
+# feature math are all on the hook at once.
+# ---------------------------------------------------------------------------
+@query(
+    "m9_multimodal_pipeline",
+    oracle="""
+    SELECT CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(mean_r AS DOUBLE) AS mean_r,
+           CAST(mean_g AS DOUBLE) AS mean_g,
+           CAST(mean_b AS DOUBLE) AS mean_b,
+           CAST(luma_std AS DOUBLE) AS luma_std,
+           CAST(n_files AS BIGINT) AS n_files
+    FROM (VALUES
+      (4, 9, 62.5, 91.5, 120.5, 34.4662, 10),
+      (7, 5, 47.0, 47.0, 47.0, 23.1084, 10),
+      (20, 10, 125.0, 146.32, 156.12, 49.0811, 10)
+    ) AS t(width, height, mean_r, mean_g, mean_b, luma_std, n_files)
+    ORDER BY width
+    """,
+)
+def m9_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import base64
+    import os
+
+    from workhop2_etl_spark.sources.readers import read_binary_files
+    from workhop2_etl_spark.suite import io_dir
+
+    d = io_dir("m9_files")
+    os.makedirs(d, exist_ok=True)
+    for i in range(30):
+        with open(os.path.join(d, f"img_{i:02d}.png"), "wb") as f:
+            f.write(base64.b64decode(_PNG_B64[i % 3]))
+    for i in range(5):
+        with open(os.path.join(d, f"note_{i}.txt"), "w") as f:
+            f.write("not an image, never opened")
+
+    files = read_binary_files(spark, d, glob="*.png")
+    staged = files.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.png", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    feats = MM.extract_image_features(staged)
+    return (
+        feats.groupBy(
+            "width",
+            "height",
+            F.round("mean_r", 4).alias("mean_r"),
+            F.round("mean_g", 4).alias("mean_g"),
+            F.round("mean_b", 4).alias("mean_b"),
+            F.round("luma_std", 4).alias("luma_std"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_files"))
+        .orderBy("width")
+    )
