@@ -385,3 +385,43 @@ def test_cdc_chunking_plan_single_doc_shuffle(spark):
     assert "Window" in plan
     groups = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("doc_id" in g for g in groups), groups
+
+
+def test_parquet_aggregate_pushdown_answers_from_footers(spark):
+    """MIN/MAX/COUNT over a bare parquet scan can be answered from
+    row-group footer statistics without decoding a single row — the
+    DSv2 reader's aggregate pushdown (spark.sql.parquet.
+    aggregatePushdown; note the lowercase 'd'). At 100 TB this turns
+    a full-table stats probe into a footer sweep. Values must equal
+    the row-decoding path exactly."""
+    import re
+
+    from workhop2_etl_spark.session import load_table
+
+    from tests.conftest import SF_DIR
+
+    want = load_table(spark, SF_DIR, "orders").agg(
+        F.min("o_orderkey").alias("lo"),
+        F.max("o_orderkey").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+
+    prev_push = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        spark.conf.set("spark.sql.sources.useV1SourceList", "")
+        df = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        agg = df.agg(
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PushedAggregation: \[([^\]]+)\]", plan)
+        assert m and "MIN" in m.group(1) and "COUNT" in m.group(1), plan[:1500]
+        got = agg.collect()[0]
+        assert (got.lo, got.hi, got.n) == (want.lo, want.hi, want.n)
+    finally:
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)

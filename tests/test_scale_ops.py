@@ -1170,3 +1170,56 @@ def test_semantic_dedup_trained_cells_catch_planted_dups(spark):
     # embeddings are near-orthogonal at dim 64)
     originals = {p for p in flagged if p[1] < 1_000_000}
     assert not originals, f"false dup pairs: {sorted(originals)[:5]}"
+
+
+def test_leakage_safe_split_clusters_never_span(spark):
+    """Cluster-keyed splitting: every near-dup component lands WHOLE
+    on one side (x4-style per-doc md5 splitting demonstrably breaks
+    this on the same corpus — the property is the fix, not luck)."""
+    from workhop2_etl_spark.operators import dedup_text as DD
+    from workhop2_etl_spark.operators.graph import connected_components
+    from workhop2_etl_spark.suite.dedup import (
+        NUM_BANDS,
+        NUM_HASHES,
+        SHINGLE_N,
+        _corpus,
+    )
+
+    corpus = _corpus(spark, SF_DIR)
+    pairs = DD.minhash_candidates(
+        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, shingle_n=SHINGLE_N
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("gk")
+    )
+    members = corpus.join(comps, "doc_id", "inner")  # clustered docs only
+    assert members.count() > 0
+
+    def split_col(key_col):
+        return F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("gsplit:"), key_col.cast("string"))), 1, 2
+            )
+            <= "19",
+            "val",
+        ).otherwise("train")
+
+    by_cluster = members.withColumn("split", split_col(F.col("gk")))
+    spanning = (
+        by_cluster.groupBy("gk")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert spanning == 0
+
+    # the per-DOC rule on the same corpus DOES split clusters apart —
+    # proving the cluster key is load-bearing
+    by_doc = members.withColumn("split", split_col(F.col("doc_id")))
+    spanning_doc = (
+        by_doc.groupBy("gk")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert spanning_doc > 0, "fixture has no cluster straddling a per-doc split"

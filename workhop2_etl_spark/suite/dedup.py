@@ -394,3 +394,102 @@ def d7_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(dropped.agg(F.count(F.lit(1)).alias("n_dropped")))
         .select("n_before", "n_after", "n_clusters", "n_dropped")
     )
+
+
+# ---------------------------------------------------------------------------
+# x18: LEAKAGE-SAFE train/val split — the subtle bug x4-style per-doc
+# splits have on deduplicated-but-not-fully corpora: two near-dup
+# docs straddling the split leak eval content into training. Fix:
+# split by DUP CLUSTER, not by doc — every near-dup component (d6's
+# connected components over LSH candidate pairs; singletons are their
+# own group) takes the split decision from ONE md5 draw on its group
+# key, so clusters co-travel by construction (spanning clusters = 0
+# structurally, not probabilistically). Output: per-split doc/group
+# counts and the dup-doc mass, proving the planted dup families land
+# whole. At 100 TB: the CC output is a tiny (node, comp) relation
+# broadcast back onto the corpus — the split adds one map stage to
+# the dedup pipeline it rides.
+# ---------------------------------------------------------------------------
+@query(
+    "x18_leakage_safe_split",
+    oracle=rf"""
+    WITH RECURSIVE {_CORPUS_SQL.strip()},
+    {_SHINGLES_SQL.strip()},
+    {_SIG_SQL},
+    {_BANDS_SQL},
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_id = b.band_id AND a.band_key = b.band_key
+                  AND a.doc_id < b.doc_id
+      WHERE a.band_key IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    und AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM und)
+      UNION
+      SELECT e.b, r.comp FROM reach r JOIN und e ON e.a = r.node
+    ),
+    comps AS (SELECT node AS doc_id, min(comp) AS component
+              FROM reach GROUP BY node),
+    grouped AS (
+      SELECT c.doc_id, coalesce(p.component, c.doc_id) AS gk
+      FROM corpus c LEFT JOIN comps p USING (doc_id)
+    ),
+    sized AS (
+      SELECT doc_id, gk,
+             count(*) OVER (PARTITION BY gk) AS gsz,
+             CASE WHEN substring(md5('gsplit:' || CAST(gk AS VARCHAR)), 1, 2)
+                       <= '19'
+                  THEN 'val' ELSE 'train' END AS split
+      FROM grouped
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT gk) AS n_groups,
+           CAST(sum(CASE WHEN gsz > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clustered_docs
+    FROM sized GROUP BY split ORDER BY split
+    """,
+)
+def x18_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from workhop2_etl_spark.operators.graph import connected_components
+
+    corpus = _corpus(spark, sf_dir)
+    pairs = DD.minhash_candidates(
+        corpus, num_hashes=NUM_HASHES, num_bands=NUM_BANDS, shingle_n=SHINGLE_N
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    )
+    grouped = corpus.join(F.broadcast(comps), "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("gk")
+    )
+    sized = grouped.withColumn(
+        "gsz", F.count(F.lit(1)).over(Window.partitionBy("gk"))
+    ).withColumn(
+        "split",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("gsplit:"), F.col("gk").cast("string"))), 1, 2
+            )
+            <= "19",
+            "val",
+        ).otherwise("train"),
+    )
+    return (
+        sized.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("gk").alias("n_groups"),
+            F.sum(F.when(F.col("gsz") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clustered_docs"),
+        )
+        .orderBy("split")
+    )
