@@ -479,3 +479,54 @@ def test_asof_nearest_matches_python_replay(spark):
         # tie between sides → the earlier (backward) instant wins
         want = min(winners, key=lambda c: c[1])[2]
         assert row.tag == want, (row, winners)
+
+
+def test_label_propagation_partition_invariant(spark):
+    """The synchronous-determinism claim, tested where it actually
+    bites: the SAME edge set delivered in different partitionings
+    (1 vs 16 partitions, shuffled input order) must produce
+    IDENTICAL final labels — no dependence on row arrival order."""
+    import random
+
+    from workhop2_etl_spark.operators.graph import label_propagation
+
+    r = random.Random(66)
+    edges = list({(r.randrange(40), r.randrange(40)) for _ in range(120)})
+    edges = [(a, b, r.randrange(1, 5)) for (a, b) in edges if a != b]
+
+    def run(parts: int, order):
+        df = spark.createDataFrame(order, "src long, dst long, w int").repartition(parts)
+        return {
+            (row.node, row.label)
+            for row in label_propagation(df, iters=3, weight_col="w").collect()
+        }
+
+    base = run(1, edges)
+    shuffled = list(edges)
+    r.shuffle(shuffled)
+    assert run(16, shuffled) == base
+    assert run(4, list(reversed(edges))) == base
+
+
+def test_corpus_pipeline_partition_invariant(spark):
+    """x17's five fused stages must be a pure function of the corpus
+    CONTENT: the same documents table re-partitioned 1 vs 32 ways
+    yields identical pack manifests (dedup winners, split membership,
+    and pack boundaries all have total-order tiebreaks)."""
+    import tempfile
+
+    from tests.conftest import SF_DIR
+    from workhop2_etl_spark import suite
+    from workhop2_etl_spark.session import load_table
+
+    suite.load_all()
+    docs = load_table(spark, SF_DIR, "documents")
+    out = {}
+    for parts in (1, 32):
+        d = tempfile.mkdtemp(prefix=f"w2e_x17_{parts}_")
+        docs.repartition(parts).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        rows = suite.QUERIES["x17_corpus_pipeline"](spark, d).collect()
+        out[parts] = [tuple(r) for r in rows]
+    assert out[1] == out[32] and len(out[1]) > 0
