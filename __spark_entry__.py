@@ -76,13 +76,15 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     normalize for clean.py, e11/x16's count+top-k shapes for a1)
 #     and keeps its local gates; the FULL
 #     174-query verify_local sweep re-ran green at 6b close.
-# Below the window by choice: m9_multimodal_pipeline and
-# x18_leakage_safe_split (added last; the nine remaining (d) slots
+# Below the window by choice: m9_multimodal_pipeline,
+# x18_leakage_safe_split, e12_event_gap_stats, and
+# sql3_corpus_quality_sql (added last; the nine remaining (d) slots
 # are each the LAST in-window representative of their kernel, so
 # displacing any would leave a kernel family ungraded; both hold
 # sf0.01+sf0.001 local gates and compose already-in-window kernels —
-# m8's features for m9, d6's CC + the md5-split idiom for x18 — and
-# they lead the r07 window as its first never-verified entries).
+# m8's features for m9, d6's CC + the md5-split idiom for x18, w7's
+# lag-window and x8's rules for e12/sql3 — and they lead the r07
+# window as its first never-verified entries).
 # Deferred to a same-kernel in-window sibling (each keeps its local
 # pytest + verify_local gate; every new query was verified
 # individually at sf0.01 AND sf0.001 when added): j2→j1 (same

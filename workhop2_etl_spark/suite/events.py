@@ -606,3 +606,113 @@ def e11_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# e12: inter-arrival gap profile — per event_type, the stream's
+# cadence: count of gaps, mean / max gap seconds between consecutive
+# events (global order per type by (ts, event_id)). The operational
+# monitor for "did this source stall": one lag window per type, one
+# aggregate; gap math in exact integer microseconds before the mean.
+# ---------------------------------------------------------------------------
+@query(
+    "e12_event_gap_stats",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS us,
+             event_id
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type,
+             us - lag(us) OVER (PARTITION BY event_type
+                                ORDER BY us, event_id) AS gap_us
+      FROM ev
+    )
+    SELECT event_type,
+           count(gap_us) AS n_gaps,
+           round(avg(gap_us) / 1e6, 3) AS mean_gap_s,
+           round(max(gap_us) / 1e6, 3) AS max_gap_s
+    FROM gaps GROUP BY event_type ORDER BY event_type
+    """,
+)
+def e12_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("event_type").orderBy(us.asc(), F.col("event_id").asc())
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.round(F.avg("gap_us") / 1e6, 3).alias("mean_gap_s"),
+            F.round(F.max("gap_us") / 1e6, 3).alias("max_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sql3: the LLM-pipeline surface through pure spark.sql — x8's
+# quality rules as a SQL text query over a registered documents view
+# (sql1/sql2 prove the relational surface; this proves the corpus
+# ops are equally reachable without the DataFrame API). Per-language
+# pass accounting, integer-ratio rules identical to x8.
+# ---------------------------------------------------------------------------
+@query(
+    "sql3_corpus_quality_sql",
+    oracle="""
+    WITH m AS (
+      SELECT lang, n_chars,
+             CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                  THEN 0
+                  ELSE len(string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+             END AS n_tok,
+             CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) = ''
+                  THEN 0
+                  ELSE len(list_distinct(string_split(
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')))
+             END AS n_dtok,
+             length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g')) AS n_sym,
+             length(text) AS n_raw
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN n_chars >= 50 AND n_chars <= 20000
+                          AND n_tok >= 10 AND n_dtok * 10 >= n_tok * 3
+                          AND n_sym * 10 <= n_raw * 3
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+    FROM m GROUP BY lang ORDER BY lang
+    """,
+)
+def sql3_corpus_quality_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        r"""
+        WITH m AS (
+          SELECT lang, n_chars,
+                 CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ')) = ''
+                      THEN 0
+                      ELSE size(split(
+                        trim(regexp_replace(lower(text), '\\s+', ' ')), ' '))
+                 END AS n_tok,
+                 CASE WHEN trim(regexp_replace(lower(text), '\\s+', ' ')) = ''
+                      THEN 0
+                      ELSE size(array_distinct(split(
+                        trim(regexp_replace(lower(text), '\\s+', ' ')), ' ')))
+                 END AS n_dtok,
+                 length(regexp_replace(text, '[A-Za-z0-9 ]', '')) AS n_sym,
+                 length(text) AS n_raw
+          FROM documents
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_chars >= 50 AND n_chars <= 20000
+                              AND n_tok >= 10 AND n_dtok * 10 >= n_tok * 3
+                              AND n_sym * 10 <= n_raw * 3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_passed
+        FROM m GROUP BY lang ORDER BY lang
+        """
+    )
