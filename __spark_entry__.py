@@ -77,8 +77,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     and keeps its local gates; the FULL
 #     174-query verify_local sweep re-ran green at 6b close.
 # Below the window by choice: m9_multimodal_pipeline,
-# x18_leakage_safe_split, e12_event_gap_stats, and
-# sql3_corpus_quality_sql (added last; the nine remaining (d) slots
+# x18_leakage_safe_split, e12_event_gap_stats,
+# sql3_corpus_quality_sql, and st12_windowed_topk (added last; the nine remaining (d) slots
 # are each the LAST in-window representative of their kernel, so
 # displacing any would leave a kernel family ungraded; both hold
 # sf0.01+sf0.001 local gates and compose already-in-window kernels —

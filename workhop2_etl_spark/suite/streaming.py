@@ -371,3 +371,55 @@ def st11_full_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return SW.interval_join_pairs(
         views, clicks, within="30 minutes", how="fullOuter"
     ).orderBy("user_id", "l_event_id", "r_event_id")
+
+
+# ---------------------------------------------------------------------------
+# st12: windowed TOP-K — the per-window leaderboard (top-3 event
+# types by count per tumbling hour, deterministic (count desc, type
+# asc) rank). The reporting shape behind every "trending now" panel:
+# windowed aggregate then a rank over the tiny per-window result —
+# the rank runs on window-cardinality rows, never the event stream.
+# In streaming this runs as the windowed aggregate with the rank
+# applied per emission (foreachBatch / complete-mode sink), same
+# final rows as this batch plan.
+# ---------------------------------------------------------------------------
+@query(
+    "st12_windowed_topk",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events
+    ),
+    counts AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             event_type, count(*) AS n
+      FROM ev GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                                   ORDER BY n DESC, event_type ASC) AS rnk
+      FROM counts
+    ) WHERE rnk <= 3
+    ORDER BY window_start, rnk
+    """,
+)
+def st12_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.window(F.col("ts"), "1 hour").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    rnk = F.row_number().over(
+        Window.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    )
+    return (
+        counts.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+        .orderBy("window_start", "rnk")
+    )
