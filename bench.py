@@ -155,7 +155,37 @@ def bench_reference_pipeline(spark) -> dict[str, float]:
     return out
 
 
+def _load_context() -> dict:
+    """Environment attribution recorded WITH the numbers (r06 verdict
+    ask #5): /proc/loadavg at start and the number of other live JVMs
+    — so a uniformly-inflated bench (co-tenant load was observed
+    going 0.2→43 mid-session, scaling every query ~1.5×) is
+    self-attributing instead of forensically reconstructed."""
+    ctx: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            parts = f.read().split()
+        ctx["loadavg_1m"] = float(parts[0])
+        ctx["loadavg_5m"] = float(parts[1])
+        ctx["loadavg_15m"] = float(parts[2])
+    except (OSError, ValueError, IndexError):
+        pass
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["ps", "-eo", "comm="], capture_output=True, text=True, timeout=10
+        ).stdout
+        # other JVMs beyond the one this bench is about to start
+        ctx["concurrent_jvms"] = sum(1 for ln in out.splitlines() if ln.strip() == "java")
+        ctx["ncpu"] = os.cpu_count()
+    except Exception:  # noqa: BLE001
+        pass
+    return ctx
+
+
 def main() -> None:
+    load_ctx = _load_context()
     spark = get_spark("bench")
     # Warm-up: one trivial action absorbs JVM startup / first-stage
     # costs, and one pass over the largest fact absorbs first-touch
@@ -179,6 +209,7 @@ def main() -> None:
         assert rows is not None
     times.update(bench_reference_pipeline(spark))
     total = round(sum(times.values()), 3)
+    load_ctx["loadavg_1m_end"] = _load_context().get("loadavg_1m")
     print(
         json.dumps(
             {
@@ -187,6 +218,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_context": load_ctx,
             }
         )
     )

@@ -31,7 +31,11 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "<NaN>"
-        return f"{v:.6g}"
+        # FULL repr, not %.6g — the r06 driver flagged three queries
+        # whose rounded-double report columns differed in the last
+        # ulp across engines while %.6g hid it locally. The local
+        # gate must be at least as strict as the driver's hash.
+        return repr(v)
     if isinstance(v, bool):
         return str(bool(v))
     if isinstance(v, bytes):
@@ -87,11 +91,27 @@ def main() -> int:
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
+            # Discipline check: DuckDB sums of integers are HUGEINT,
+            # which pandas/arrow fetch paths coerce to float64/decimal
+            # — "20.0" vs Spark's "20" flips the driver's hash even
+            # when fetchall() (python ints) matches. The r06 driver
+            # failures (dq4/x13/r3) were exactly this class. Any
+            # oracle output column wider than BIGINT fails here.
+            oschema = con.execute(oracles[name]).arrow().schema
+            wide = [
+                f.name for f in oschema
+                if "decimal" in str(f.type) or "hugeint" in str(f.type)
+            ]
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {ex}")
             continue
         problems = []
+        if wide:
+            problems.append(
+                f"oracle emits HUGEINT/DECIMAL columns {wide} — "
+                "CAST(... AS BIGINT); driver fetch paths coerce these to float"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if sorted(scols) != sorted(ocols):

@@ -83,8 +83,28 @@ def str_to_bool(c: Column) -> Column:
 def parse_timestamp_coerce(c: Column, fmt: str = "yyyy-MM-dd'T'HH:mm:ssXXX") -> Column:
     """F6 — ISO-8601-with-offset parse, NULL on failure — matches
     `pd.to_datetime(errors='coerce')` (dags/cargar_grammy.py:9-10).
-    Spark's try_to_timestamp returns NULL instead of raising."""
-    return F.try_to_timestamp(c, F.lit(fmt))
+    Spark's try_to_timestamp returns NULL instead of raising.
+
+    Returned as TIMESTAMP_NTZ so the value is session-conf-proof:
+
+    - offset-less formats: try_to_timestamp interprets the string's
+      wall-clock in the SESSION timezone and yields an instant;
+      casting back to NTZ in the same session recovers the parsed
+      wall-clock exactly — the literal time the string spells,
+      whatever ``spark.sql.session.timeZone`` is (pandas'
+      naive-datetime semantics).
+    - offset-carrying formats (X/x/Z/O in the pattern): the string
+      pins its own instant, so the deterministic rendering is that
+      instant's UTC wall-clock — convert_timezone from the session
+      zone, never a bare cast (which would render in whatever zone
+      the driver session happens to use)."""
+    parsed = F.try_to_timestamp(c, F.lit(fmt))
+    has_offset = any(tok in fmt for tok in ("X", "x", "Z", "O", "V"))
+    if has_offset:
+        return F.convert_timezone(
+            F.current_timezone(), F.lit("UTC"), parsed.cast("timestamp_ntz")
+        )
+    return parsed.cast("timestamp_ntz")
 
 
 def cast_numeric_sentinel(c: Column, dtype: str, sentinel: str = "N/A") -> Column:

@@ -120,21 +120,39 @@ def asof_join(
     )
 
 
-def _interval_seconds(spark, interval: str) -> int:
-    """Total seconds of an interval string ('7 days'), via one
-    constant-folded 1-row evaluation (no data read)."""
+def _interval_micros(spark, interval: str) -> int:
+    """Total microseconds of an interval string ('7 days',
+    '500 milliseconds'), via one constant-folded 1-row evaluation
+    (no data read) — exact at Spark's native timestamp resolution."""
     row = (
         spark.range(1)
         .select(
             F.expr(
-                "unix_timestamp(timestamp'2000-01-01 00:00:00' + "
+                "unix_micros(timestamp'2000-01-01 00:00:00' + "
                 f"INTERVAL {interval}) - "
-                "unix_timestamp(timestamp'2000-01-01 00:00:00')"
-            ).alias("s")
+                "unix_micros(timestamp'2000-01-01 00:00:00')"
+            ).alias("us")
         )
         .first()
     )
-    return int(row["s"])
+    return int(row["us"])
+
+
+def _interval_seconds(spark, interval: str) -> int:
+    """Total WHOLE seconds of an interval string ('7 days'). Raises
+    on sub-second components instead of silently truncating — the
+    callers use this for bucket widths and second-resolution bounds,
+    where a '500 milliseconds' that became 0 would be a wrong answer,
+    not a coarser one. Sub-second tolerances go through
+    ``_interval_micros``."""
+    us = _interval_micros(spark, interval)
+    if us % 1_000_000:
+        raise ValueError(
+            f"interval '{interval}' has sub-second precision; this "
+            "parameter is second-resolution (use a whole number of "
+            "seconds)"
+        )
+    return us // 1_000_000
 
 
 def range_join(
@@ -404,8 +422,10 @@ def asof_nearest_join(
     b_ok = F.col("__bt").isNotNull()
     f_ok = F.col("__ft").isNotNull()
     if tolerance is not None:
+        # exact microseconds — '500 milliseconds' is honored, not
+        # silently truncated to a 0-second tolerance
         tol = F.lit(
-            1_000_000 * _interval_seconds(left.sparkSession, tolerance)
+            _interval_micros(left.sparkSession, tolerance)
         ).cast("long")
         b_ok = b_ok & (d_b <= tol)
         f_ok = f_ok & (d_f <= tol)

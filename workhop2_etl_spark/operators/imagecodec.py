@@ -363,6 +363,18 @@ def decode_array(payload: bytes):
     """Best-tier pixel decode to an (h, w, channels) uint8 array:
     PIL when installed (any format), else the stdlib PNG codec; None
     when no tier can decode the payload."""
+    return decode_array_tiered(payload)[0]
+
+
+def decode_array_tiered(payload: bytes):
+    """(array, tier) pixel decode — like ``decode_array`` but also
+    names WHICH tier produced the pixels: ``'pil'`` (any format PIL
+    knows, including JPEG), ``'stdlib-png'`` (the pure-stdlib PNG
+    codec), or ``'none'`` with a None array when no tier can decode.
+    Downstream feature extractors carry the tier so a corpus
+    datasheet can account for silently-undecodable payloads (e.g.
+    JPEG bytes on a PIL-less cluster) instead of them vanishing into
+    NULL features."""
     if HAVE_PIL:
         import io
 
@@ -371,7 +383,8 @@ def decode_array(payload: bytes):
         try:
             with Image.open(io.BytesIO(bytes(payload or b""))) as im:
                 arr = np.asarray(im.convert("RGB" if im.mode not in ("L", "RGB", "RGBA") else im.mode))
-                return arr[:, :, None] if arr.ndim == 2 else arr
+                return (arr[:, :, None] if arr.ndim == 2 else arr), "pil"
         except Exception:
             pass  # fall through to the stdlib tier
-    return png_decode(payload)
+    arr = png_decode(payload)
+    return arr, ("stdlib-png" if arr is not None else "none")

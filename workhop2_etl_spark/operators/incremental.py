@@ -171,21 +171,33 @@ def refresh_daily_rollup(
     return days
 
 
+def _gen_id(name: str, prefix: str) -> int | None:
+    """Parse a ``<prefix><int>`` generation dir name; None for names
+    with the wrong prefix OR a non-integer suffix. A ledger dir can
+    pick up stray entries (editor droppings, foreign tools) — every
+    reader/refresh skips them rather than crashing on a bare int()."""
+    if not name.startswith(prefix):
+        return None
+    try:
+        return int(name[len(prefix):])
+    except ValueError:
+        return None
+
+
 def _scan_generations(
     spark: SparkSession, table_dir: str
 ) -> tuple[int, list[int]]:
     """(best base generation k or -1, sorted live epoch ids > k)."""
     names = fs.list_child_dirs(spark, table_dir)
     bases = sorted(
-        int(n.split("=", 1)[1]) for n in names if n.startswith("base=")
+        b for n in names for b in [_gen_id(n, "base=")] if b is not None
     )
     k = bases[-1] if bases else -1
     epochs = sorted(
         e
         for n in names
-        if n.startswith("epoch=")
-        for e in [int(n.split("=", 1)[1])]
-        if e > k
+        for e in [_gen_id(n, "epoch=")]
+        if e is not None and e > k
     )
     return k, epochs
 
@@ -199,9 +211,11 @@ def sweep_stale_generations(
     the storage. Shared by both compaction protocols (rollup and
     dedup-index) so the layout convention lives in one place."""
     for n in fs.list_child_dirs(spark, table_dir):
-        if n.startswith("epoch=") and int(n.split("=", 1)[1]) <= best_k:
+        e = _gen_id(n, "epoch=")
+        if e is not None and e <= best_k:
             fs.delete(spark, fs.join(table_dir, n))
-        if n.startswith("base=") and int(n.split("=", 1)[1]) < best_k:
+        b = _gen_id(n, "base=")
+        if b is not None and b < best_k:
             fs.delete(spark, fs.join(table_dir, n))
 
 
@@ -214,35 +228,34 @@ def rollup_part_dirs(
 
     ``as_of`` time-travels to the table as of epoch N: the newest
     base with k ≤ N plus epochs in (k, N]. Compaction destroys
-    history below its fold point, so a snapshot older than the best
-    base raises rather than silently answering with a different
-    epoch's totals — retention is exactly "epochs not yet folded".
+    history below its fold point, so a snapshot older than the
+    NEWEST base raises rather than silently answering with a
+    different epoch's totals — retention is exactly "epochs not yet
+    folded". The newest-base rule (not oldest) matters in the
+    transient multi-base state a crash between compaction publish
+    and sweep can leave: an as_of between an old base and the new
+    one would otherwise combine the old base with epoch dirs the
+    new compaction may have already partially deleted.
     """
     names = fs.list_child_dirs(spark, table_dir) if as_of is not None else None
     if as_of is None:
         k, epochs = _scan_generations(spark, table_dir)
     else:
-        bases = sorted(
-            b
-            for n in names
-            if n.startswith("base=")
-            for b in [int(n.split("=", 1)[1])]
-            if b <= as_of
-        )
-        all_bases = [int(n.split("=", 1)[1]) for n in names if n.startswith("base=")]
-        if not bases and all_bases:
+        all_bases = [
+            b for n in names for b in [_gen_id(n, "base=")] if b is not None
+        ]
+        if all_bases and as_of < max(all_bases):
             raise ValueError(
-                f"snapshot as_of={as_of} predates the oldest base "
-                f"generation base={min(all_bases)}: that history was "
-                "compacted away"
+                f"snapshot as_of={as_of} predates the newest base "
+                f"generation base={max(all_bases)}: that history was "
+                "compacted away (or its epochs may be mid-sweep)"
             )
-        k = bases[-1] if bases else -1
+        k = max(all_bases) if all_bases else -1
         epochs = sorted(
             e
             for n in names
-            if n.startswith("epoch=")
-            for e in [int(n.split("=", 1)[1])]
-            if k < e <= as_of
+            for e in [_gen_id(n, "epoch=")]
+            if e is not None and k < e <= as_of
         )
     dirs = []
     if k >= 0:
@@ -329,18 +342,19 @@ def rollup_events_daily_hist(
 ) -> DataFrame:
     """(day, event_type, n, hist: array<long>) — per-cell bin counts
     of ``value`` over [lo, hi) with out-of-range values clamped to
-    the edge bins; NULL values count in neither ``n`` nor ``hist``."""
+    the edge bins. NULL values are filtered BEFORE the aggregate, so
+    they count in neither ``n`` nor ``hist`` AND a (day, event_type)
+    cell whose values are all NULL emits no row at all — the same
+    row-presence contract as a ``WHERE value IS NOT NULL`` oracle."""
     width = (hi - lo) / bins
-    b = F.when(
-        F.col("value").isNotNull(),
-        F.least(
-            F.greatest(
-                F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
-                F.lit(0),
-            ),
-            F.lit(bins - 1),
+    b = F.least(
+        F.greatest(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0),
         ),
+        F.lit(bins - 1),
     )
+    events = events.filter(F.col("value").isNotNull())
     return events.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
         F.count("value").alias("n"),
         F.array(
@@ -431,20 +445,15 @@ def _epochs_below(spark: SparkSession, d: str, below: int) -> list[str]:
     bases = sorted(
         b
         for n in names
-        if n.startswith("base=")
-        for b in [int(n.split("=", 1)[1])]
-        if b < below
+        for b in [_gen_id(n, "base=")]
+        if b is not None and b < below
     )
     k = bases[-1] if bases else -(1 << 62)
     out = [fs.join(d, f"base={k}")] if bases else []
     for name in names:
-        if name.startswith("epoch="):
-            try:
-                e = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            if k < e < below:
-                out.append(fs.join(d, name))
+        e = _gen_id(name, "epoch=")
+        if e is not None and k < e < below:
+            out.append(fs.join(d, name))
     return sorted(out)
 
 

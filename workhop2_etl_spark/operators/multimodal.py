@@ -360,6 +360,7 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
         T.StructField("mean_g", T.DoubleType(), True),
         T.StructField("mean_b", T.DoubleType(), True),
         T.StructField("luma_std", T.DoubleType(), True),
+        T.StructField("decode_tier", T.StringType(), True),
     ]
 )
 
@@ -371,21 +372,33 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     yield NULL features — honest unknowns, not fabricated stats.
     Grayscale replicates its single channel; alpha is ignored.
 
+    ``decode_tier`` names which codec tier produced (or failed to
+    produce) the pixels — 'pil' / 'stdlib-png' / 'none' — so a
+    datasheet can COUNT undecodable payloads (e.g. JPEG bytes on a
+    PIL-less cluster, which otherwise fall silently to NULL
+    features; r06 verdict, Missing #4).
+
     Same scale shape as embed_images (this IS the feature stage a
     vision encoder replaces): Arrow-batched mapInPandas, narrow, no
     shuffle; float64 numpy throughout so values are deterministic.
     """
     import numpy as np
 
-    from workhop2_etl_spark.operators.imagecodec import decode_array
+    from workhop2_etl_spark.operators.imagecodec import decode_array_tiered
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
-                   ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "luma_std")}
+                   ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
+                    "luma_std", "decode_tier")}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                arr = decode_array(payload) if payload is not None else None
+                arr, tier = (
+                    decode_array_tiered(payload)
+                    if payload is not None
+                    else (None, "none")
+                )
                 out["doc_id"].append(doc_id)
+                out["decode_tier"].append(tier)
                 if arr is None:
                     for k in ("width", "height", "mean_r", "mean_g", "mean_b", "luma_std"):
                         out[k].append(None)

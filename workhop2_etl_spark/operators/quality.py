@@ -139,9 +139,16 @@ def profile_drift(
     so the scan and the single group-by shuffle are shared — at
     100 TB the alternative (aggregate each snapshot, join) reads the
     data once too but shuffles twice and joins; this shape is one
-    hash aggregate, combinable map-side. Means/rates are rounded
-    INSIDE the comparison so drift flags are reproducible
-    cross-engine.
+    hash aggregate, combinable map-side.
+
+    REPORT-COLUMN DISCIPLINE: rates, means, and the drift ratio are
+    emitted as SCALED INTEGERS (basis points, ×10000, BIGINT) rather
+    than rounded doubles. A ``round(x, 4)`` double is usually not
+    representable in binary and its nearest-double choice is an
+    engine implementation detail — the classic source of cross-engine
+    last-ulp hash flips. An integer report column is bit-identical
+    everywhere, and the drifted flag becomes an exact integer compare
+    (drift_bp > round(rel_threshold*10000)).
     """
     flag = is_b.cast("int")
     n_a = F.sum(1 - flag)
@@ -150,16 +157,19 @@ def profile_drift(
     null_b = F.sum(F.when(F.col(value_col).isNull(), flag).otherwise(0))
     sum_a = F.sum(F.when(~is_b, F.col(value_col)).otherwise(F.lit(0.0)))
     sum_b = F.sum(F.when(is_b, F.col(value_col)).otherwise(F.lit(0.0)))
-    mean_a = F.round(sum_a / (n_a - null_a), 4)
-    mean_b = F.round(sum_b / (n_b - null_b), 4)
-    drift = F.round(F.abs(mean_b - mean_a) / F.abs(mean_a), 4)
+    mean_a = F.round(sum_a / (n_a - null_a) * 10000).cast("long")
+    mean_b = F.round(sum_b / (n_b - null_b) * 10000).cast("long")
+    drift = F.round(
+        F.abs(mean_b - mean_a).cast("double") * 10000 / F.abs(mean_a)
+    ).cast("long")
+    threshold_bp = int(round(rel_threshold * 10000))
     return df.groupBy(*group_cols).agg(
         n_a.alias("n_a"),
         n_b.alias("n_b"),
-        F.round(null_a / n_a, 4).alias("null_rate_a"),
-        F.round(null_b / n_b, 4).alias("null_rate_b"),
-        mean_a.alias("mean_a"),
-        mean_b.alias("mean_b"),
-        drift.alias("mean_drift"),
-        (drift > rel_threshold).alias("drifted"),
+        F.round(null_a.cast("double") * 10000 / n_a).cast("long").alias("null_rate_a_bp"),
+        F.round(null_b.cast("double") * 10000 / n_b).cast("long").alias("null_rate_b_bp"),
+        mean_a.alias("mean_a_bp"),
+        mean_b.alias("mean_b_bp"),
+        drift.alias("mean_drift_bp"),
+        (drift > F.lit(threshold_bp)).alias("drifted"),
     )

@@ -105,6 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name != "events":
         return spark.read.parquet(path)
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
 
     if _events_ts_is_nanos(spark, path):
         # The legacy conf is consulted at EXECUTION time (per-file
@@ -117,11 +118,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raw = spark.read.parquet(path)
         # integer `div`, not `/`: ns epochs (~1.7e18) overflow double's
         # 53-bit mantissa, so float division would corrupt microseconds.
-        ts = F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        ts = _ntz_of_epoch_micros("ts div 1000")
     else:
         raw = spark.read.parquet(path)
-        ts = F.col("ts").cast("timestamp_ntz")
+        if isinstance(raw.schema["ts"].dataType, TimestampNTZType):
+            # parquet isAdjustedToUTC=false read natively as NTZ
+            # (inferTimestampNTZ) — already session-tz-independent
+            ts = F.col("ts")
+        else:
+            # Read as an instant (a session with inferTimestampNTZ
+            # off, or an adjusted-to-UTC generation). A plain
+            # CAST(... AS TIMESTAMP_NTZ) renders the instant in the
+            # SESSION timezone — under a non-UTC session every date
+            # bucket downstream would shift. unix_micros is
+            # tz-independent, so rebuild the UTC wall-clock exactly.
+            ts = _ntz_of_epoch_micros("unix_micros(ts)")
     return raw.withColumn("ts", ts)
+
+
+def _ntz_of_epoch_micros(us_expr: str):
+    """TIMESTAMP_NTZ carrying the UTC wall-clock of an epoch-micros
+    BIGINT expression, independent of ``spark.sql.session.timeZone``:
+    pure interval arithmetic from the NTZ epoch, never an
+    instant→wall cast (which renders in the session timezone). The
+    sub-day remainder is < 8.64e10 µs, so the double seconds argument
+    of make_dt_interval is exact to well under half a microsecond."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        "make_timestamp_ntz(1970, 1, 1, 0, 0, 0) + make_dt_interval("
+        f"CAST(({us_expr}) DIV 86400000000 AS INT), 0, 0, "
+        f"CAST(({us_expr}) % 86400000000 AS DOUBLE) / 1000000.0)"
+    )
 
 
 def _local_parquet_part(path: str) -> str | None:

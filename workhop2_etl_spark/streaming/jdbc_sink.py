@@ -191,8 +191,13 @@ def jdbc_upsert_batch(
     except Exception:
         try:
             conn.rollback()
-        except Exception:
-            pass
+        except Exception as rb_ex:  # noqa: BLE001
+            # Swallowing is correct here: the original exception is
+            # about to propagate and must not be masked by a rollback
+            # failure on an already-broken connection (close() below
+            # releases it either way; the ledger row was not
+            # committed, so a replay redoes the whole batch).
+            print(f"jdbc_sink: rollback after failed merge also failed: {rb_ex}")
         raise
     finally:
         conn.close()

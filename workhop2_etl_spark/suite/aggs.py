@@ -469,7 +469,8 @@ def w2_rank_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            count(DISTINCT l_partkey) AS exact_parts,
-           round(quantile_cont(l_extendedprice, 0.5), 2) AS exact_p50,
+           CAST(round(quantile_cont(l_extendedprice, 0.5) * 200) AS BIGINT)
+             AS exact_p50_x200,
            true AS parts_within_bound,
            true AS p50_within_bound
     FROM lineitem
@@ -495,7 +496,12 @@ def a11_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "l_returnflag",
             "exact_parts",
-            F.round("exact_p50_raw", 2).alias("exact_p50"),
+            # half-cents, not round(x, 2): an even-count median of
+            # cent-quantized prices is EXACTLY .xx5 — a rounding tie
+            # that engines break by last-ulp representation (flipped
+            # the full-repr gate at sf0.001). ×200 makes the true
+            # value an integer, so the round is tie-free.
+            F.round(F.col("exact_p50_raw") * 200).cast("long").alias("exact_p50_x200"),
             (
                 F.abs(F.col("approx_parts") - F.col("exact_parts"))
                 / F.col("exact_parts")
@@ -1251,34 +1257,29 @@ def w7_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, value,
              CASE WHEN dayofyear(CAST(ts AS DATE)) % 2 = 1
                   THEN 1 ELSE 0 END AS b
-      FROM events)
-    SELECT event_type,
-           sum(1 - b) AS n_a, sum(b) AS n_b,
-           round(sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END) * 1.0
-                 / sum(1 - b), 4) AS null_rate_a,
-           round(sum(CASE WHEN value IS NULL THEN b ELSE 0 END) * 1.0
-                 / sum(b), 4) AS null_rate_b,
-           round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
-                 / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)),
-                 4) AS mean_a,
-           round(sum(CASE WHEN b = 1 THEN value ELSE 0 END)
-                 / (sum(b) - sum(CASE WHEN value IS NULL THEN b ELSE 0 END)),
-                 4) AS mean_b,
-           round(abs(round(sum(CASE WHEN b = 1 THEN value ELSE 0 END)
-                           / (sum(b) - sum(CASE WHEN value IS NULL THEN b ELSE 0 END)), 4)
-                     - round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
-                             / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)), 4))
-                 / abs(round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
-                             / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)), 4)),
-                 4) AS mean_drift,
-           (round(abs(round(sum(CASE WHEN b = 1 THEN value ELSE 0 END)
-                            / (sum(b) - sum(CASE WHEN value IS NULL THEN b ELSE 0 END)), 4)
-                      - round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
-                              / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)), 4))
-                  / abs(round(sum(CASE WHEN b = 0 THEN value ELSE 0 END)
-                              / (sum(1 - b) - sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END)), 4)),
-                  4) > 0.1) AS drifted
-    FROM e GROUP BY event_type ORDER BY event_type
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(1 - b) AS BIGINT) AS n_a, CAST(sum(b) AS BIGINT) AS n_b,
+             sum(CASE WHEN value IS NULL THEN 1 - b ELSE 0 END) AS null_a,
+             sum(CASE WHEN value IS NULL THEN b ELSE 0 END) AS null_b,
+             sum(CASE WHEN b = 0 THEN value ELSE 0.0 END) AS sum_a,
+             sum(CASE WHEN b = 1 THEN value ELSE 0.0 END) AS sum_b
+      FROM e GROUP BY event_type),
+    bp AS (
+      SELECT event_type, n_a, n_b,
+             CAST(round(null_a * 10000.0 / n_a) AS BIGINT) AS null_rate_a_bp,
+             CAST(round(null_b * 10000.0 / n_b) AS BIGINT) AS null_rate_b_bp,
+             CAST(round(sum_a / (n_a - null_a) * 10000) AS BIGINT) AS mean_a_bp,
+             CAST(round(sum_b / (n_b - null_b) * 10000) AS BIGINT) AS mean_b_bp
+      FROM agg)
+    SELECT event_type, n_a, n_b, null_rate_a_bp, null_rate_b_bp,
+           mean_a_bp, mean_b_bp,
+           CAST(round(abs(mean_b_bp - mean_a_bp) * 10000.0
+                      / abs(mean_a_bp)) AS BIGINT) AS mean_drift_bp,
+           (CAST(round(abs(mean_b_bp - mean_a_bp) * 10000.0
+                       / abs(mean_a_bp)) AS BIGINT) > 1000) AS drifted
+    FROM bp ORDER BY event_type
     """,
 )
 def dq4_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -428,20 +428,30 @@ def f10_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a10_percentiles",
     oracle="""
     SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+           CAST(round(quantile_cont(o_totalprice, 0.5) * 10000) AS BIGINT) AS p50_x10000,
+           CAST(round(quantile_cont(o_totalprice, 0.9) * 10000) AS BIGINT) AS p90_x10000,
+           CAST(round(quantile_cont(o_totalprice, 0.99) * 10000) AS BIGINT) AS p99_x10000
     FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
 )
 def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+
+    # Scaled integers, not round(x, 4) doubles: linear-interpolated
+    # percentiles of cent-quantized prices have ≤4 decimals, so ×10000
+    # is integer-exact (tie-free round) where a rounded double's
+    # nearest-representation choice is an engine implementation detail.
+    def pct_i(q: float, name: str):
+        return F.round(F.percentile("o_totalprice", F.lit(q)) * 10000).cast(
+            "long"
+        ).alias(name)
+
     return (
         orders.groupBy("o_orderpriority")
         .agg(
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
-            F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("p99"),
+            pct_i(0.5, "p50_x10000"),
+            pct_i(0.9, "p90_x10000"),
+            pct_i(0.99, "p99_x10000"),
         )
         .orderBy("o_orderpriority")
     )

@@ -406,9 +406,9 @@ def g7_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(nb) OVER (PARTITION BY day, event_type) AS n
       FROM h
     )
-    SELECT day, event_type, n,
-           min(CASE WHEN 2 * cum >= n THEN CAST(25.0 AS DOUBLE) * (bin + 1) END) AS p50_est,
-           min(CASE WHEN 20 * cum >= 19 * n THEN CAST(25.0 AS DOUBLE) * (bin + 1) END) AS p95_est
+    SELECT day, event_type, CAST(n AS BIGINT) AS n,
+           min(CASE WHEN 2 * cum >= n THEN CAST(25 * (bin + 1) AS BIGINT) END) AS p50_est,
+           min(CASE WHEN 20 * cum >= 19 * n THEN CAST(25 * (bin + 1) AS BIGINT) END) AS p95_est
     FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2
     """,
 )
@@ -423,12 +423,15 @@ def r3_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     even = rollup_events_daily_hist(ev.filter(F.col("event_id") % 2 == 0))
     odd = rollup_events_daily_hist(ev.filter(F.col("event_id") % 2 == 1))
     merged = combine_hist_rollups(even.unionByName(odd))
+    # Bin edges are exact multiples of the integer width (25·k), so the
+    # report columns cast losslessly to BIGINT — integer report columns
+    # are bit-identical across engines where doubles risk last-ulp flips.
     return merged.select(
         "day",
         "event_type",
         "n",
-        hist_quantile(F.col("hist"), F.col("n"), 1, 2).alias("p50_est"),
-        hist_quantile(F.col("hist"), F.col("n"), 19, 20).alias("p95_est"),
+        hist_quantile(F.col("hist"), F.col("n"), 1, 2).cast("long").alias("p50_est"),
+        hist_quantile(F.col("hist"), F.col("n"), 19, 20).cast("long").alias("p95_est"),
     ).orderBy("day", "event_type")
 
 

@@ -201,7 +201,7 @@ _WAV_B64 = {
     SELECT channels::INTEGER AS channels, sample_rate::INTEGER AS sample_rate,
            bits::INTEGER AS bits, n_frames::BIGINT AS n_frames,
            duration_s::DOUBLE AS duration_s, count(*) AS n_docs,
-           round(sum(duration_s), 2) AS total_seconds
+           CAST(round(sum(duration_s), 2) AS DOUBLE) AS total_seconds
     FROM v GROUP BY 1, 2, 3, 4, 5 ORDER BY sample_rate
     """,
 )

@@ -263,10 +263,11 @@ def _x13_hex8() -> str:
              least(1.0, n_chars / 1000.0) AS w
       FROM documents)
     SELECT source, count(*) AS n_total,
-           sum(CASE WHEN frac < w THEN 1 ELSE 0 END) AS n_sampled,
-           round(avg(n_chars), 2) AS avg_chars_all,
-           round(sum(CASE WHEN frac < w THEN n_chars ELSE 0 END) * 1.0
-                 / sum(CASE WHEN frac < w THEN 1 ELSE 0 END), 2) AS avg_chars_sampled
+           CAST(sum(CASE WHEN frac < w THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+           CAST(round(avg(n_chars) * 100) AS BIGINT) AS avg_chars_all_x100,
+           CAST(round(sum(CASE WHEN frac < w THEN n_chars ELSE 0 END) * 100.0
+                      / sum(CASE WHEN frac < w THEN 1 ELSE 0 END)) AS BIGINT)
+             AS avg_chars_sampled_x100
     FROM d GROUP BY source ORDER BY source
     """,
 )
@@ -280,7 +281,9 @@ def x13_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of (key, weight) — reproducible across engines, runs,
     and partitionings, no rand() anywhere, pushes to the scan. The
     report shows the induced length bias (sampled mean length >
-    population mean) per source.
+    population mean) per source; mean lengths are emitted as ×100
+    scaled BIGINTs (centichars) — integer report columns are
+    bit-identical across engines where rounded doubles are not.
     """
     docs = load_table(spark, sf_dir, "documents")
     frac = (
@@ -294,12 +297,12 @@ def x13_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_total"),
             F.sum(picked).alias("n_sampled"),
-            F.round(F.avg("n_chars"), 2).alias("avg_chars_all"),
+            F.round(F.avg("n_chars") * 100).cast("long").alias("avg_chars_all_x100"),
             F.round(
-                F.sum(F.when(frac < w, F.col("n_chars")).otherwise(0))
-                / F.sum(picked),
-                2,
-            ).alias("avg_chars_sampled"),
+                F.sum(F.when(frac < w, F.col("n_chars")).otherwise(0)).cast("double")
+                * 100
+                / F.sum(picked)
+            ).cast("long").alias("avg_chars_sampled_x100"),
         )
         .orderBy("source")
     )
