@@ -58,8 +58,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     q4, q6, q8, q10, q11, q12, q14, q15, q16, q17, q19, q20.
 #     After this round no latest green is older than r04 anywhere
 #     (the verdict's stated done-condition);
-# (d) 2 spare slots → the two oldest r04 entries by report order:
-#     a11_approx_sketches, a3_quality_counts.
+# (d) 2 spare slots → a11_approx_sketches (oldest r04 entry, kernel
+#     changed this round: exact_p50 now tie-free half-cents) and
+#     v8_topk_cosine_lsh_multitable (NEW this round — the banding
+#     construction for hyperplane LSH; never-verified, so it must
+#     land in-window per the window spec). a3_quality_counts (the
+#     other oldest-r04 candidate) defers one round: its aggs.py
+#     conditional-aggregate kernel is held in-window by a1/a2/a5/a6/
+#     a8/a11 and the full strict local sweep.
 # Displaced (every r06-window entry that held green there): m5, j12,
 # w7, e10, st11, x14, d9, m7, g8, e11, x15, dq5, x16, x17, w8, g7,
 # m1, m3, j8, g6, st8, q13, f7, t3, m2, m4, u3, x5, v6, q2, q5, q7,
@@ -121,9 +127,9 @@ _PRIORITY = [
     "q17_small_qty_revenue",
     "q19_disjunctive_revenue",
     "q20_excess_suppliers",
-    # (d) spare slots → oldest r04 entries
+    # (d) spare slots → oldest-r04 + the round's one new query
     "a11_approx_sketches",
-    "a3_quality_counts",
+    "v8_topk_cosine_lsh_multitable",
 ]
 
 

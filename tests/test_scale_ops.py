@@ -229,6 +229,19 @@ def test_ann_recall_planted_neighbors(spark):
     assert ivf_np >= ivf, f"nprobe=2 lost recall: {ivf_np:.2f} < {ivf:.2f}"
     assert ivf_np >= 0.8, f"nprobe=2 IVF recall too low: {ivf_np:.2f}"
 
+    # multi-TABLE LSH (the banding construction — OR over L
+    # independent tables) is the production recall configuration:
+    # with table 0 = the single-table planes, L=8 tables of 6 planes
+    # must dominate the single 8-plane table and clear the tightest
+    # gate of the family (expected pair recall 1-(1-p^6)^8).
+    lsh_mt = planted_recall(
+        SIM.topk_cosine_lsh_multitable(
+            emb, queries, dim=DIM, k=k, num_planes=6, num_tables=8
+        )
+    )
+    assert lsh_mt >= lsh, f"multi-table lost recall: {lsh_mt:.2f} < {lsh:.2f}"
+    assert lsh_mt >= 0.9, f"multi-table LSH recall too low: {lsh_mt:.2f}"
+
 
 def test_violation_rows_quarantine(spark):
     """violation_rows: each failing row appears once per failed rule;
@@ -1223,3 +1236,155 @@ def test_leakage_safe_split_clusters_never_span(spark):
         .count()
     )
     assert spanning_doc > 0, "fixture has no cluster straddling a per-doc split"
+
+
+def test_generation_dirs_tolerate_stray_entries(spark, sf_dir, tmp_path):
+    """A ledger dir that picked up stray non-generation entries
+    (editor droppings, foreign tools, 'base=abc') must not crash
+    readers or refreshes — stray names are skipped, real generations
+    still read (r06 ADVICE: the base=<k> parse used a bare int())."""
+    import os
+
+    from workhop2_etl_spark.operators.incremental import (
+        combine_hist_rollups,
+        rollup_events_daily_hist,
+        rollup_part_dirs,
+    )
+    from workhop2_etl_spark.session import load_table
+    from workhop2_etl_spark.streaming.windows import read_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    tdir = str(tmp_path / "stray")
+    rollup_events_daily_hist(ev).write.mode("overwrite").parquet(f"{tdir}/epoch=0")
+    os.makedirs(f"{tdir}/base=abc")          # stray: non-integer base
+    os.makedirs(f"{tdir}/epoch=1.bak")       # stray: non-integer epoch
+    os.makedirs(f"{tdir}/notes")             # stray: unrelated dir
+
+    dirs = rollup_part_dirs(spark, tdir)
+    assert dirs == [f"{tdir}/epoch=0"]
+    assert dirs == rollup_part_dirs(spark, tdir, as_of=0)
+    n = read_rollup(spark, tdir, combine_fn=combine_hist_rollups).count()
+    assert n > 0
+
+
+def test_as_of_refuses_mid_sweep_multi_base_state(spark, sf_dir, tmp_path):
+    """Crash between compaction publish and sweep leaves base=0 AND
+    base=2 live. An as_of BETWEEN them (as_of=1) must raise — the new
+    compaction may have already deleted epoch dirs the old base needs
+    — while as_of ≥ the newest base still answers (r06 ADVICE #1)."""
+    import pytest as _pytest
+
+    from workhop2_etl_spark.operators.incremental import (
+        rollup_events_daily_hist,
+        rollup_part_dirs,
+    )
+    from workhop2_etl_spark.session import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    part = rollup_events_daily_hist(ev)
+    tdir = str(tmp_path / "midsweep")
+    part.write.mode("overwrite").parquet(f"{tdir}/base=0")
+    part.write.mode("overwrite").parquet(f"{tdir}/epoch=1")  # not yet swept
+    part.write.mode("overwrite").parquet(f"{tdir}/base=2")
+    part.write.mode("overwrite").parquet(f"{tdir}/epoch=3")
+
+    with _pytest.raises(ValueError, match="compacted away"):
+        rollup_part_dirs(spark, tdir, as_of=1)
+    assert rollup_part_dirs(spark, tdir, as_of=2) == [f"{tdir}/base=2"]
+    assert rollup_part_dirs(spark, tdir, as_of=3) == [
+        f"{tdir}/base=2", f"{tdir}/epoch=3",
+    ]
+
+
+def test_hist_rollup_drops_all_null_cells(spark):
+    """A (day, event_type) cell whose values are ALL NULL emits no
+    row — matching the r3 oracle's WHERE value IS NOT NULL; mixed
+    cells keep counting only non-NULL values (r06 ADVICE #2)."""
+    from workhop2_etl_spark.operators.incremental import rollup_events_daily_hist
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "click", 10.0),
+            (2, "2024-01-01 11:00:00", "click", None),
+            (3, "2024-01-01 12:00:00", "view", None),  # all-NULL cell
+        ],
+        "event_id long, ts string, event_type string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    rows = rollup_events_daily_hist(df).collect()
+    cells = {(str(r.day), r.event_type): r.n for r in rows}
+    assert cells == {("2024-01-01", "click"): 1}
+
+
+def test_asof_nearest_subsecond_tolerance_honored(spark):
+    """'500 milliseconds' must bound matches at exactly 500000 µs —
+    not silently truncate to a 0-second tolerance (r06 ADVICE #4):
+    a 400 ms-away quote matches, a 700 ms-away quote does not."""
+    from workhop2_etl_spark.operators.asof import asof_nearest_join
+
+    left = spark.createDataFrame(
+        [(7, 1, "2024-01-01 00:00:01.000")], "k long, id long, t string"
+    ).withColumn("t", F.col("t").cast("timestamp_ntz"))
+    right = spark.createDataFrame(
+        [
+            (7, 100, "2024-01-01 00:00:01.400"),
+            (7, 200, "2024-01-01 00:00:03.000"),
+        ],
+        "k long, rid long, t string",
+    ).withColumn("t", F.col("t").cast("timestamp_ntz"))
+
+    out = asof_nearest_join(
+        left, right, left_key="k", right_key="k", left_time="t",
+        right_time="t", payload=["rid"], tolerance="500 milliseconds",
+    ).collect()
+    assert [r.rid for r in out] == [100]
+
+    none = asof_nearest_join(
+        left, right, left_key="k", right_key="k", left_time="t",
+        right_time="t", payload=["rid"], tolerance="300 milliseconds",
+    ).collect()
+    assert [r.rid for r in none] == [None]
+
+
+def test_interval_seconds_raises_on_subsecond(spark):
+    """Second-resolution interval parameters (bucket widths) raise on
+    sub-second strings instead of flooring to 0 (r06 ADVICE #4)."""
+    import pytest as _pytest
+
+    from workhop2_etl_spark.operators.asof import (
+        _interval_micros,
+        _interval_seconds,
+    )
+
+    assert _interval_micros(spark, "500 milliseconds") == 500_000
+    assert _interval_seconds(spark, "2 minutes") == 120
+    with _pytest.raises(ValueError, match="sub-second"):
+        _interval_seconds(spark, "1500 milliseconds")
+
+
+def test_bruteforce_blas_matches_expression_variant(spark):
+    """The Arrow/BLAS brute-force twin returns the same exact top-k
+    as the expression formulation: identical (query, neighbor) sets
+    and scores within the rounding digit. (Summation order differs —
+    BLAS vs sequential fold — so exact rank order may differ only at
+    score ties, which the neighbor-id tiebreak resolves identically
+    given equal rounded scores.)"""
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    k = 5
+    expr = SIM.topk_cosine_bruteforce(emb, queries, k=k).collect()
+    blas = SIM.topk_cosine_bruteforce_blas(emb, queries, k=k).collect()
+
+    def by_q(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, []).append((r.neighbor_id, r.score, r.rank))
+        return {q: sorted(v, key=lambda t: t[2]) for q, v in out.items()}
+
+    e, b = by_q(expr), by_q(blas)
+    assert e.keys() == b.keys()
+    for q in e:
+        assert [t[0] for t in e[q]] == [t[0] for t in b[q]], (q, e[q], b[q])
+        for (ne, se, _), (nb, sb, _) in zip(e[q], b[q]):
+            assert abs(se - sb) <= 1e-6, (q, ne, se, sb)

@@ -63,4 +63,4 @@ def test_a11_sketches_bound_error(spark):
     assert rows
     for r in rows:
         assert r.parts_within_bound, (r.l_returnflag, r.exact_parts)
-        assert r.p50_within_bound, (r.l_returnflag, r.exact_p50)
+        assert r.p50_within_bound, (r.l_returnflag, r.exact_p50_x200)

@@ -355,6 +355,77 @@ def v7_topk_cosine_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v8: MULTI-TABLE hyperplane LSH — the banding construction (L
+# independent tables OR'ed, exactly MinHash-LSH's band trick applied
+# to hyperplane signatures). Single-table recall is p^b per neighbor
+# (≈6% at cosine-0.8 distances with 12 planes — measured in
+# tools/scale_crossover.py); L tables lift it to 1-(1-p^b)^L without
+# widening any bucket. The corpus explodes to L (table, sig) rows
+# only inside the pipelined broadcast probe — it never shuffles at
+# ×L size; duplicate candidates (pairs colliding in several tables)
+# dedup in one aggregate. The oracle mirrors the table-OR as a
+# disjunctive join + DISTINCT.
+# ---------------------------------------------------------------------------
+_MT_PLANES = 6
+_MT_TABLES = 4
+
+
+def _mt_sig_sql(vec: str, t: int) -> str:
+    terms = []
+    for p in range(_MT_PLANES):
+        ws = ", ".join(
+            repr(SIM._plane_weight(t * _MT_PLANES + p, d)) for d in range(DIM)
+        )
+        terms.append(
+            f"(CASE WHEN list_reduce([{vec}[i]::DOUBLE * ([{ws}])[i] "
+            f"FOR i IN range(1, {DIM} + 1)], (a, b) -> a + b) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "v8_topk_cosine_lsh_multitable",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {', '.join(f"{_mt_sig_sql('embedding', t)} AS qs{t}" for t in range(_MT_TABLES))}
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {', '.join(f"{_mt_sig_sql('embedding', t)} AS cs{t}" for t in range(_MT_TABLES))}
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, cv
+      FROM q JOIN c
+        ON ({' OR '.join(f'qs{t} = cs{t}' for t in range(_MT_TABLES))})
+       AND query_id <> neighbor_id
+    ),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(CASE WHEN {_NQ} * {_NC} > 0
+                   THEN {_DOT} / ({_NQ} * {_NC}) ELSE 0.0 END, 6) AS score
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v8_topk_cosine_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    return SIM.topk_cosine_lsh_multitable(
+        emb, queries, dim=DIM, k=K, num_planes=_MT_PLANES, num_tables=_MT_TABLES
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # d9: semantic dedup (SemDeDup-style) — cluster embeddings into IVF
 # cells (the same deterministic modulo-seed centroid set as v5; a
 # production run swaps in operators/similarity.py::fit_centroids),
