@@ -184,6 +184,43 @@ def _load_context() -> dict:
     return ctx
 
 
+def bench_scale_guards(spark) -> dict[str, float]:
+    """Two entries on the seeded 100k/8k scale fixtures (generated
+    once, untimed) — per-round wall-clock signal for the kernels the
+    full crossover study (tools/scale_crossover.py, PERF.md round-7
+    table) proved out at 400k/128k:
+
+    - ``xscale_brute_blas_100k``: exact top-k over 100k×64q via the
+      Arrow/BLAS kernel (9.0s at 400k vs 265s for the interpreted
+      expression fold — this entry regresses if the matmul path
+      de-vectorizes);
+    - ``xscale_neardup_lsh_8k``: banded MinHash near-dup pairs over
+      8k documents (the naive all-pairs baseline already needs ~100
+      minutes at this size — this entry regresses if candidate
+      generation stops being a band equi-join).
+    """
+    from pyspark.sql import functions as F
+
+    from tools import scale_fixture as FX
+    from workhop2_etl_spark.operators.dedup_text import near_dup_pairs
+    from workhop2_etl_spark.operators.similarity import topk_cosine_bruteforce_blas
+
+    out: dict[str, float] = {}
+    emb = spark.read.parquet(FX.ensure_embeddings(100_000, 64))
+    queries = emb.filter(F.col("vec_id") < 64)
+    t0 = time.time()
+    rows = topk_cosine_bruteforce_blas(emb, queries, k=5).collect()
+    out["xscale_brute_blas_100k"] = round(time.time() - t0, 3)
+    assert rows
+
+    docs = spark.read.parquet(FX.ensure_documents(8_000))
+    t0 = time.time()
+    rows = near_dup_pairs(docs, threshold=0.7).select("id_a", "id_b").collect()
+    out["xscale_neardup_lsh_8k"] = round(time.time() - t0, 3)
+    assert rows
+    return out
+
+
 def main() -> None:
     load_ctx = _load_context()
     spark = get_spark("bench")
@@ -208,6 +245,7 @@ def main() -> None:
         times[name] = round(time.time() - t0, 3)
         assert rows is not None
     times.update(bench_reference_pipeline(spark))
+    times.update(bench_scale_guards(spark))
     total = round(sum(times.values()), 3)
     load_ctx["loadavg_1m_end"] = _load_context().get("loadavg_1m")
     print(

@@ -42,8 +42,11 @@ from pyspark.sql import functions as F
 from tools import scale_fixture as FX
 
 ANN_SIZES = [20_000, 100_000, 400_000]
-DEDUP_LSH_SIZES = [2_000, 8_000, 32_000, 128_000]
-DEDUP_NAIVE_SIZES = [2_000, 8_000]  # 2M / 32M pairs — already the wall
+DEDUP_LSH_SIZES = [1_000, 2_000, 8_000, 32_000, 128_000]
+# naive all-pairs measured only where it terminates in minutes: 0.5M
+# pairs (92s) and 2M pairs (370s). The 4× pair growth per 2× corpus
+# IS the result — n=8k extrapolates to ~100 min, n=128k to ~18 days.
+DEDUP_NAIVE_SIZES = [1_000, 2_000]
 N_QUERIES = 64
 K = 5
 DIM = 64
@@ -340,8 +343,12 @@ def main() -> None:
     spark = get_spark("scale_crossover")
     with open("/proc/loadavg") as f:
         load_before = f.read().split()[0]
-    ann = ann_crossover(spark, ann_sizes)
-    dedup = dedup_crossover(spark, lsh_sizes, DEDUP_NAIVE_SIZES)
+    ann = [] if "--dedup-only" in sys.argv else ann_crossover(spark, ann_sizes)
+    dedup = (
+        []
+        if "--ann-only" in sys.argv
+        else dedup_crossover(spark, lsh_sizes, DEDUP_NAIVE_SIZES)
+    )
     with open("/proc/loadavg") as f:
         load_after = f.read().split()[0]
     print(as_markdown(ann, dedup))
