@@ -178,9 +178,10 @@ def _load_context() -> dict:
         ).stdout
         # other JVMs beyond the one this bench is about to start
         ctx["concurrent_jvms"] = sum(1 for ln in out.splitlines() if ln.strip() == "java")
-        ctx["ncpu"] = os.cpu_count()
     except Exception:  # noqa: BLE001
         pass
+    # cpu-count attribution does not depend on ps succeeding
+    ctx["ncpu"] = os.cpu_count()
     return ctx
 
 

@@ -1388,3 +1388,80 @@ def test_bruteforce_blas_matches_expression_variant(spark):
         assert [t[0] for t in e[q]] == [t[0] for t in b[q]], (q, e[q], b[q])
         for (ne, se, _), (nb, sb, _) in zip(e[q], b[q]):
             assert abs(se - sb) <= 1e-6, (q, ne, se, sb)
+
+
+def test_bruteforce_blas_contract_guards(spark):
+    """r07-verdict ask #5 + ADVICE #3: the BLAS kernel fails loudly on
+    misuse instead of OOMing or silently re-typing — a corpus-sized
+    query side raises ValueError at the |Q| cap (checked via a bounded
+    limit-collect, never a full collect), non-integral id schemas
+    raise TypeError naming the offending side, and integral-but-narrow
+    id types round-trip as themselves so the BLAS and expression twins
+    stay schema-interchangeable."""
+    import pytest as _pytest
+
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+
+    # |Q| cap: query side bigger than max_queries → loud ValueError
+    with _pytest.raises(ValueError, match="max_queries"):
+        SIM.topk_cosine_bruteforce_blas(emb, emb, k=3, max_queries=10)
+
+    # non-integral id schema → TypeError naming the side
+    str_ids = emb.withColumn("vec_id", F.col("vec_id").cast("string"))
+    with _pytest.raises(TypeError, match="corpus side is string"):
+        SIM.topk_cosine_bruteforce_blas(str_ids, queries, k=3)
+    with _pytest.raises(TypeError, match="queries side is string"):
+        SIM.topk_cosine_bruteforce_blas(
+            emb, queries.withColumn("vec_id", F.col("vec_id").cast("string")), k=3
+        )
+
+    # narrow integral ids keep their declared type in the output,
+    # matching the expression variant's schema exactly
+    int_corpus = emb.withColumn("vec_id", F.col("vec_id").cast("int"))
+    int_queries = queries.withColumn("vec_id", F.col("vec_id").cast("int"))
+    blas = SIM.topk_cosine_bruteforce_blas(int_corpus, int_queries, k=3)
+    expr = SIM.topk_cosine_bruteforce(int_corpus, int_queries, k=3)
+    assert blas.schema["query_id"].dataType.simpleString() == "int"
+    assert blas.schema["neighbor_id"].dataType.simpleString() == "int"
+    assert (
+        blas.schema["neighbor_id"].dataType
+        == expr.schema["neighbor_id"].dataType
+    )
+    got = {(r.query_id, r.rank): r.neighbor_id for r in blas.collect()}
+    want = {(r.query_id, r.rank): r.neighbor_id for r in expr.collect()}
+    assert got == want
+
+
+def test_profile_drift_zero_mean_group_is_null(spark):
+    """ADVICE r07 #4: relative drift is undefined when a group's A-side
+    mean is exactly 0 — the guarded expression yields NULL drift and
+    NULL drifted (never an engine-divergent x/0: Spark non-ANSI NULL
+    vs DuckDB inf), while nonzero-mean groups are unaffected."""
+    from workhop2_etl_spark.operators.quality import profile_drift
+
+    df = spark.createDataFrame(
+        [
+            # group 'z': A-side values sum to exactly 0 → mean_a_bp = 0
+            ("z", 0, 1.0),
+            ("z", 0, -1.0),
+            ("z", 1, 5.0),
+            # group 'n': normal drift
+            ("n", 0, 10.0),
+            ("n", 1, 12.0),
+        ],
+        "g string, b int, value double",
+    )
+    rows = {
+        r.g: r
+        for r in profile_drift(
+            df, F.col("b") == 1, ["g"], "value"
+        ).collect()
+    }
+    assert rows["z"].mean_a_bp == 0
+    assert rows["z"].mean_drift_bp is None
+    assert rows["z"].drifted is None
+    assert rows["n"].mean_drift_bp == 2000
+    assert rows["n"].drifted is True

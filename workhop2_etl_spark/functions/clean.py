@@ -13,6 +13,8 @@ with reference file:line citations for parity checking.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -93,18 +95,45 @@ def parse_timestamp_coerce(c: Column, fmt: str = "yyyy-MM-dd'T'HH:mm:ssXXX") -> 
       wall-clock exactly — the literal time the string spells,
       whatever ``spark.sql.session.timeZone`` is (pandas'
       naive-datetime semantics).
-    - offset-carrying formats (X/x/Z/O in the pattern): the string
-      pins its own instant, so the deterministic rendering is that
-      instant's UTC wall-clock — convert_timezone from the session
-      zone, never a bare cast (which would render in whatever zone
-      the driver session happens to use)."""
+    - offset-carrying formats (X/x/Z/O outside quoted literals): the
+      string pins its own instant, so the deterministic rendering is
+      that instant's UTC wall-clock — reconstructed from epoch micros
+      by interval arithmetic from the NTZ epoch, never an
+      instant→wall cast (which renders in the session zone and is
+      ambiguous across a fall-back DST hour).
+
+    Offset-token detection strips single-quoted literal runs first, so
+    a pattern like ``yyyy-MM-dd HH:mm:ss 'Z'`` (literal Z, no offset)
+    takes the offset-less path. The offset-less path parses the string
+    directly as TIMESTAMP_NTZ (guarded by the try_to_timestamp NULL
+    check so unparseable input stays NULL under ANSI mode too) — a
+    wall-clock inside the session timezone's spring-forward DST gap
+    therefore round-trips exactly instead of shifting by the gap."""
     parsed = F.try_to_timestamp(c, F.lit(fmt))
-    has_offset = any(tok in fmt for tok in ("X", "x", "Z", "O", "V"))
+    unquoted = re.sub(r"'[^']*'", "", fmt)
+    has_offset = any(tok in unquoted for tok in ("X", "x", "Z", "O", "V"))
     if has_offset:
-        return F.convert_timezone(
-            F.current_timezone(), F.lit("UTC"), parsed.cast("timestamp_ntz")
-        )
-    return parsed.cast("timestamp_ntz")
+        return F.when(parsed.isNotNull(), _ntz_of_unix_micros(F.unix_micros(parsed)))
+    return F.when(parsed.isNotNull(), F.to_timestamp_ntz(c, F.lit(fmt)))
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+def _ntz_of_unix_micros(us: Column) -> Column:
+    """TIMESTAMP_NTZ carrying the UTC wall-clock of an epoch-micros
+    BIGINT column, independent of ``spark.sql.session.timeZone`` —
+    the Column twin of session.py::_ntz_of_epoch_micros. ``us - rem``
+    is exactly day-divisible, so the double division is exact; the
+    sub-day remainder is < 8.64e10 µs, exact in make_dt_interval's
+    double seconds to well under half a microsecond. Sign-of-dividend
+    ``%`` (negative remainder pre-1970) still sums correctly:
+    days·86400e6 + rem ≡ us for either sign."""
+    rem = us % F.lit(_US_PER_DAY)
+    days = ((us - rem) / F.lit(_US_PER_DAY)).cast("int")
+    return F.expr("make_timestamp_ntz(1970, 1, 1, 0, 0, 0)") + F.make_dt_interval(
+        days, F.lit(0), F.lit(0), rem.cast("double") / F.lit(1_000_000.0)
+    )
 
 
 def cast_numeric_sentinel(c: Column, dtype: str, sentinel: str = "N/A") -> Column:

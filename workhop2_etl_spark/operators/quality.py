@@ -159,9 +159,17 @@ def profile_drift(
     sum_b = F.sum(F.when(is_b, F.col(value_col)).otherwise(F.lit(0.0)))
     mean_a = F.round(sum_a / (n_a - null_a) * 10000).cast("long")
     mean_b = F.round(sum_b / (n_b - null_b) * 10000).cast("long")
-    drift = F.round(
-        F.abs(mean_b - mean_a).cast("double") * 10000 / F.abs(mean_a)
-    ).cast("long")
+    # Relative drift is undefined at mean_a = 0 → NULL, guarded
+    # explicitly: an unguarded x/0 is engine-divergent (Spark non-ANSI
+    # double division yields NULL, DuckDB yields inf, ANSI raises), so
+    # the guard is part of the cross-engine contract, mirrored verbatim
+    # in the dq4 oracle (suite/aggs.py). NULL drift ⇒ NULL drifted.
+    drift = F.when(
+        mean_a != 0,
+        F.round(F.abs(mean_b - mean_a).cast("double") * 10000 / F.abs(mean_a)).cast(
+            "long"
+        ),
+    )
     threshold_bp = int(round(rel_threshold * 10000))
     return df.groupBy(*group_cols).agg(
         n_a.alias("n_a"),

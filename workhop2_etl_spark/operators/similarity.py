@@ -369,6 +369,7 @@ def topk_cosine_bruteforce_blas(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Exact top-k via Arrow-batched numpy matmul — the throughput
     twin of ``topk_cosine_bruteforce``.
@@ -391,14 +392,39 @@ def topk_cosine_bruteforce_blas(
     selection. Scores are float64 matmul, rounded like the expression
     variant; the two variants agree to the rounding digit (summation
     order differs below it).
+
+    Contracts enforced loudly (not silently): the query side must stay
+    dimension-sized — the collect is capped at ``max_queries`` via a
+    ``limit(max_queries+1)`` pre-collect bound, so a corpus-sized
+    ``queries`` raises instead of OOMing the driver — and both id
+    columns must be integral (the int64 kernel would crash on string
+    ids and silently re-type overflow-free schemas); the output id
+    columns keep the inputs' declared types, same as the expression
+    twin.
     """
     import pandas as pd  # noqa: F401 — mapInPandas contract
 
-    q_rows = queries.select(id_col, vec_col).collect()
-    if not q_rows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, score double, rank int"
+    _INTEGRAL = ("tinyint", "smallint", "int", "bigint")
+    q_id_t = queries.schema[id_col].dataType.simpleString()
+    c_id_t = corpus.schema[id_col].dataType.simpleString()
+    for side, t in (("queries", q_id_t), ("corpus", c_id_t)):
+        if t not in _INTEGRAL:
+            raise TypeError(
+                f"topk_cosine_bruteforce_blas requires an integral {id_col!r} "
+                f"({side} side is {t}); use topk_cosine_bruteforce for "
+                "non-integer id schemas"
+            )
+    out_schema = f"query_id {q_id_t}, neighbor_id {c_id_t}, score double"
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"topk_cosine_bruteforce_blas collected more than max_queries="
+            f"{max_queries} query rows; the query side must be the bounded "
+            "relation (batch of probes, not a corpus) — raise max_queries "
+            "explicitly if this is intentional"
         )
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame([], out_schema + ", rank int")
     import numpy as np
 
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
@@ -436,9 +462,7 @@ def topk_cosine_bruteforce_blas(
                 }
             )
 
-    cand = corpus.select(id_col, vec_col).mapInPandas(
-        score_batches, "query_id long, neighbor_id long, score double"
-    )
+    cand = corpus.select(id_col, vec_col).mapInPandas(score_batches, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         cand.withColumn("__rn", F.row_number().over(w))

@@ -1275,10 +1275,14 @@ def w7_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM agg)
     SELECT event_type, n_a, n_b, null_rate_a_bp, null_rate_b_bp,
            mean_a_bp, mean_b_bp,
-           CAST(round(abs(mean_b_bp - mean_a_bp) * 10000.0
-                      / abs(mean_a_bp)) AS BIGINT) AS mean_drift_bp,
-           (CAST(round(abs(mean_b_bp - mean_a_bp) * 10000.0
-                       / abs(mean_a_bp)) AS BIGINT) > 1000) AS drifted
+           CASE WHEN mean_a_bp <> 0
+                THEN CAST(round(abs(mean_b_bp - mean_a_bp) * 10000.0
+                                / abs(mean_a_bp)) AS BIGINT)
+           END AS mean_drift_bp,
+           (CASE WHEN mean_a_bp <> 0
+                 THEN CAST(round(abs(mean_b_bp - mean_a_bp) * 10000.0
+                                 / abs(mean_a_bp)) AS BIGINT)
+            END > 1000) AS drifted
     FROM bp ORDER BY event_type
     """,
 )
