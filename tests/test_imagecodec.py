@@ -389,3 +389,102 @@ def test_sample_video_frames_rejects_nonpositive_tick(spark):
     for bad in (0, -0.5, float("nan")):
         with _pytest.raises(ValueError, match="every_n_seconds"):
             sample_video_frames(df, every_n_seconds=bad)
+
+
+# ---------------------------------------------------------------------------
+# Stdlib baseline-JPEG codec (r07 verdict ask #4: a genuine JPEG
+# payload must yield non-NULL features with decode_tier naming the
+# tier — no more decode_tier='none' swallowing JFIF corpora on a
+# PIL-less cluster).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape_ch,subsampling,restart",
+    [
+        ((24, 31, 3), (1, 1), 0),  # 4:4:4, non-multiple-of-8 dims
+        ((24, 31, 3), (2, 2), 0),  # 4:2:0
+        ((24, 31, 3), (2, 1), 0),  # 4:2:2
+        ((17, 19, 1), (1, 1), 0),  # grayscale
+        ((24, 31, 3), (2, 2), 2),  # restart markers every 2 MCUs
+    ],
+)
+def test_jpeg_roundtrip_all_sampling_modes(shape_ch, subsampling, restart):
+    """encode→decode recovers the source pixels within DCT
+    quantization error across 4:4:4 / 4:2:0 / 4:2:2 / grayscale and
+    restart-marker streams; header probe and full decode agree on
+    dimensions."""
+    h, w, ch = shape_ch
+    if subsampling == (1, 1):
+        arr = _gradient(h, w, ch)
+    else:
+        # smooth ramp (no sawtooth wrap): chroma subsampling is a box
+        # filter, so discontinuities cost ~half the step size locally —
+        # a smooth field isolates codec error from content loss
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        arr = np.stack(
+            [255 * xx / (w - 1), 255 * yy / (h - 1), 255 * (xx + yy) / (w + h - 2)],
+            axis=2,
+        ).astype(np.uint8)[:, :, :ch]
+    b = ic.jpeg_encode(arr, quant=4, subsampling=subsampling, restart_interval=restart)
+    assert b.startswith(b"\xff\xd8") and b.endswith(b"\xff\xd9")
+    assert ic.probe_dims(b) == (w, h, ch)
+    dec = ic.jpeg_decode(b)
+    assert dec is not None and dec.shape == (h, w, ch)
+    err = np.abs(dec.astype(np.float64) - arr.astype(np.float64))
+    # 4:4:4 error is pure quantization (~quant/2 per coefficient);
+    # chroma subsampling adds box-average loss on the chroma axes
+    assert err.mean() < 3.0, err.mean()
+    assert err.max() < 48, err.max()
+
+
+def test_jpeg_decode_rejects_undecodable_streams():
+    """Progressive SOF2, truncated scans, and non-JPEG bytes return
+    None (falling to the header-probe/stub tier) instead of raising."""
+    arr = _gradient(16, 16)
+    b = ic.jpeg_encode(arr, quant=4)
+    assert ic.jpeg_decode(b[: len(b) // 2]) is None  # truncated scan
+    assert ic.jpeg_decode(b"not a jpeg at all") is None
+    assert ic.jpeg_decode(b"\xff\xd8\xff\xd9") is None  # no frame
+    # flip SOF0 (FFC0) to SOF2 (FFC2): progressive → refused, but the
+    # header probe still reports its dimensions
+    i = b.index(b"\xff\xc0")
+    prog = b[:i] + b"\xff\xc2" + b[i + 2 :]
+    assert ic.jpeg_decode(prog) is None
+    assert ic.probe_dims(prog) == (16, 16, 3)
+
+
+def test_jpeg_noise_roundtrip_exact_bound():
+    """Worst-case (uniform noise) content still round-trips within
+    the flat-quant error bound — the coefficient error is ≤ quant/2
+    so spatial error stays a few levels."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    dec = ic.jpeg_decode(ic.jpeg_encode(arr, quant=2))
+    err = np.abs(dec.astype(np.float64) - arr.astype(np.float64))
+    assert err.mean() < 2.0 and err.max() < 12
+
+
+def test_extract_image_features_genuine_jpeg_tier(spark):
+    """The Spark feature kernel over a GENUINE baseline JFIF payload:
+    non-NULL features, decode_tier='stdlib-jpeg' (or 'pil' where PIL
+    exists), and the feature values match the same kernel fed the
+    losslessly-PNG-encoded twin of the same pixels to within JPEG
+    quantization error."""
+    from workhop2_etl_spark.operators.imagecodec import HAVE_PIL
+    from workhop2_etl_spark.operators.multimodal import extract_image_features
+
+    arr = _gradient(12, 20, 3)
+    jpg = ic.jpeg_encode(arr, quant=2)
+    png = ic.png_encode(arr)
+    df = spark.createDataFrame(
+        [(1, bytearray(jpg)), (2, bytearray(png))], "doc_id long, payload binary"
+    )
+    rows = {r.doc_id: r for r in extract_image_features(df).collect()}
+    jr, pr = rows[1], rows[2]
+    assert jr.decode_tier == ("pil" if HAVE_PIL else "stdlib-jpeg")
+    assert pr.decode_tier == ("pil" if HAVE_PIL else "stdlib-png")
+    assert (jr.width, jr.height) == (20, 12)
+    for f in ("mean_r", "mean_g", "mean_b", "luma_std"):
+        assert jr[f] is not None
+        assert abs(jr[f] - pr[f]) < 1.5, (f, jr[f], pr[f])

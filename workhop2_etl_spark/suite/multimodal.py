@@ -420,3 +420,85 @@ def m9_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_files"))
         .orderBy("width")
     )
+
+
+# ---------------------------------------------------------------------------
+# m10: REAL JPEG decode in the oracle gate (r07 verdict ask #4) —
+# payloads are genuine baseline-sequential JFIF bytes (generated once
+# with operators/imagecodec.jpeg_encode; verifiable offline with any
+# JPEG tool), one per decoder path: 4:4:4 RGB, grayscale, and
+# 4:2:0-subsampled with restart markers. The feature stage must
+# Huffman-decode, dequantize, IDCT, upsample, and color-convert real
+# entropy-coded pixels through the same Arrow-batched kernel the PNG
+# fixtures use, with decode_tier naming the stdlib JPEG tier — the
+# modality that previously fell to decode_tier='none' NULL features.
+# Oracle constants are the exact decoded-pixel statistics in a
+# PIL-less environment (this container; with PIL installed the tier
+# label flips to 'pil' — the pytest twin covers that branch).
+# ---------------------------------------------------------------------------
+#: 20x10 RGB 4:4:4 / 7x5 gray / 12x9 RGB 4:2:0+DRI baseline JFIFs.
+_JPEG_B64 = {
+    0: "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAT/wAARCAAKABQDAREAAhEAAxEA/8QAHwAAAAAMAAAAAAAAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAAAAAAAAogAAAAAAAAAAAPABAgMEBQYHCAkKERITFBUWFxgZGiEiIyQlJicoKSoxMjM0NTY3ODk6QUJDREVGR0hJSlFSU1RVVldYWVphYmNkZWZnaGlqcXJzdHV2d3h5eoGCg4SFhoeIiYqRkpOUlZaXmJmaoaKjpKWmp6ipqrGys7S1tre4ubrBwsPExcbHyMnK0dLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oADAMBAAIAAwAAPwB3QO+DiEIME0FaANOAM6APwB3wcQhBgmgrQAAAAB5oIAdgFUEQIgNAwOQHglDAEAgFAoHAiA0DAOAwWgQCCwNgKB4GgQCgUCAQMBkNQyBAIGQwGQ2AgFAgEdmDYCLAOmDIBdA4FIDQPBcBqgUDARgjA8DwWQY4GApgtgpAaBwJAIBQOAgIQNBZBIC6CuBgJgSAaBgaAcCQCggDqCIDAKB4EBEBQSh3BGCYEQIk0EYKIJwSAaGwYA0DBaBQIGoJA2A0DhYVQwBANAoYAhoDIYAosDIYDAFAgFArHA74IgRi4MMDCoVgGwgAeYAIQA9UEIGgaBANBUA0CAaBAIBoHh0DcDQIBAIBANA4NQKCICgaGwEAgsA4NQKLQIGQyGAKLQIAOHCOALYLQIQQA74KoIQWQWARAqguCFQ+wVgRgmBIBgIAWg9wPBkgkBXD5BCBoHAQEYJw4AkAoFBICEOoGgcHIDwKBQOAwNQOAoZAFoDNA0DQKBQSgcBQNAgFA4DQ0DUCgUCAQCgUDQyHQCAUMAUggQMgQWAUMEEqgEDYEBZBYBogUCguA0ATgmBeBbBMGgdgWgXASgeCyCyCUOYIwMBECMOgJwTgcB4JQPDQEQGAYCMDA2A4ChqCMDANAwDQwBoGgQCAReAgBACAFYEQGggBWBCCIFcEIGBsGgIQQAjAwEQIgMDYDgKB4HBqCMEYEA0DANDYDwOA4DgODAEAgZA4DgKBwFFoFAoFAI5gVgVgVgUwQgYCsCoCuCAFUFcEYbBzBACsCIEYIAQgjDcDwOBIB4aAiBEBoGgYBobAeBwHAeBwagaBA2A8DgOA4ChkCgUCgUA//9k=",
+    1: "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAT/wAALCAAFAAcBAREA/8QAHwAAAAAMAAAAAAAAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAAAAAAAAogAAAAAAAAAAAPABAgMEBQYHCAkKERITFBUWFxgZGiEiIyQlJicoKSoxMjM0NTY3ODk6QUJDREVGR0hJSlFSU1RVVldYWVphYmNkZWZnaGlqcXJzdHV2d3h5eoGCg4SFhoeIiYqRkpOUlZaXmJmaoaKjpKWmp6ipqrGys7S1tre4ubrBwsPExcbHyMnK0dLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEBAAA/AIdgYQO4CiGoEFhWmqBDQkQD/9k=",
+    2: "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAT/wAARCAAJAAwDASIAAhEAAxEA/8QAHwAAAAAMAAAAAAAAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAAAAAAAAogAAAAAAAAAAAPABAgMEBQYHCAkKERITFBUWFxgZGiEiIyQlJicoKSoxMjM0NTY3ODk6QUJDREVGR0hJSlFSU1RVVldYWVphYmNkZWZnaGlqcXJzdHV2d3h5eoGCg4SFhoeIiYqRkpOUlZaXmJmaoaKjpKWmp6ipqrGys7S1tre4ubrBwsPExcbHyMnK0dLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/90ABAAB/9oADAMBAAIAAwAAPwBhwdkIRkTGWNBWRwAfkDPCEYywGDKs4fAIfAB4oOyWNSAD8gZ5GwGAJUAgAYBlg0wWQ5kEqAQqgUAU4Q0CJIPAIOAoxSxAaWQDjSBp8AP/2Q==",
+}
+
+
+@query(
+    "m10_real_jpeg_features",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(doc_id % 3 AS INTEGER) AS variant,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 20 WHEN 1 THEN 7 ELSE 12 END AS width,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 10 WHEN 1 THEN 5 ELSE 9 END AS height,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 124.765 WHEN 1 THEN 47.2857 ELSE 127.5648
+             END AS mean_r,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 146.26 WHEN 1 THEN 47.2857 ELSE 126.6019
+             END AS mean_g,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 156.175 WHEN 1 THEN 47.2857 ELSE 125.9722
+             END AS mean_b,
+             CASE CAST(doc_id % 3 AS INTEGER)
+               WHEN 0 THEN 49.037 WHEN 1 THEN 22.5649 ELSE 59.4492
+             END AS luma_std
+      FROM documents
+    )
+    SELECT variant, width::INTEGER AS width, height::INTEGER AS height,
+           mean_r::DOUBLE AS mean_r, mean_g::DOUBLE AS mean_g,
+           mean_b::DOUBLE AS mean_b, luma_std::DOUBLE AS luma_std,
+           'stdlib-jpeg' AS decode_tier, count(*) AS n_docs
+    FROM v GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY variant
+    """,
+)
+def m10_real_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    variant = (F.col("doc_id") % 3).cast("int")
+    b64 = (
+        F.when(variant == 0, F.lit(_JPEG_B64[0]))
+        .when(variant == 1, F.lit(_JPEG_B64[1]))
+        .otherwise(F.lit(_JPEG_B64[2]))
+    )
+    staged = docs.select("doc_id", F.unbase64(b64).alias("payload"))
+    feats = MM.extract_image_features(staged)
+    return (
+        feats.select(
+            (F.col("doc_id") % 3).cast("int").alias("variant"),
+            "width",
+            "height",
+            F.round("mean_r", 4).alias("mean_r"),
+            F.round("mean_g", 4).alias("mean_g"),
+            F.round("mean_b", 4).alias("mean_b"),
+            F.round("luma_std", 4).alias("luma_std"),
+            "decode_tier",
+        )
+        .groupBy(
+            "variant", "width", "height", "mean_r", "mean_g", "mean_b",
+            "luma_std", "decode_tier",
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("variant")
+    )
