@@ -100,6 +100,13 @@ HEADLINE = [
     "d9_semantic_dedup",
     "j13_asof_nearest",
     "x17_corpus_pipeline",
+    # round-8: multi-table hyperplane LSH (the banding construction —
+    # recall 0.97 vs 0.069 single-table at cosine-0.8 distances;
+    # benched alongside its v2/v6 siblings so the L-way signature
+    # explode keeps round-over-round wall-clock signal), and the new
+    # stdlib baseline-JPEG decode tier through the feature kernel
+    "v8_topk_cosine_lsh_multitable",
+    "m10_real_jpeg_features",
 ]
 
 
