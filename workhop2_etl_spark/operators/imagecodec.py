@@ -712,8 +712,10 @@ def _category(v: int) -> int:
 def jpeg_encode(arr, quant: int = 4, subsampling: tuple[int, int] = (1, 1),
                 restart_interval: int = 0) -> bytes:
     """Encode an (h, w, 1|3) uint8 array as a baseline-sequential
-    JFIF stream. ``quant`` is the flat quantization step (smaller =
-    closer round-trip; 4 keeps mean abs error ~1 level);
+    JFIF stream. ``quant`` is the flat quantization step, clamped to
+    ≥2 (smaller = closer round-trip; 4 keeps mean abs error ~1
+    level; quant=1 would let an extreme block's DC difference reach
+    ±2048 — past category 11, the largest T.81 baseline DC code);
     ``subsampling`` is the chroma (h, v) factor — (1, 1) = 4:4:4,
     (2, 2) = 4:2:0 via box-average downsample; ``restart_interval``
     emits DRI + RSTn markers every that many MCUs. Exists so tests
@@ -764,7 +766,7 @@ def jpeg_encode(arr, quant: int = 4, subsampling: tuple[int, int] = (1, 1),
 
     planes = [_prep(p, hs, vs) for p, (hs, vs) in zip(raw_planes, samplings)]
     basis = _idct_basis(np)
-    q = float(max(1, min(255, int(quant))))
+    q = float(max(2, min(255, int(quant))))
     dc_code = _enc_huff(_ENC_DC_SYMS, 4)
     ac_code = _enc_huff(_ENC_AC_SYMS, 8)
 
