@@ -1465,3 +1465,46 @@ def test_profile_drift_zero_mean_group_is_null(spark):
     assert rows["z"].drifted is None
     assert rows["n"].mean_drift_bp == 2000
     assert rows["n"].drifted is True
+
+
+def test_multitable_signatures_blas_identical_to_expression(spark):
+    """The Arrow/BLAS signature kernel emits row-for-row IDENTICAL
+    (table_id, sig) assignments to the expression fold (same
+    md5-derived planes, same float64 sign tests), and the multitable
+    top-k is bit-identical under either sig_kernel — so at-scale call
+    sites can take the matmul build path with zero semantic drift."""
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+
+    expr_sigs = {
+        (r.vec_id, r.table_id): r.sig
+        for r in SIM.with_multitable_signatures(
+            emb, "embedding", dim, num_planes=6, num_tables=8
+        )
+        .select("vec_id", "table_id", "sig")
+        .collect()
+    }
+    blas_sigs = {
+        (r.vec_id, r.table_id): r.sig
+        for r in SIM.with_multitable_signatures_blas(
+            emb, "embedding", dim, num_planes=6, num_tables=8
+        )
+        .select("vec_id", "table_id", "sig")
+        .collect()
+    }
+    assert expr_sigs == blas_sigs
+    assert len(expr_sigs) == emb.count() * 8
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    a = SIM.topk_cosine_lsh_multitable(emb, queries, dim=dim, k=3).collect()
+    b = SIM.topk_cosine_lsh_multitable(
+        emb, queries, dim=dim, k=3, sig_kernel="blas"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sig_kernel"):
+        SIM.topk_cosine_lsh_multitable(emb, queries, dim=dim, sig_kernel="numpy")

@@ -334,8 +334,63 @@ def as_markdown(ann: list[dict], dedup: list[dict]) -> str:
     return "\n".join(lines)
 
 
+def sigbuild_crossover(spark: SparkSession, sizes: list[int]) -> list[dict]:
+    """Multi-table signature INDEX BUILD cost, expression fold vs the
+    Arrow/BLAS matmul kernel (round 8): same (table_id, sig) output
+    (pytest-proven identical), different formulation — L·b interpreted
+    aggregate folds per row vs one (batch×dim)·(dim×L·b) matmul per
+    Arrow batch. Build cost is what an index pays over the WHOLE
+    corpus at 100 TB, so this ratio prices the default for at-scale
+    call sites (sig_kernel='blas')."""
+    from workhop2_etl_spark.operators.similarity import (
+        with_multitable_signatures,
+        with_multitable_signatures_blas,
+    )
+
+    out = []
+    for n in sizes:
+        emb = spark.read.parquet(FX.ensure_embeddings(n, DIM))
+        row = {"n": n}
+        for label, fn in (
+            ("expr", with_multitable_signatures),
+            ("blas", with_multitable_signatures_blas),
+        ):
+            t0 = time.time()
+            cnt = fn(
+                emb, "embedding", DIM, MT_PLANES, MT_TABLES
+            ).count()
+            row[f"sig_build_{label}_s"] = round(time.time() - t0, 3)
+            assert cnt == n * MT_TABLES
+        row["speedup"] = round(
+            row["sig_build_expr_s"] / row["sig_build_blas_s"], 2
+        )
+        print(f"sigbuild n={n}: {row}", file=sys.stderr)
+        out.append(row)
+    return out
+
+
+def sigbuild_markdown(rows: list[dict]) -> str:
+    lines = [
+        "| corpus n | mt sig build expr (s) | mt sig build BLAS (s) | speedup |",
+        "|---|---|---|---|",
+    ]
+    for r in rows:
+        lines.append(
+            f"| {r['n']:,} | {r['sig_build_expr_s']} "
+            f"| {r['sig_build_blas_s']} | {r['speedup']}× |"
+        )
+    return "\n".join(lines)
+
+
 def main() -> None:
     from workhop2_etl_spark.session import get_spark
+
+    if "--sigbuild" in sys.argv:
+        spark = get_spark("scale_crossover")
+        rows = sigbuild_crossover(spark, ANN_SIZES)
+        print(sigbuild_markdown(rows))
+        print(json.dumps({"sigbuild": rows}))
+        return
 
     quick = "--quick" in sys.argv
     ann_sizes = ANN_SIZES[:2] if quick else ANN_SIZES

@@ -540,6 +540,75 @@ def with_multitable_signatures(
     )
 
 
+def with_multitable_signatures_blas(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    table_col: str = "table_id",
+    sig_col: str = "sig",
+) -> DataFrame:
+    """Arrow/BLAS twin of ``with_multitable_signatures`` — identical
+    (table_id, sig) rows, matmul formulation.
+
+    The expression variant's per-row cost is L·b interpreted
+    ``F.aggregate`` dot folds (48 folds × dim element lambdas at the
+    default b=6, L=8) — the dominant cost of an index BUILD, which at
+    100 TB runs over the whole corpus. Sign tests are linear algebra:
+    one (batch × dim)·(dim × L·b) float64 matmul per Arrow batch,
+    sign-threshold, bit-pack per table — same shape as the
+    brute-force BLAS kernel and ~10× the build throughput at 100k+
+    rows (PERF.md round-8 table).
+
+    Signature identity: both kernels test ``sign(Σ vᵢ·wᵢ) ≥ 0`` in
+    float64 on the same md5-derived planes; summation order differs
+    (sequential fold vs pairwise BLAS), so a sign could differ only
+    when |dot| is within last-ulp noise (~1e-13 of cancellation) —
+    measure-zero for real-valued embeddings, and the pytest twin
+    asserts row-for-row equality on the planted fixtures."""
+    if num_tables < 1:
+        raise ValueError(f"num_tables must be ≥ 1, got {num_tables}")
+    if not 1 <= num_planes <= 63:
+        raise ValueError(f"num_planes must be in [1, 63], got {num_planes}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, LongType
+
+    planes = np.array(
+        [
+            [_plane_weight(t * num_planes + p, d) for d in range(dim)]
+            for t in range(num_tables)
+            for p in range(num_planes)
+        ],
+        dtype=np.float64,
+    )  # (L·b) × dim
+    bits = 1 << np.arange(num_planes, dtype=np.int64)
+    n_tables = num_tables
+    n_planes = num_planes
+
+    def _sigs_fn(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        V = np.array([list(x) for x in v], dtype=np.float64)
+        S = (V @ planes.T >= 0).reshape(len(V), n_tables, n_planes)
+        packed = (S * bits[None, None, :]).sum(axis=2, dtype=np.int64)
+        return pd.Series(list(packed))
+
+    # real class objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints, and pandas is
+    # a local import here, so pandas_udf's hint resolution would fail
+    _sigs_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _sigs = F.pandas_udf(ArrayType(LongType()))(_sigs_fn)
+
+    return (
+        df.withColumn("__sigs", _sigs(F.col(vec_col)))
+        .select("*", F.posexplode("__sigs").alias(table_col, sig_col))
+        .withColumn(table_col, F.col(table_col).cast("int"))
+        .drop("__sigs")
+    )
+
+
 def topk_cosine_lsh_multitable(
     corpus: DataFrame,
     queries: DataFrame,
@@ -550,11 +619,18 @@ def topk_cosine_lsh_multitable(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    sig_kernel: str = "expr",
 ) -> DataFrame:
     """Approximate top-k with MULTI-TABLE hyperplane LSH — the
     production recall configuration (FAISS/Annoy-style L independent
     tables OR'ed), vs ``topk_cosine_lsh``'s single table + optional
     Hamming probe.
+
+    ``sig_kernel``: ``'expr'`` (default — pure column expressions,
+    the oracle-reproducible variant) or ``'blas'`` (Arrow-batched
+    matmul signatures via ``with_multitable_signatures_blas`` —
+    identical output, ~10× the corpus-side signature throughput; the
+    default for new at-scale call sites).
 
     Plan shape: corpus and queries each explode to L (table, sig)
     rows; the probe is an equi-join on (table_id, sig) with the query
@@ -569,9 +645,15 @@ def topk_cosine_lsh_multitable(
     recall as 1−(1−p^b)^L; planes-per-table divide bucket population
     (2^b buckets/table). b=6, L=8 at cosine-0.8 neighbors ≈ 0.90
     expected pair recall."""
+    if sig_kernel not in ("expr", "blas"):
+        raise ValueError(f"sig_kernel must be 'expr' or 'blas', got {sig_kernel!r}")
+    signatures = (
+        with_multitable_signatures if sig_kernel == "expr"
+        else with_multitable_signatures_blas
+    )
     # norms attach BEFORE the ×L signature explode so each row's
     # array fold runs once, not once per table
-    c = with_multitable_signatures(
+    c = signatures(
         corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         ).withColumn("__cn", l2_norm(F.col("__cvec"))),
@@ -583,7 +665,7 @@ def topk_cosine_lsh_multitable(
         sig_col="__csig",
     )
     q = F.broadcast(
-        with_multitable_signatures(
+        signatures(
             queries.select(
                 F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
             ).withColumn("__qn", l2_norm(F.col("__qvec"))),
