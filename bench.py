@@ -195,8 +195,8 @@ def _load_context() -> dict:
 def bench_scale_guards(spark) -> dict[str, float]:
     """Two entries on the seeded 100k/8k scale fixtures (generated
     once, untimed) — per-round wall-clock signal for the kernels the
-    full crossover study (tools/scale_crossover.py, PERF.md round-7
-    table) proved out at 400k/128k:
+    full crossover study (tools/scale_crossover.py, PERF.md "ANN /
+    dedup scale crossover (round 8)" table) proved out at 400k/128k:
 
     - ``xscale_brute_blas_100k``: exact top-k over 100k×64q via the
       Arrow/BLAS kernel (9.0s at 400k vs 265s for the interpreted
