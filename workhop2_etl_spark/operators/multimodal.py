@@ -386,36 +386,51 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     from workhop2_etl_spark.operators.imagecodec import decode_array_tiered
 
+    def features_of(payload) -> tuple:
+        """(width, height, mean_r, mean_g, mean_b, luma_std, tier)."""
+        arr, tier = (
+            decode_array_tiered(payload) if payload is not None else (None, "none")
+        )
+        if arr is None:
+            return (None, None, None, None, None, None, tier)
+        h, w, ch = arr.shape
+        a = arr.astype(np.float64)
+        if ch == 1:
+            r = g = b = a[:, :, 0]
+        else:
+            r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+        luma = 0.299 * r + 0.587 * g + 0.114 * b
+        return (
+            w, h,
+            float(r.mean()), float(g.mean()), float(b.mean()),
+            float(luma.std()), tier,
+        )
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {k: [] for k in
                    ("doc_id", "width", "height", "mean_r", "mean_g", "mean_b",
                     "luma_std", "decode_tier")}
+            # features are a pure function of the payload bytes, so
+            # duplicate payloads within a batch (exact-dup images are
+            # common in web corpora; the Python JPEG tier costs ms per
+            # decode) hit a batch-bounded memo instead of re-decoding
+            memo: dict = {}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                arr, tier = (
-                    decode_array_tiered(payload)
-                    if payload is not None
-                    else (None, "none")
-                )
+                key = bytes(payload) if payload is not None else None
+                feats = memo.get(key)
+                if feats is None:
+                    feats = features_of(payload)
+                    memo[key] = feats
+                w, h, mr, mg, mb, ls, tier = feats
                 out["doc_id"].append(doc_id)
-                out["decode_tier"].append(tier)
-                if arr is None:
-                    for k in ("width", "height", "mean_r", "mean_g", "mean_b", "luma_std"):
-                        out[k].append(None)
-                    continue
-                h, w, ch = arr.shape
-                a = arr.astype(np.float64)
-                if ch == 1:
-                    r = g = b = a[:, :, 0]
-                else:
-                    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
-                luma = 0.299 * r + 0.587 * g + 0.114 * b
                 out["width"].append(w)
                 out["height"].append(h)
-                out["mean_r"].append(float(r.mean()))
-                out["mean_g"].append(float(g.mean()))
-                out["mean_b"].append(float(b.mean()))
-                out["luma_std"].append(float(luma.std()))
+                out["mean_r"].append(mr)
+                out["mean_g"].append(mg)
+                out["mean_b"].append(mb)
+                out["luma_std"].append(ls)
+                out["decode_tier"].append(tier)
             yield pd.DataFrame(out)
 
     return df.select(id_col, "payload").mapInPandas(kernel, IMAGE_FEATURES_SCHEMA)
