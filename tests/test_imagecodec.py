@@ -488,3 +488,76 @@ def test_extract_image_features_genuine_jpeg_tier(spark):
     for f in ("mean_r", "mean_g", "mean_b", "luma_std"):
         assert jr[f] is not None
         assert abs(jr[f] - pr[f]) < 1.5, (f, jr[f], pr[f])
+
+
+def test_jpeg_decode_skips_ff_fill_bytes():
+    """T.81 B.1.1.2 permits any number of 0xFF FILL bytes before a
+    marker (including RSTn and EOI). A standard-conforming stream
+    padded with fill bytes must decode to the SAME pixels as the
+    unpadded stream — previously FF FF inside entropy data truncated
+    the scan to the probe tier (r08 ADVICE #3)."""
+    yy, xx = np.mgrid[0:24, 0:31].astype(np.float64)
+    arr = np.stack(
+        [255 * xx / 30, 255 * yy / 23, 255 * (xx + yy) / 53], axis=2
+    ).astype(np.uint8)
+    b = ic.jpeg_encode(arr, quant=4, subsampling=(2, 2), restart_interval=2)
+    base = ic.jpeg_decode(b)
+    assert base is not None
+    # entropy data starts after the SOS segment; pad fill bytes only
+    # there (the header parser has its own FF-skip path already)
+    i = b.index(b"\xff\xda")
+    scan0 = i + 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+    head, scan = b[:scan0], b[scan0:]
+    for m in range(0xD0, 0xD8):
+        scan = scan.replace(bytes([0xFF, m]), bytes([0xFF, 0xFF, 0xFF, m]))
+    scan = scan.replace(b"\xff\xd9", b"\xff\xff\xd9")
+    filled = head + scan
+    assert len(filled) > len(b)  # the DRI stream really has RSTs
+    dec = ic.jpeg_decode(filled)
+    assert dec is not None
+    assert np.array_equal(dec, base)
+
+
+def test_codec_fuzz_corrupted_payloads_never_escape_contract():
+    """Fuzz the hand-written bitstream walkers (r08 verdict ask #6):
+    seeded bit-flips, truncations, and byte splices over valid
+    JPEG/PNG/GIF payloads must always yield either None or a valid
+    uint8 pixel array / frame list — never an uncaught exception,
+    never a hang. 5 base payloads × 120 mutations each."""
+    rng = np.random.default_rng(20260815)
+    g = _gradient(16, 24, 3)
+    bases = [
+        ("jpeg444", ic.jpeg_encode(g, quant=4)),
+        ("jpeg420dri", ic.jpeg_encode(g, quant=4, subsampling=(2, 2), restart_interval=2)),
+        ("jpeggray", ic.jpeg_encode(_gradient(17, 19, 1), quant=4)),
+        ("png", ic.png_encode(g)),
+        ("gif", ic.gif_encode([(7, 5, 0, 0, 5), (7, 5, 2, 1, 10)], 9, 6)),
+    ]
+
+    def mutate(b: bytes) -> bytes:
+        op = rng.integers(0, 3)
+        if op == 0:  # flip 1-8 random bits
+            m = bytearray(b)
+            for _ in range(int(rng.integers(1, 9))):
+                m[int(rng.integers(0, len(m)))] ^= 1 << int(rng.integers(0, 8))
+            return bytes(m)
+        if op == 1:  # truncate at a random offset
+            return b[: int(rng.integers(0, len(b)))]
+        # splice random bytes at a random offset
+        pos = int(rng.integers(0, len(b)))
+        blob = rng.integers(0, 256, int(rng.integers(1, 16)), dtype=np.uint8)
+        return b[:pos] + blob.tobytes() + b[pos:]
+
+    for name, base in bases:
+        for _ in range(120):
+            mut = mutate(base)
+            arr, tier = ic.decode_array_tiered(mut, allow_pil=False)
+            assert tier in ("stdlib-jpeg", "stdlib-png", "none"), (name, tier)
+            if arr is not None:
+                assert arr.dtype == np.uint8 and arr.ndim == 3, (name, arr.shape)
+                assert arr.shape[0] >= 1 and arr.shape[1] >= 1
+                assert arr.shape[2] in (1, 3, 4)
+            fr = ic.gif_frames(mut)
+            assert fr is None or isinstance(fr, list), name
+            dims = ic.probe_dims(mut)
+            assert dims is None or len(dims) == 3, name

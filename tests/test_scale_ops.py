@@ -1508,3 +1508,39 @@ def test_multitable_signatures_blas_identical_to_expression(spark):
 
     with _pytest.raises(ValueError, match="sig_kernel"):
         SIM.topk_cosine_lsh_multitable(emb, queries, dim=dim, sig_kernel="numpy")
+
+
+def test_multitable_signatures_blas_drops_dirty_rows(spark):
+    """Dirty-row contract of the BLAS signature kernel (r08 ADVICE #1):
+    NULL and wrong-length embeddings are DROPPED from the index (NULL
+    sig array → posexplode emits nothing) instead of crashing the
+    whole build inside the pandas UDF; clean rows in the same batch
+    still get signatures identical to the expression twin."""
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    dim = 4
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, -0.25, 2.0]),
+            (2, None),  # NULL vector
+            (3, [1.0, 2.0]),  # ragged (wrong length)
+            (4, [-1.0, 0.0, 3.0, 0.125]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = (
+        SIM.with_multitable_signatures_blas(df, "embedding", dim, 6, 8)
+        .select("vec_id", "table_id", "sig")
+        .collect()
+    )
+    got = {(r.vec_id, r.table_id): r.sig for r in rows}
+    assert {r.vec_id for r in rows} == {1, 4}  # dirty rows 2 & 3 dropped
+    assert len(got) == 2 * 8
+    clean = df.filter(F.col("vec_id").isin(1, 4))
+    expr = {
+        (r.vec_id, r.table_id): r.sig
+        for r in SIM.with_multitable_signatures(clean, "embedding", dim, 6, 8)
+        .select("vec_id", "table_id", "sig")
+        .collect()
+    }
+    assert got == expr

@@ -107,6 +107,8 @@ def png_decode(payload: bytes):
         (length,), ctype = struct.unpack(">I", b[pos : pos + 4]), b[pos + 4 : pos + 8]
         data = b[pos + 8 : pos + 8 + length]
         if ctype == b"IHDR":
+            if len(data) != 13:  # truncated/corrupt header (fuzz r09)
+                return None
             w, h, depth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
             if depth != 8 or interlace != 0 or color not in (0, 2, 6):
                 return None
@@ -519,6 +521,12 @@ def _split_entropy_segments(b: bytes, start: int) -> list[bytes]:
             i += 1
             continue
         m = b[i + 1] if i + 1 < n else 0xD9
+        if m == 0xFF:
+            # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede
+            # a marker (including RSTn) — skip them instead of
+            # treating FF FF as end-of-scan (r08 ADVICE #3)
+            i += 1
+            continue
         if m == 0x00:
             cur.append(0xFF)
             i += 2
@@ -900,7 +908,7 @@ def decode_array(payload: bytes):
     return decode_array_tiered(payload)[0]
 
 
-def decode_array_tiered(payload: bytes):
+def decode_array_tiered(payload: bytes, allow_pil: bool = True):
     """(array, tier) pixel decode — like ``decode_array`` but also
     names WHICH tier produced the pixels: ``'pil'`` (any format PIL
     knows), ``'stdlib-png'`` (the pure-stdlib PNG codec),
@@ -909,8 +917,14 @@ def decode_array_tiered(payload: bytes):
     decode (progressive JPEG, CMYK, truncated payloads, non-image
     bytes). Downstream feature extractors carry the tier so a corpus
     datasheet can account for undecodable payloads instead of them
-    vanishing into NULL features."""
-    if HAVE_PIL:
+    vanishing into NULL features.
+
+    ``allow_pil=False`` pins the decode to the stdlib tiers even when
+    PIL is installed — for callers (e.g. the m10 oracle query) whose
+    expected pixel statistics must be identical in every environment;
+    PIL's IDCT/upsample rounding differs from ours at the last
+    decimal (r08 ADVICE #2)."""
+    if HAVE_PIL and allow_pil:
         import io
 
         import numpy as np

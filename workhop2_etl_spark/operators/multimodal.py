@@ -365,12 +365,19 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 )
 
 
-def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_image_features(
+    df: DataFrame, id_col: str = "doc_id", allow_pil: bool = True
+) -> DataFrame:
     """REAL feature extraction over decoded pixels: per-channel means
     and Rec.601 luma standard deviation, via the best decode tier
     (PIL, else the stdlib PNG codec). Payloads no tier can decode
     yield NULL features — honest unknowns, not fabricated stats.
     Grayscale replicates its single channel; alpha is ignored.
+
+    ``allow_pil=False`` pins the decode to the stdlib tiers so pixel
+    statistics (and the ``decode_tier`` label) are identical in every
+    environment — used by oracle queries whose expected constants
+    were computed on the stdlib tier (r08 ADVICE #2).
 
     ``decode_tier`` names which codec tier produced (or failed to
     produce) the pixels — 'pil' / 'stdlib-png' / 'none' — so a
@@ -389,7 +396,9 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def features_of(payload) -> tuple:
         """(width, height, mean_r, mean_g, mean_b, luma_std, tier)."""
         arr, tier = (
-            decode_array_tiered(payload) if payload is not None else (None, "none")
+            decode_array_tiered(payload, allow_pil=allow_pil)
+            if payload is not None
+            else (None, "none")
         )
         if arr is None:
             return (None, None, None, None, None, None, tier)
@@ -414,10 +423,15 @@ def extract_image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             # features are a pure function of the payload bytes, so
             # duplicate payloads within a batch (exact-dup images are
             # common in web corpora; the Python JPEG tier costs ms per
-            # decode) hit a batch-bounded memo instead of re-decoding
+            # decode) hit a batch-bounded memo instead of re-decoding.
+            # Keyed on a 16-byte md5 digest: hashlib accepts the
+            # bytearray pandas hands us directly, so no per-row
+            # bytes() copy of the whole payload (r08 ADVICE #4).
             memo: dict = {}
             for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
-                key = bytes(payload) if payload is not None else None
+                key = (
+                    hashlib.md5(payload).digest() if payload is not None else None
+                )
                 feats = memo.get(key)
                 if feats is None:
                     feats = features_of(payload)

@@ -566,7 +566,16 @@ def with_multitable_signatures_blas(
     (sequential fold vs pairwise BLAS), so a sign could differ only
     when |dot| is within last-ulp noise (~1e-13 of cancellation) —
     measure-zero for real-valued embeddings, and the pytest twin
-    asserts row-for-row equality on the planted fixtures."""
+    asserts row-for-row equality on the planted fixtures.
+
+    Dirty-row contract (the ONE documented divergence from the expr
+    twin): a NULL or wrong-length embedding yields a NULL signature
+    array here, and ``posexplode`` drops the row — the dirty vector
+    simply isn't indexed. The expression twin instead NULL-propagates
+    every plane dot to ``when(NULL ≥ 0) → 0`` and files NULL vectors
+    under sig=0 of every table, polluting bucket 0 with rows that can
+    never score. Dropping is the at-scale behavior you want for an
+    index build: one dirty row must not fail (or skew) a 100 TB job."""
     if num_tables < 1:
         raise ValueError(f"num_tables must be ≥ 1, got {num_tables}")
     if not 1 <= num_planes <= 63:
@@ -587,13 +596,32 @@ def with_multitable_signatures_blas(
     n_tables = num_tables
     n_planes = num_planes
 
-    def _sigs_fn(v):
-        if not len(v):
-            return pd.Series([], dtype=object)
-        V = np.array([list(x) for x in v], dtype=np.float64)
+    expect_dim = dim
+
+    def _pack(V: "np.ndarray") -> list:
         S = (V @ planes.T >= 0).reshape(len(V), n_tables, n_planes)
-        packed = (S * bits[None, None, :]).sum(axis=2, dtype=np.int64)
-        return pd.Series(list(packed))
+        return list((S * bits[None, None, :]).sum(axis=2, dtype=np.int64))
+
+    def _sigs_fn(v):
+        n = len(v)
+        if not n:
+            return pd.Series([], dtype=object)
+        # dirty-row guard (see docstring): NULL / wrong-length vectors
+        # get a NULL signature array instead of crashing the batch
+        mask = np.fromiter(
+            (x is not None and len(x) == expect_dim for x in v),
+            dtype=bool,
+            count=n,
+        )
+        if mask.all():
+            return pd.Series(_pack(np.array([list(x) for x in v], dtype=np.float64)))
+        out = np.full(n, None, dtype=object)
+        keep = np.flatnonzero(mask)
+        if len(keep):
+            out[keep] = _pack(
+                np.array([list(v.iloc[i]) for i in keep], dtype=np.float64)
+            )
+        return pd.Series(out)
 
     # real class objects, not strings: this module's `from __future__
     # import annotations` would stringify inline hints, and pandas is

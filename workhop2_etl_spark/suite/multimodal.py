@@ -432,9 +432,12 @@ def m9_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # entropy-coded pixels through the same Arrow-batched kernel the PNG
 # fixtures use, with decode_tier naming the stdlib JPEG tier — the
 # modality that previously fell to decode_tier='none' NULL features.
-# Oracle constants are the exact decoded-pixel statistics in a
-# PIL-less environment (this container; with PIL installed the tier
-# label flips to 'pil' — the pytest twin covers that branch).
+# Oracle constants are the exact decoded-pixel statistics of the
+# stdlib tier, and the query PINS that tier (allow_pil=False) so the
+# gate is green in every environment — with PIL installed the tier
+# would otherwise flip to 'pil', whose IDCT/upsample rounding differs
+# at the 4th decimal (r08 ADVICE #2; the pytest twin covers the PIL
+# branch when available).
 # ---------------------------------------------------------------------------
 #: 20x10 RGB 4:4:4 / 7x5 gray / 12x9 RGB 4:2:0+DRI baseline JFIFs.
 _JPEG_B64 = {
@@ -483,7 +486,10 @@ def m10_real_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(_JPEG_B64[2]))
     )
     staged = docs.select("doc_id", F.unbase64(b64).alias("payload"))
-    feats = MM.extract_image_features(staged)
+    # allow_pil=False: the oracle's constants are the stdlib tier's
+    # exact pixel statistics — pinning the tier keeps this gate green
+    # whether or not PIL is installed (r08 ADVICE #2)
+    feats = MM.extract_image_features(staged, allow_pil=False)
     return (
         feats.select(
             (F.col("doc_id") % 3).cast("int").alias("variant"),
