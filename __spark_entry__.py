@@ -34,94 +34,102 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # green; the r08 window below follows the r08-head report output and
 # the r07 verdict's ask #1 verbatim (rotate the entire 44-query
 # r04-latest cohort — the whole remaining staleness tail).
-# Round-8 window composition (exactly 50):
-# (a) 1 never-driver-verified query: m10_real_jpeg_features (NEW this
-#     round — genuine baseline-JFIF payloads through the new stdlib
-#     JPEG decode tier; r07 verdict ask #4);
-# (b) 5 queries whose kernel changed THIS round, so their old greens
-#     pre-date the code under them: f6 (parse_timestamp_coerce now
-#     parses offset-less formats directly to NTZ — DST-gap-proof —
-#     and strips quoted literals before offset detection; ADVICE #1/
-#     #2), dq4 (profile_drift zero-mean drift guard on both engine
-#     and oracle sides; ADVICE #4), m8/m9 (decode_array_tiered grew
-#     the stdlib-jpeg tier under their feature kernel), v1 (the
-#     similarity.py brute-force pair: BLAS twin gained id-type/|Q|
-#     contract guards and schema-derived output types; ADVICE #3 +
-#     verdict ask #5 — v1 is also the oldest r05-green of that file);
-# (c) ALL 44 r04-latest greens — the entire staleness tail, report
-#     order: a3, a7_key_dup_rows, a7_operator_key_dups, a9, e1, e2,
-#     e4, e5, e6, f10, f3, f4, f5, f8, f9, g5, j5, j6, o2, p1, p4,
-#     p6, p7, s1, s3, sql1, sql2, st1, st2, st3, st4, st5, st6, st7,
-#     st9, t8, t9, u1, u4, x2, x7, x8, x9, j9. The f3/f4/f5/f8/f9/
-#     f10 rows double as clean.py kernel-changed re-verification.
-#     After this round no latest green is older than r05 anywhere
-#     (the r07 verdict's stated done-condition).
-# Displaced (every r07-window entry not re-listed above): the r07
-# cohort dq4-window siblings x13, r3, m9*, x18, e12, sql3, st12, m6,
-# j13, r1, r2, the full (c) r03-tail a1…q20, a11, v8 — all hold
-# fresh r07 driver greens (50/50 sweep), and the full strict local
-# verify_local sweep re-ran green this round after the kernel
-# changes (*m9 is re-listed: imagecodec.py is under it).
-# Deferred to a same-kernel in-window sibling: v2/v4–v8 → v1 (same
-# similarity.py file; only the BLAS function changed, which no
-# registry query routes through — v1 is its expression twin and the
-# contract-guard pytest covers the BLAS path), f7 → f3–f10 (same
-# clean.py; its cast path unchanged), plus the r05/r06/r07 cohorts
-# whose greens are ≤3 rounds old.
+# Round-9 window composition (exactly 50):
+# (a) 1 never-driver-verified query: v9_topk_lsh_persisted_index
+#     (NEW this round — the persisted ANN index lifecycle: BLAS-sign
+#     → save parquet+metadata → load with drift guards → probe the
+#     loaded relation; r08 verdict ask #4);
+# (b) 4 queries whose kernel changed THIS round, so their old greens
+#     pre-date the code under them: v8 (topk_cosine_lsh_multitable's
+#     probe now routes through the extracted _multitable_probe shared
+#     with the index store), m10 (JPEG entropy scan skips T.81 FF
+#     fill bytes, the decode tier is pinned via allow_pil=False, and
+#     the feature memo keys on md5 digests — r08 ADVICE #2/#3/#4),
+#     m8/m9 (png_decode grew the truncated-IHDR guard the fuzz test
+#     caught, and the same memo-key change sits under their feature
+#     kernel);
+# (c) ALL 42 r05-latest greens — the entire staleness tail, report
+#     order: a12, a13, a14, d1, d2, d8, dq1, dq2, dq3, e3, e7, e8,
+#     e9, j10, j11, j7, k1, k2, s6, st10, t10, t1, t2, t4, t5, t6,
+#     t7, u2, u5, v2, v4, v5, w4, w5, w6, x10, x11, x4, x6, z1, q3,
+#     q9 (the r08 verdict's ask #1 verbatim). The v2/v4/v5 rows
+#     double as similarity.py kernel-changed re-verification.
+#     After this round no latest green is older than r06 anywhere
+#     (the r08 verdict's stated done-condition);
+# (d) 3 fill slots from the next staleness tail — r06-latest greens
+#     whose kernel changed after their green, report order: a4
+#     (dedupe.py r08), d9 (suite/similarity.py r08), dq5
+#     (quality.py r07).
+# Displaced (every r08-window entry not re-listed above): m10/m8/m9/
+# v8 ARE re-listed; the rest — f6, dq4, v1, and the full 44-query
+# r04 tail — all hold fresh r08 driver greens (50/50 sweep), and the
+# full strict verify_local sweep re-ran green this round AFTER the
+# r09 kernel changes, archived as VERIFYLOCAL_r09.jsonl (r08 verdict
+# ask #2 — the out-of-window greens are now a committed artifact,
+# not an assertion).
+# Deferred to a same-kernel in-window sibling: v1/v6/v7 → v8+v9
+# (same similarity.py; their functions are untouched by the r09
+# probe refactor, and v8 exercises the extracted probe directly),
+# m1–m5/m7 → m8/m9/m10 (same imagecodec/multimodal kernels; their
+# entry points — meta probe, resize, GIF walk — are untouched
+# functions, and the codec fuzz pytest covers all three container
+# walkers), plus the r06/r07/r08 cohorts whose greens are ≤3 rounds
+# old and archived in VERIFYLOCAL_r09.jsonl.
 _PRIORITY = [
     # (a) never driver-verified
-    "m10_real_jpeg_features",
+    "v9_topk_lsh_persisted_index",
     # (b) kernel changed this round
-    "f6_timestamp_coerce",
-    "dq4_profile_drift",
+    "v8_topk_cosine_lsh_multitable",
+    "m10_real_jpeg_features",
     "m8_real_image_features",
     "m9_multimodal_pipeline",
-    "v1_topk_cosine_bruteforce",
-    # (c) the full r04-latest tail, staleness-report order
-    "a3_quality_counts",
-    "a7_key_dup_rows",
-    "a7_operator_key_dups",
-    "a9_flag_influence",
-    "e1_sessionize",
-    "e2_funnel",
-    "e4_event_transitions",
-    "e5_scd2_runs",
-    "e6_funnel_latency",
-    "f10_date_functions",
-    "f3_separator_variants",
-    "f4_sentinel_roundtrip",
-    "f5_str_to_bool",
-    "f8_prefix_extract",
-    "f9_conditional_impute",
-    "g5_grouping_sets",
-    "j5_semi_join",
-    "j6_anti_join",
-    "o2_sort_limit",
-    "p1_conj_filter",
-    "p4_keyword_filter",
-    "p6_isin_filter",
-    "p7_split_branches",
-    "s1_csv_roundtrip",
-    "s3_orc_roundtrip",
-    "sql1_text_query",
-    "sql2_sessions_sql",
-    "st1_tumbling_counts",
-    "st2_sliding_counts",
-    "st3_session_windows",
-    "st4_json_props",
-    "st5_stream_dedup",
-    "st6_interval_join",
-    "st7_stateful_running_totals",
-    "st9_stream_static_enrich",
-    "t8_tfidf_top_terms",
-    "t9_unigram_logprob",
-    "u1_union_by_name",
-    "u4_upsert",
-    "x2_array_agg",
-    "x7_doc_chunks",
-    "x8_quality_gate",
-    "x9_deterministic_shuffle",
-    "j9_full_outer_reconcile",
+    # (c) the full r05-latest tail, staleness-report order
+    "a12_weighted_median",
+    "a13_profile_stats",
+    "a14_equidepth_deciles",
+    "d1_exact_dup_groups",
+    "d2_minhash_lsh_pairs",
+    "d8_chunk_dup_ratio",
+    "dq1_constraints",
+    "dq2_rolling_outliers",
+    "dq3_mad_outliers",
+    "e3_cohort_retention",
+    "e7_cohort_month",
+    "e8_scd2_lookup",
+    "e9_attribution",
+    "j10_asof_forward_tolerance",
+    "j11_nullsafe_join",
+    "j7_asof_join",
+    "k1_salted_agg",
+    "k2_salted_skew_join",
+    "s6_schema_evolution",
+    "st10_windowed_distinct_users",
+    "t10_bigram_topk",
+    "t1_token_counts",
+    "t2_quality_profile",
+    "t4_fingerprint",
+    "t5_repetition_ratio",
+    "t6_pii_scrub",
+    "t7_contamination",
+    "u2_intersect",
+    "u5_apply_changes",
+    "v2_topk_cosine_lsh",
+    "v4_embedding_near_dup",
+    "v5_topk_cosine_ivf",
+    "w4_ohlc_resample",
+    "w5_gapfill_days",
+    "w6_ewma",
+    "x10_group_sample",
+    "x11_cdc_chunks",
+    "x4_stratified_split",
+    "x6_sequence_pack",
+    "z1_zorder_key",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    # (d) next-oldest kernel-changed r06 greens, report order
+    "a4_dup_counts",
+    "d9_semantic_dedup",
+    "dq5_referential_integrity",
 ]
 
 

@@ -107,6 +107,10 @@ HEADLINE = [
     # stdlib baseline-JPEG decode tier through the feature kernel
     "v8_topk_cosine_lsh_multitable",
     "m10_real_jpeg_features",
+    # round-9: the persisted-index lifecycle (build → save → load →
+    # probe in one entry — regresses if the save loses its single
+    # (table_id, sig) repartition or the probe stops broadcasting)
+    "v9_topk_lsh_persisted_index",
 ]
 
 
@@ -160,6 +164,35 @@ def bench_reference_pipeline(spark) -> dict[str, float]:
                 assert rows
             out[label] = best
     return out
+
+
+#: Pinned reference wall-clock for the CPU calibration probe (r08
+#: verdict ask #5), measured warm on this box 2026-08-15 (round 9) at
+#: loadavg ≈ 3, best of 3. The probe is CONSTANT work — bit_xor of
+#: xxhash64 over 256M in-memory range rows across 32 partitions, no
+#: I/O, no Python, one 32-partial final agg — so its ratio vs this
+#: constant measures host conditions (co-tenant load ate rounds 6-8's
+#: bench attribution), not repo changes. PERF.md round notes divide
+#: per-query ratios by the recorded ratio before calling anything a
+#: regression.
+CALIBRATION_REF_SEC = 1.87
+_CALIBRATION_EXPECT = -3314760874634033115
+
+
+def bench_calibration(spark) -> float:
+    """One timed run of the constant CPU probe; the checksum assert
+    proves the constant workload really ran (a changed row count or
+    hash seed would silently change the 'constant')."""
+    def probe():
+        return spark.range(0, 256_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS h"
+        ).collect()
+
+    t0 = time.time()
+    rows = probe()
+    dt = round(time.time() - t0, 3)
+    assert rows[0].h == _CALIBRATION_EXPECT
+    return dt
 
 
 def _load_context() -> dict:
@@ -238,6 +271,8 @@ def main() -> None:
     # reports query cost, not session cost.
     load_table(spark, SF_DIR, "region").count()
     load_table(spark, SF_DIR, "lineitem").count()
+    bench_calibration(spark)  # untimed: absorbs the probe's codegen compile
+    cal_start = bench_calibration(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
@@ -254,8 +289,20 @@ def main() -> None:
         assert rows is not None
     times.update(bench_reference_pipeline(spark))
     times.update(bench_scale_guards(spark))
+    # calibration entry: timed at the START of the measured section
+    # (right after warm-up) and again here at the END; the bench
+    # entry is the start sample, the end sample and the mean ratio
+    # land in load_context for PERF.md's normalization
+    cal_end = bench_calibration(spark)
+    times["xcal_cpu_probe"] = cal_start
     total = round(sum(times.values()), 3)
     load_ctx["loadavg_1m_end"] = _load_context().get("loadavg_1m")
+    load_ctx["calibration_sec_start"] = cal_start
+    load_ctx["calibration_sec_end"] = cal_end
+    load_ctx["calibration_ref_sec"] = CALIBRATION_REF_SEC
+    load_ctx["calibration_ratio"] = round(
+        (cal_start + cal_end) / 2 / CALIBRATION_REF_SEC, 3
+    )
     print(
         json.dumps(
             {

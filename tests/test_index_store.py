@@ -1,0 +1,104 @@
+"""Persisted ANN index lifecycle (operators/index_store.py): build →
+save → load → probe must equal the in-session probe exactly, and
+loading under drifted parameters must fail loudly — the 100 TB
+posture is build-once, probe-many across sessions (r08 verdict ask
+#4)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators import index_store as IDX
+from workhop2_etl_spark.operators import similarity as SIM
+from workhop2_etl_spark.session import load_table
+
+from tests.conftest import SF_DIR
+
+DIM = 64
+
+
+def _tmp(name: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), f"workhop2_idx_{os.getpid()}", name
+    )
+
+
+@pytest.mark.parametrize("sig_kernel", ["expr", "blas"])
+def test_lsh_index_roundtrip_probe_identical(spark, sig_kernel):
+    """save → load → probe ≡ the in-session topk_cosine_lsh_multitable
+    under BOTH signature kernels (vec/norm doubles round-trip parquet
+    exactly; signatures are kernel-independent)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    path = _tmp(f"lsh_{sig_kernel}")
+
+    meta = IDX.save_lsh_index(
+        emb, path, dim=DIM, num_planes=6, num_tables=8,
+        sig_kernel=sig_kernel, mode="overwrite",
+    )
+    index, loaded_meta = IDX.load_lsh_index(
+        spark, path, dim=DIM, num_planes=6, num_tables=8
+    )
+    assert loaded_meta == meta
+    got = sorted(
+        map(tuple, IDX.probe_lsh_index(index, loaded_meta, queries, k=3).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            SIM.topk_cosine_lsh_multitable(
+                emb, queries, dim=DIM, k=3, num_planes=6, num_tables=8
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert got  # non-vacuous: the probe really found neighbors
+
+
+def test_lsh_index_drift_guard(spark):
+    """Loading with mismatched dim / planes / tables raises a
+    descriptive error instead of silently probing garbage buckets;
+    the centroid loader refuses an LSH artifact (kind check)."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    path = _tmp("lsh_drift")
+    IDX.save_lsh_index(emb, path, dim=DIM, num_planes=4, num_tables=2,
+                       mode="overwrite")
+    with pytest.raises(ValueError, match="dim: expected 128"):
+        IDX.load_lsh_index(spark, path, dim=128)
+    with pytest.raises(ValueError, match="num_planes"):
+        IDX.load_lsh_index(spark, path, num_planes=6)
+    with pytest.raises(ValueError, match="num_tables"):
+        IDX.load_lsh_index(spark, path, num_tables=8)
+    with pytest.raises(ValueError, match="kind"):
+        IDX.load_centroids(spark, path)
+    with pytest.raises(ValueError, match="no readable index metadata"):
+        IDX.load_lsh_index(spark, _tmp("never_written"))
+    # accepting the stored values (all None) works
+    _, meta = IDX.load_lsh_index(spark, path)
+    assert (meta["dim"], meta["num_planes"], meta["num_tables"]) == (DIM, 4, 2)
+
+
+def test_centroids_roundtrip_and_guards(spark):
+    """fit → save → load returns the identical centroid list; dim and
+    seed drift raise; ragged centroids are refused at save time."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+    path = _tmp("ivf")
+    IDX.save_centroids(spark, cents, path, dim=DIM, seed=7, mode="overwrite")
+    loaded, meta = IDX.load_centroids(spark, path, dim=DIM, seed=7)
+    assert loaded == sorted(cents)
+    assert (meta["n_centroids"], meta["seed"]) == (4, 7)
+    with pytest.raises(ValueError, match="seed"):
+        IDX.load_centroids(spark, path, seed=42)
+    with pytest.raises(ValueError, match="dim"):
+        IDX.load_centroids(spark, path, dim=32)
+    with pytest.raises(ValueError, match="kind"):
+        IDX.load_lsh_index(spark, path)
+    with pytest.raises(ValueError, match="wrong length"):
+        IDX.save_centroids(
+            spark, [(0, [1.0, 2.0])], _tmp("bad"), dim=3, mode="overwrite"
+        )

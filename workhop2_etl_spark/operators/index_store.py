@@ -1,0 +1,307 @@
+"""Persisted ANN index artifacts: build once, probe many sessions.
+
+At 100 TB the expensive half of approximate similarity search is the
+INDEX BUILD — signing every corpus vector (multi-table hyperplane
+LSH) or training the coarse quantizer (IVF KMeans). Rebuilding per
+session, as the in-session operators do, repays that cost on every
+run; the production posture (FAISS on disk, Lucene HNSW segments) is
+an on-disk artifact that any later session loads and probes. This
+module gives both index families that lifecycle on any
+Hadoop-compatible filesystem, via plain Spark parquet/JSON I/O — no
+driver-side file APIs, so the same code addresses local disk, HDFS,
+or object stores:
+
+* ``save_lsh_index`` / ``load_lsh_index`` / ``probe_lsh_index`` —
+  the multi-table hyperplane signature index
+  (operators/similarity.py::with_multitable_signatures*). The saved
+  relation is one row per (vector, table): id, vector, its L2 norm,
+  table_id, sig — everything the probe needs, so probing never
+  touches the original corpus table.
+* ``save_centroids`` / ``load_centroids`` — the trained IVF coarse
+  quantizer (operators/similarity.py::fit_centroids), k rows of
+  (centroid_id, vector).
+
+Every artifact carries a metadata record (kind, dim, planes, tables,
+sig_kernel / seed, format version) written as a one-row JSON dataset
+next to the data. ``load_*`` validates it against what the caller
+expects and raises a descriptive error on drift — probing an index
+built at dim=64 with dim=128 queries, or mixing centroids trained
+under a different seed into an oracle-pinned pipeline, must fail
+loudly at load time, not produce silently-wrong neighbors.
+
+Reference parity: the reference ETL has no ANN indexes; this extends
+the engine for the training-data pipeline per the build brief, shaped
+after the public FAISS index_factory / write_index lifecycle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators.similarity import (
+    _multitable_probe,
+    l2_norm,
+    with_multitable_signatures,
+    with_multitable_signatures_blas,
+)
+
+FORMAT_VERSION = 1
+
+_LSH_KIND = "multitable-hyperplane-lsh"
+_IVF_KIND = "ivf-centroids"
+
+_META_SCHEMA = (
+    "kind string, version int, dim int, num_planes int, num_tables int,"
+    " sig_kernel string, id_col string, seed long, n_centroids int,"
+    " plane_scheme string"
+)
+
+
+def _write_meta(spark: SparkSession, path: str, meta: dict, mode: str) -> None:
+    row = {f.split()[0]: None for f in _META_SCHEMA.split(",")}
+    row.update(meta)
+    spark.createDataFrame([tuple(row.values())], _META_SCHEMA).coalesce(1).write.mode(
+        mode
+    ).json(f"{path}/meta")
+
+
+def _read_meta(spark: SparkSession, path: str, expect_kind: str) -> dict:
+    try:
+        rows = spark.read.schema(_META_SCHEMA).json(f"{path}/meta").collect()
+    except Exception as ex:  # noqa: BLE001 — name the artifact in the error
+        raise ValueError(f"no readable index metadata at {path}/meta: {ex}") from ex
+    if len(rows) != 1:
+        raise ValueError(
+            f"index metadata at {path}/meta must be exactly one record, "
+            f"found {len(rows)}"
+        )
+    # drop the shared-schema fields the other artifact kind doesn't
+    # set, so load_*'s meta equals what save_* returned
+    meta = {k: v for k, v in rows[0].asDict().items() if v is not None}
+    if meta["kind"] != expect_kind:
+        raise ValueError(
+            f"artifact at {path} is kind={meta['kind']!r}, expected "
+            f"{expect_kind!r} — wrong index type for this loader"
+        )
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(
+            f"artifact at {path} has format version {meta['version']}, "
+            f"this build reads version {FORMAT_VERSION}"
+        )
+    return meta
+
+
+def _check_drift(path: str, meta: dict, expected: dict) -> None:
+    drift = {
+        key: (want, meta.get(key))
+        for key, want in expected.items()
+        if want is not None and meta.get(key) != want
+    }
+    if drift:
+        detail = ", ".join(
+            f"{k}: expected {want!r}, index has {got!r}"
+            for k, (want, got) in sorted(drift.items())
+        )
+        raise ValueError(f"index at {path} does not match this probe — {detail}")
+
+
+# ---------------------------------------------------------------------------
+# Multi-table LSH signature index
+# ---------------------------------------------------------------------------
+
+
+def save_lsh_index(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int = 6,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sig_kernel: str = "blas",
+    mode: str = "error",
+) -> dict:
+    """Sign the corpus and persist the index relation at ``path``.
+
+    One shuffle total: the signed rows repartition+sort by
+    (table_id, sig) before the parquet write, so each file's row
+    groups cluster whole buckets — parquet (table_id, sig) min/max
+    stats then let a future point-probe prune at the scan, and the
+    probe join's input is already bucket-contiguous. ``sig_kernel``
+    defaults to the BLAS matmul build (the at-scale path; PERF.md r08
+    sigbuild table — 13× the expression fold at 400k vectors).
+
+    Returns the metadata dict it wrote. ``mode`` follows Spark write
+    semantics ('error' | 'overwrite').
+    """
+    if sig_kernel not in ("expr", "blas"):
+        raise ValueError(f"sig_kernel must be 'expr' or 'blas', got {sig_kernel!r}")
+    signatures = (
+        with_multitable_signatures if sig_kernel == "expr"
+        else with_multitable_signatures_blas
+    )
+    signed = signatures(
+        corpus.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+        ).withColumn("norm", l2_norm(F.col("vec"))),
+        "vec",
+        dim,
+        num_planes,
+        num_tables,
+        table_col="table_id",
+        sig_col="sig",
+    )
+    (
+        signed.repartition("table_id", "sig")
+        .sortWithinPartitions("table_id", "sig")
+        .write.mode(mode)
+        .parquet(f"{path}/index")
+    )
+    meta = {
+        "kind": _LSH_KIND,
+        "version": FORMAT_VERSION,
+        "dim": dim,
+        "num_planes": num_planes,
+        "num_tables": num_tables,
+        "sig_kernel": sig_kernel,
+        "id_col": id_col,
+        "plane_scheme": "md5(plane:dim)[:8]/2^31 - 1",
+    }
+    _write_meta(corpus.sparkSession, path, meta, mode)
+    return meta
+
+
+def load_lsh_index(
+    spark: SparkSession,
+    path: str,
+    dim: int | None = None,
+    num_planes: int | None = None,
+    num_tables: int | None = None,
+) -> tuple[DataFrame, dict]:
+    """(index relation, metadata) from ``path``; raises a descriptive
+    ``ValueError`` when the artifact's dim / planes / tables disagree
+    with what the caller expects (pass None to accept the stored
+    value — the metadata is the source of truth for the probe)."""
+    meta = _read_meta(spark, path, _LSH_KIND)
+    _check_drift(
+        path,
+        meta,
+        {"dim": dim, "num_planes": num_planes, "num_tables": num_tables},
+    )
+    return spark.read.parquet(f"{path}/index"), meta
+
+
+def probe_lsh_index(
+    index: DataFrame,
+    meta: dict,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors from a LOADED index — identical results
+    to ``topk_cosine_lsh_multitable`` over the original corpus with
+    the index's parameters (the persisted vec/norm round-trip parquet
+    doubles exactly; the pytest twin asserts row equality).
+
+    The corpus side is the index relation as loaded (never re-signed,
+    never re-normed); only the |Q| query vectors are signed here, with
+    the expression kernel — signatures are kernel-independent by the
+    documented sign-identity, and |Q| is small by contract."""
+    q = with_multitable_signatures(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ).withColumn("__qn", l2_norm(F.col("__qvec"))),
+        "__qvec",
+        int(meta["dim"]),
+        int(meta["num_planes"]),
+        int(meta["num_tables"]),
+        table_col="__qt",
+        sig_col="__qsig",
+    )
+    c = index.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("__cvec"),
+        F.col("norm").alias("__cn"),
+        F.col("table_id").alias("__ct"),
+        F.col("sig").alias("__csig"),
+    )
+    return _multitable_probe(c, q, k=k, round_digits=round_digits)
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse-quantizer centroids
+# ---------------------------------------------------------------------------
+
+
+def save_centroids(
+    spark: SparkSession,
+    centroids: list[tuple[int, list[float]]],
+    path: str,
+    dim: int,
+    seed: int | None = None,
+    mode: str = "error",
+) -> dict:
+    """Persist a trained IVF coarse quantizer (k rows — dimension
+    table sized, one parquet file). ``seed`` records the training
+    seed so a probe pipeline pinned to a seed can refuse a quantizer
+    trained under another one."""
+    bad = [cid for cid, vec in centroids if len(vec) != dim]
+    if bad:
+        raise ValueError(
+            f"centroids {bad} have vectors of the wrong length for dim={dim}"
+        )
+    spark.createDataFrame(
+        centroids, "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(f"{path}/index")
+    meta = {
+        "kind": _IVF_KIND,
+        "version": FORMAT_VERSION,
+        "dim": dim,
+        "n_centroids": len(centroids),
+    }
+    if seed is not None:
+        meta["seed"] = seed
+    _write_meta(spark, path, meta, mode)
+    return meta
+
+
+def load_centroids(
+    spark: SparkSession,
+    path: str,
+    dim: int | None = None,
+    seed: int | None = None,
+) -> tuple[list[tuple[int, list[float]]], dict]:
+    """(centroids in ``ivf_assign``'s shape, metadata); raises on
+    dim/seed drift or a corrupt artifact (row count != n_centroids,
+    ragged vectors)."""
+    meta = _read_meta(spark, path, _IVF_KIND)
+    _check_drift(path, meta, {"dim": dim, "seed": seed})
+    rows = spark.read.parquet(f"{path}/index").collect()
+    if len(rows) != meta["n_centroids"]:
+        raise ValueError(
+            f"centroid artifact at {path} has {len(rows)} rows, metadata "
+            f"says {meta['n_centroids']} — partial or corrupt write"
+        )
+    out = sorted(
+        (int(r.centroid_id), [float(x) for x in r.centroid]) for r in rows
+    )
+    ragged = [cid for cid, vec in out if len(vec) != meta["dim"]]
+    if ragged:
+        raise ValueError(
+            f"centroid artifact at {path}: centroids {ragged} have vectors "
+            f"shorter/longer than dim={meta['dim']}"
+        )
+    return out, meta
+
+
+__all__ = [
+    "FORMAT_VERSION",
+    "save_lsh_index",
+    "load_lsh_index",
+    "probe_lsh_index",
+    "save_centroids",
+    "load_centroids",
+]

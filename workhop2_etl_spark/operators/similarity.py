@@ -692,22 +692,39 @@ def topk_cosine_lsh_multitable(
         table_col="__ct",
         sig_col="__csig",
     )
-    q = F.broadcast(
-        signatures(
-            queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-            ).withColumn("__qn", l2_norm(F.col("__qvec"))),
-            "__qvec",
-            dim,
-            num_planes,
-            num_tables,
-            table_col="__qt",
-            sig_col="__qsig",
-        )
+    q = signatures(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ).withColumn("__qn", l2_norm(F.col("__qvec"))),
+        "__qvec",
+        dim,
+        num_planes,
+        num_tables,
+        table_col="__qt",
+        sig_col="__qsig",
     )
+    return _multitable_probe(c, q, k=k, round_digits=round_digits)
+
+
+def _multitable_probe(
+    signed_corpus: DataFrame,
+    signed_queries: DataFrame,
+    k: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe stage of multi-table LSH, shared by the in-session path
+    (``topk_cosine_lsh_multitable``) and the persisted-index path
+    (operators/index_store.py::probe_lsh_index).
+
+    Contract: ``signed_corpus`` carries (neighbor_id, __cvec, __cn,
+    __ct, __csig) — one row per (vector, table); ``signed_queries``
+    the (query_id, __qvec, __qn, __qt, __qsig) twin. The query side
+    is broadcast (queries ≪ corpus always), the probe is an
+    (table, sig) equi-join, and duplicate candidates dedup in one
+    aggregate (identical scores — same fold over the same vectors)."""
     scored = (
-        c.join(
-            q,
+        signed_corpus.join(
+            F.broadcast(signed_queries),
             (F.col("__ct") == F.col("__qt"))
             & (F.col("__csig") == F.col("__qsig"))
             & (F.col("query_id") != F.col("neighbor_id")),

@@ -426,6 +426,71 @@ def v8_topk_cosine_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# v9: the PERSISTED-index lifecycle end to end (r08 verdict ask #4) —
+# sign the corpus with the BLAS kernel, WRITE the index artifact to
+# parquet (+ a validated metadata record), LOAD it back, and probe
+# the loaded relation with a fresh query set. The oracle knows
+# nothing about persistence: it recomputes the same multi-table
+# banding directly over the embeddings table, so a green verdict
+# proves the on-disk round trip (vectors, norms, signatures, and the
+# drift-guarded metadata) is lossless — the build-once / probe-many
+# posture a 100 TB index requires. The query set (% 40) is disjoint
+# in spirit from v8's (% 100) so the two greens aren't one check
+# twice.
+# ---------------------------------------------------------------------------
+@query(
+    "v9_topk_lsh_persisted_index",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {', '.join(f"{_mt_sig_sql('embedding', t)} AS qs{t}" for t in range(_MT_TABLES))}
+      FROM embeddings WHERE vec_id % 40 = 0
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding AS cv,
+             {', '.join(f"{_mt_sig_sql('embedding', t)} AS cs{t}" for t in range(_MT_TABLES))}
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, neighbor_id, qv, cv
+      FROM q JOIN c
+        ON ({' OR '.join(f'qs{t} = cs{t}' for t in range(_MT_TABLES))})
+       AND query_id <> neighbor_id
+    ),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round(CASE WHEN {_NQ} * {_NC} > 0
+                   THEN {_DOT} / ({_NQ} * {_NC}) ELSE 0.0 END, 6) AS score
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v9_topk_lsh_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.suite import io_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = io_dir("v9_lsh_index")
+    IDX.save_lsh_index(
+        emb, path, dim=DIM, num_planes=_MT_PLANES, num_tables=_MT_TABLES,
+        sig_kernel="blas", mode="overwrite",
+    )
+    index, meta = IDX.load_lsh_index(
+        spark, path, dim=DIM, num_planes=_MT_PLANES, num_tables=_MT_TABLES
+    )
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    return IDX.probe_lsh_index(index, meta, queries, k=K).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
 # d9: semantic dedup (SemDeDup-style) — cluster embeddings into IVF
 # cells (the same deterministic modulo-seed centroid set as v5; a
 # production run swaps in operators/similarity.py::fit_centroids),
