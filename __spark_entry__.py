@@ -39,7 +39,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     (NEW this round — the persisted ANN index lifecycle: BLAS-sign
 #     → save parquet+metadata → load with drift guards → probe the
 #     loaded relation; r08 verdict ask #4);
-# (b) 4 queries whose kernel changed THIS round, so their old greens
+# (b) 5 queries whose kernel changed THIS round, so their old greens
 #     pre-date the code under them: v8 (topk_cosine_lsh_multitable's
 #     probe now routes through the extracted _multitable_probe shared
 #     with the index store), m10 (JPEG entropy scan skips T.81 FF
@@ -47,7 +47,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     the feature memo keys on md5 digests — r08 ADVICE #2/#3/#4),
 #     m8/m9 (png_decode grew the truncated-IHDR guard the fuzz test
 #     caught, and the same memo-key change sits under their feature
-#     kernel);
+#     kernel), f6 (the offset path gained the TIMESTAMP_NTZ domain
+#     guard the r09 adversarial pass found — year-0/year-10000
+#     instants now coerce to NULL instead of crashing at
+#     materialization);
 # (c) ALL 42 r05-latest greens — the entire staleness tail, report
 #     order: a12, a13, a14, d1, d2, d8, dq1, dq2, dq3, e3, e7, e8,
 #     e9, j10, j11, j7, k1, k2, s6, st10, t10, t1, t2, t4, t5, t6,
@@ -56,10 +59,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     double as similarity.py kernel-changed re-verification.
 #     After this round no latest green is older than r06 anywhere
 #     (the r08 verdict's stated done-condition);
-# (d) 3 fill slots from the next staleness tail — r06-latest greens
+# (d) 2 fill slots from the next staleness tail — r06-latest greens
 #     whose kernel changed after their green, report order: a4
-#     (dedupe.py r08), d9 (suite/similarity.py r08), dq5
-#     (quality.py r07).
+#     (dedupe.py r08), d9 (suite/similarity.py r08); dq5 (quality.py
+#     r07, next in report order) yielded its slot to the
+#     kernel-changed f6 and stays archived green in
+#     VERIFYLOCAL_r09.jsonl.
 # Displaced (every r08-window entry not re-listed above): m10/m8/m9/
 # v8 ARE re-listed; the rest — f6, dq4, v1, and the full 44-query
 # r04 tail — all hold fresh r08 driver greens (50/50 sweep), and the
@@ -83,6 +88,7 @@ _PRIORITY = [
     "m10_real_jpeg_features",
     "m8_real_image_features",
     "m9_multimodal_pipeline",
+    "f6_timestamp_coerce",
     # (c) the full r05-latest tail, staleness-report order
     "a12_weighted_median",
     "a13_profile_stats",
@@ -129,7 +135,6 @@ _PRIORITY = [
     # (d) next-oldest kernel-changed r06 greens, report order
     "a4_dup_counts",
     "d9_semantic_dedup",
-    "dq5_referential_integrity",
 ]
 
 

@@ -561,3 +561,38 @@ def test_codec_fuzz_corrupted_payloads_never_escape_contract():
             assert fr is None or isinstance(fr, list), name
             dims = ic.probe_dims(mut)
             assert dims is None or len(dims) == 3, name
+
+
+def test_jpeg_grayscale_restart_marker_corruption():
+    """Second adversarial pass on the stdlib JPEG tier (r08 verdict
+    ask #7): a grayscale + DRI stream with each class of restart
+    corruption — RST index flipped, RST replaced by a non-RST marker,
+    RST deleted, and a truncated final segment — must return None or
+    a correctly-shaped uint8 array, never raise. The happy grayscale
+    DRI path itself must round-trip."""
+    arr = _gradient(24, 17, 1)
+    b = ic.jpeg_encode(arr, quant=4, restart_interval=2)
+    base = ic.jpeg_decode(b)
+    assert base is not None and base.shape == (24, 17, 1)
+    i = b.index(b"\xff\xda")
+    scan0 = i + 2 + struct.unpack(">H", b[i + 2 : i + 4])[0]
+    rsts = [
+        j for j in range(scan0, len(b) - 1)
+        if b[j] == 0xFF and 0xD0 <= b[j + 1] <= 0xD7
+    ]
+    assert rsts, "fixture must actually contain restart markers"
+    mutants = []
+    j = rsts[0]
+    # flip the restart index (D0..D7 cycle broken)
+    mutants.append(b[:j + 1] + bytes([0xD0 + ((b[j + 1] - 0xD0 + 3) % 8)]) + b[j + 2:])
+    # replace the RST with a non-RST marker (DAC — mid-scan garbage)
+    mutants.append(b[:j + 1] + b"\xcc" + b[j + 2:])
+    # delete the RST entirely (segment counts no longer line up)
+    mutants.append(b[:j] + b[j + 2:])
+    # truncate inside the final entropy segment
+    mutants.append(b[: rsts[-1] + 10])
+    for k, m in enumerate(mutants):
+        dec = ic.jpeg_decode(m)
+        assert dec is None or (
+            dec.dtype == np.uint8 and dec.shape == (24, 17, 1)
+        ), (k, None if dec is None else dec.shape)

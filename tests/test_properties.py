@@ -530,3 +530,75 @@ def test_corpus_pipeline_partition_invariant(spark):
         rows = suite.QUERIES["x17_corpus_pipeline"](spark, d).collect()
         out[parts] = [tuple(r) for r in rows]
     assert out[1] == out[32] and len(out[1]) > 0
+
+
+def test_timestamp_coerce_adversarial_edges(spark):
+    """Second adversarial pass on the r08 NTZ kernel (r08 verdict ask
+    #7): leap seconds coerce to NULL (pandas NaT parity), a parseable
+    instant whose UTC wall-clock leaves the TIMESTAMP_NTZ domain
+    (year 0 / year 10000 via offsets at the calendar boundaries)
+    coerces to NULL instead of building an out-of-domain value that
+    crashes at materialization, and the exact domain boundary values
+    round-trip. Session timezone pinned to a DST zone to keep the
+    conf-proof claim honest."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        cases = {
+            "2016-12-31T23:59:60+00:00": None,  # leap second
+            "9999-12-31T23:59:59-01:00": None,  # UTC year 10000
+            "0001-01-01T00:00:00+05:00": None,  # UTC year 0
+            "2023-02-29T12:00:00+00:00": None,  # invalid leap day
+            "9999-12-31T22:59:59-01:00": "9999-12-31 23:59:59",  # NTZ max sec
+            "0001-01-01T05:00:00+05:00": "0001-01-01 00:00:00",  # NTZ min
+            "1949-12-31T18:30:00+05:30": "1949-12-31 13:00:00",  # pre-1970
+            "2025-03-09T02:30:00-05:00": "2025-03-09 07:30:00",  # NY DST gap wall
+        }
+        df = spark.createDataFrame([(v,) for v in cases], "ts string")
+        got = {
+            # isoformat, not strftime: %Y renders year 1 as '1' on glibc
+            r.ts: (None if r.p is None else r.p.isoformat(sep=" "))
+            for r in df.select(
+                "ts", clean.parse_timestamp_coerce(F.col("ts")).alias("p")
+            ).collect()
+        }
+        assert got == cases
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_blas_signature_kernel_zero_and_nonfinite_vectors(spark):
+    """Second adversarial pass on the r08 sigbuild BLAS kernel: the
+    all-zero vector (every plane dot exactly 0 → every sign test
+    true → sig = 2^b - 1 per table) and NaN-carrying vectors (NaN
+    dot → sign test false → those bits 0) must agree bit-for-bit
+    with the expression fold — the two kernels may never diverge on
+    degenerate embeddings."""
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    dim = 4
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0, 0.0]),
+            (2, [float("nan"), 1.0, 1.0, 1.0]),
+            (3, [float("inf"), 1.0, -1.0, 0.5]),
+            (4, [-0.0, 0.0, -0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    expr = {
+        (r.vec_id, r.table_id): r.sig
+        for r in SIM.with_multitable_signatures(df, "embedding", dim, 6, 4)
+        .select("vec_id", "table_id", "sig")
+        .collect()
+    }
+    blas = {
+        (r.vec_id, r.table_id): r.sig
+        for r in SIM.with_multitable_signatures_blas(df, "embedding", dim, 6, 4)
+        .select("vec_id", "table_id", "sig")
+        .collect()
+    }
+    assert expr == blas
+    # the zero vector's documented signature: every bit set
+    assert all(expr[(1, t)] == (1 << 6) - 1 for t in range(4))
+    assert all(expr[(4, t)] == (1 << 6) - 1 for t in range(4))

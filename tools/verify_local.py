@@ -6,7 +6,14 @@ column names, and an order-insensitive value hash (columns sorted by
 name, rows sorted by their string form, floats rounded). Exit 1 on
 any mismatch.
 
-Usage: python tools/verify_local.py [query_name ...]
+Usage: python tools/verify_local.py [--artifact PATH] [query_name ...]
+
+``--artifact PATH`` additionally writes one JSON line per checked
+query — {"query", "pass", "sec", "rows", "problems"} — preceded by a
+sweep header {"sweep": {...utc timestamp, sf_dir, git head...}}. A
+full-registry sweep committed per round (VERIFYLOCAL_r{N}.jsonl)
+makes every out-of-window green auditable instead of asserted (r08
+verdict ask #2).
 """
 
 from __future__ import annotations
@@ -61,6 +68,39 @@ def main() -> int:
     import __spark_entry__ as e
     from workhop2_etl_spark.session import get_spark
 
+    args = sys.argv[1:]
+    artifact_path = None
+    if "--artifact" in args:
+        i = args.index("--artifact")
+        artifact_path = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    artifact = open(artifact_path, "w") if artifact_path else None
+
+    def record(obj: dict) -> None:
+        if artifact:
+            import json
+
+            artifact.write(json.dumps(obj) + "\n")
+            artifact.flush()
+
+    if artifact:
+        import datetime
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip()
+        record({
+            "sweep": {
+                "utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                    timespec="seconds"),
+                "sf_dir": SF_DIR,
+                "git_head": head,
+            }
+        })
+
     spark = get_spark("verify_local")
     con = duckdb.connect()
     for t in TABLES:
@@ -70,7 +110,7 @@ def main() -> int:
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    only = set(sys.argv[1:])
+    only = set(args)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -83,9 +123,13 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {ex}")
+            record({"query": name, "pass": False, "sec": round(time.time() - t0, 1),
+                    "rows": None, "problems": [f"spark error: {ex}"[:300]]})
             continue
         if name not in oracles:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s) — no oracle")
+            record({"query": name, "pass": True, "sec": round(time.time() - t0, 1),
+                    "rows": len(srows), "problems": ["rows-only: no oracle"]})
             continue
         try:
             res = con.execute(oracles[name])
@@ -105,6 +149,8 @@ def main() -> int:
         except Exception as ex:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {ex}")
+            record({"query": name, "pass": False, "sec": round(time.time() - t0, 1),
+                    "rows": len(srows), "problems": [f"duckdb error: {ex}"[:300]]})
             continue
         problems = []
         if wide:
@@ -118,6 +164,9 @@ def main() -> int:
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
         elif value_hash(scols, srows) != value_hash(ocols, orows):
             problems.append("value-hash mismatch")
+        record({"query": name, "pass": not problems,
+                "sec": round(time.time() - t0, 1), "rows": len(srows),
+                "problems": problems})
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
@@ -133,6 +182,8 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
     print(f"\n{len(failures)} failures" if failures else "\nall green")
+    if artifact:
+        artifact.close()
     return 1 if failures else 0
 
 

@@ -113,11 +113,23 @@ def parse_timestamp_coerce(c: Column, fmt: str = "yyyy-MM-dd'T'HH:mm:ssXXX") -> 
     unquoted = re.sub(r"'[^']*'", "", fmt)
     has_offset = any(tok in unquoted for tok in ("X", "x", "Z", "O", "V"))
     if has_offset:
-        return F.when(parsed.isNotNull(), _ntz_of_unix_micros(F.unix_micros(parsed)))
+        # Range guard (r09 adversarial pass): a parseable instant
+        # whose UTC wall-clock falls outside TIMESTAMP_NTZ's domain
+        # ('9999-12-31T23:59:59-01:00' renders as year 10000;
+        # '0001-01-01T00:00:00+05:00' as year 0) would otherwise
+        # build an out-of-domain NTZ that crashes at materialization.
+        # errors='coerce' semantics: unrepresentable → NULL.
+        us = F.unix_micros(parsed)
+        in_range = us.between(F.lit(_NTZ_MIN_US), F.lit(_NTZ_MAX_US))
+        return F.when(parsed.isNotNull() & in_range, _ntz_of_unix_micros(us))
     return F.when(parsed.isNotNull(), F.to_timestamp_ntz(c, F.lit(fmt)))
 
 
 _US_PER_DAY = 86_400_000_000
+#: TIMESTAMP_NTZ domain in epoch micros: 0001-01-01T00:00:00.000000
+#: through 9999-12-31T23:59:59.999999 (proleptic Gregorian).
+_NTZ_MIN_US = -62_135_596_800_000_000
+_NTZ_MAX_US = 253_402_300_799_999_999
 
 
 def _ntz_of_unix_micros(us: Column) -> Column:

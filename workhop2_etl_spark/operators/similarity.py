@@ -599,7 +599,13 @@ def with_multitable_signatures_blas(
     expect_dim = dim
 
     def _pack(V: "np.ndarray") -> list:
-        S = (V @ planes.T >= 0).reshape(len(V), n_tables, n_planes)
+        D = V @ planes.T
+        # NaN dot (a NaN element in the vector) sets the bit: Spark
+        # SQL's NaN ordering makes `NaN >= 0` TRUE in the expression
+        # fold, while IEEE numpy comparison yields False — without
+        # the isnan term the twins diverge on NaN-carrying vectors
+        # (caught by the r09 adversarial pass)
+        S = ((D >= 0) | np.isnan(D)).reshape(len(V), n_tables, n_planes)
         return list((S * bits[None, None, :]).sum(axis=2, dtype=np.int64))
 
     def _sigs_fn(v):
