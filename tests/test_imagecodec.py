@@ -523,7 +523,10 @@ def test_codec_fuzz_corrupted_payloads_never_escape_contract():
     seeded bit-flips, truncations, and byte splices over valid
     JPEG/PNG/GIF payloads must always yield either None or a valid
     uint8 pixel array / frame list — never an uncaught exception,
-    never a hang. 5 base payloads × 120 mutations each."""
+    never a hang. 6 base payloads × 120 mutations each (the RIFF/WAV
+    chunk walker is fuzzed alongside the image walkers)."""
+    from workhop2_etl_spark.operators import audiocodec as ac
+
     rng = np.random.default_rng(20260815)
     g = _gradient(16, 24, 3)
     bases = [
@@ -532,6 +535,7 @@ def test_codec_fuzz_corrupted_payloads_never_escape_contract():
         ("jpeggray", ic.jpeg_encode(_gradient(17, 19, 1), quant=4)),
         ("png", ic.png_encode(g)),
         ("gif", ic.gif_encode([(7, 5, 0, 0, 5), (7, 5, 2, 1, 10)], 9, 6)),
+        ("wav", ac.wav_encode(800, channels=2, sample_rate=8000)),
     ]
 
     def mutate(b: bytes) -> bytes:
@@ -561,6 +565,8 @@ def test_codec_fuzz_corrupted_payloads_never_escape_contract():
             assert fr is None or isinstance(fr, list), name
             dims = ic.probe_dims(mut)
             assert dims is None or len(dims) == 3, name
+            wm = ac.wav_meta(mut)
+            assert wm is None or (len(wm) == 5 and wm[1] > 0), name
 
 
 def test_jpeg_grayscale_restart_marker_corruption():

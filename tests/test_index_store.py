@@ -102,3 +102,33 @@ def test_centroids_roundtrip_and_guards(spark):
         IDX.save_centroids(
             spark, [(0, [1.0, 2.0])], _tmp("bad"), dim=3, mode="overwrite"
         )
+
+
+def test_lsh_index_incremental_append(spark):
+    """Grow-by-append lifecycle: an index built on half the corpus
+    then appended with the other half probes IDENTICALLY to one built
+    on the full corpus in a single shot; each append bumps the
+    metadata epoch; the delta signs under the artifact's stored
+    geometry (no caller-supplied dim to drift)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    grown_path, full_path = _tmp("lsh_grow"), _tmp("lsh_full")
+    IDX.save_lsh_index(first, grown_path, dim=DIM, num_planes=6, num_tables=8,
+                       mode="overwrite")
+    meta1 = IDX.append_lsh_index(second, grown_path)
+    assert meta1["epoch"] == 1
+    IDX.save_lsh_index(emb, full_path, dim=DIM, num_planes=6, num_tables=8,
+                       mode="overwrite")
+
+    gi, gm = IDX.load_lsh_index(spark, grown_path)
+    fi, fm = IDX.load_lsh_index(spark, full_path)
+    got = sorted(map(tuple, IDX.probe_lsh_index(gi, gm, queries, k=3).collect()))
+    want = sorted(map(tuple, IDX.probe_lsh_index(fi, fm, queries, k=3).collect()))
+    assert got == want and got
+
+    # appending to a path that holds no index fails loudly
+    with pytest.raises(ValueError, match="no readable index metadata"):
+        IDX.append_lsh_index(second, _tmp("lsh_nowhere"))

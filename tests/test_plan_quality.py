@@ -425,3 +425,35 @@ def test_parquet_aggregate_pushdown_answers_from_footers(spark):
     finally:
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
         spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+
+
+def test_persisted_index_probe_plan_shape(spark):
+    """The loaded-index probe must be a BroadcastHashJoin on
+    (table_id, sig) with the |Q|-sized query side broadcast — never a
+    shuffle of the corpus-sized index relation, never a cartesian —
+    and the index scan must read only the probe's five columns."""
+    from workhop2_etl_spark.operators import index_store as IDX
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    import os
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"workhop2_idx_{os.getpid()}", "planshape"
+    )
+    IDX.save_lsh_index(emb, path, dim=64, num_planes=6, num_tables=4,
+                       mode="overwrite")
+    index, meta = IDX.load_lsh_index(spark, path)
+    probe = IDX.probe_lsh_index(
+        index, meta, emb.filter(F.col("vec_id") % 100 == 0), k=3
+    )
+    plan = plan_of(probe)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the nested array<double> defeats the scalar-schema regex used
+    # above; line-wise capture across every scan in the plan instead
+    schemas = " ".join(re.findall(r"ReadSchema: (.*)", plan))
+    assert schemas, "no ReadSchema in plan"
+    for col in ("id:", "vec:", "norm:", "table_id:", "sig:"):
+        assert col in schemas, (col, schemas)

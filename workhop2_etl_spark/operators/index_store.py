@@ -11,8 +11,8 @@ Hadoop-compatible filesystem, via plain Spark parquet/JSON I/O — no
 driver-side file APIs, so the same code addresses local disk, HDFS,
 or object stores:
 
-* ``save_lsh_index`` / ``load_lsh_index`` / ``probe_lsh_index`` —
-  the multi-table hyperplane signature index
+* ``save_lsh_index`` / ``append_lsh_index`` / ``load_lsh_index`` /
+  ``probe_lsh_index`` — the multi-table hyperplane signature index
   (operators/similarity.py::with_multitable_signatures*). The saved
   relation is one row per (vector, table): id, vector, its L2 norm,
   table_id, sig — everything the probe needs, so probing never
@@ -54,7 +54,7 @@ _IVF_KIND = "ivf-centroids"
 _META_SCHEMA = (
     "kind string, version int, dim int, num_planes int, num_tables int,"
     " sig_kernel string, id_col string, seed long, n_centroids int,"
-    " plane_scheme string"
+    " plane_scheme string, epoch int"
 )
 
 
@@ -135,6 +135,36 @@ def save_lsh_index(
     Returns the metadata dict it wrote. ``mode`` follows Spark write
     semantics ('error' | 'overwrite').
     """
+    _write_signed(
+        corpus, path, dim, num_planes, num_tables, id_col, vec_col,
+        sig_kernel, mode,
+    )
+    meta = {
+        "kind": _LSH_KIND,
+        "version": FORMAT_VERSION,
+        "dim": dim,
+        "num_planes": num_planes,
+        "num_tables": num_tables,
+        "sig_kernel": sig_kernel,
+        "id_col": id_col,
+        "plane_scheme": "md5(plane:dim)[:8]/2^31 - 1",
+        "epoch": 0,
+    }
+    _write_meta(corpus.sparkSession, path, meta, mode)
+    return meta
+
+
+def _write_signed(
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    num_planes: int,
+    num_tables: int,
+    id_col: str,
+    vec_col: str,
+    sig_kernel: str,
+    mode: str,
+) -> None:
     if sig_kernel not in ("expr", "blas"):
         raise ValueError(f"sig_kernel must be 'expr' or 'blas', got {sig_kernel!r}")
     signatures = (
@@ -158,17 +188,46 @@ def save_lsh_index(
         .write.mode(mode)
         .parquet(f"{path}/index")
     )
-    meta = {
-        "kind": _LSH_KIND,
-        "version": FORMAT_VERSION,
-        "dim": dim,
-        "num_planes": num_planes,
-        "num_tables": num_tables,
-        "sig_kernel": sig_kernel,
-        "id_col": id_col,
-        "plane_scheme": "md5(plane:dim)[:8]/2^31 - 1",
-    }
-    _write_meta(corpus.sparkSession, path, meta, mode)
+
+
+def append_lsh_index(
+    corpus_delta: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+    sig_kernel: str | None = None,
+) -> dict:
+    """Incrementally GROW an existing index with newly-arrived corpus
+    rows — the other half of the 100 TB lifecycle (an index is built
+    once, then extended per ingestion batch; full rebuilds are the
+    exception). The delta is signed under the artifact's OWN stored
+    parameters (dim / planes / tables from metadata — the caller
+    cannot accidentally sign a batch under drifted geometry) and
+    appended as new parquet files; the metadata epoch increments so
+    readers and staleness checks can see the index advanced.
+
+    Id discipline is the caller's (same as any append-only store):
+    re-appending rows already indexed yields duplicate (id, table)
+    entries, which the probe's max-aggregate dedups per (query,
+    neighbor) — correct scores, wasted candidate volume. Writes are
+    parquet-append + metadata overwrite, single-writer by contract;
+    wrap the path in a transactional table format if concurrent
+    writers are possible."""
+    spark = corpus_delta.sparkSession
+    meta = _read_meta(spark, path, _LSH_KIND)
+    _write_signed(
+        corpus_delta,
+        path,
+        int(meta["dim"]),
+        int(meta["num_planes"]),
+        int(meta["num_tables"]),
+        id_col or meta["id_col"],
+        vec_col,
+        sig_kernel or meta["sig_kernel"],
+        "append",
+    )
+    meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
+    _write_meta(spark, path, meta, "overwrite")
     return meta
 
 
@@ -300,6 +359,7 @@ def load_centroids(
 __all__ = [
     "FORMAT_VERSION",
     "save_lsh_index",
+    "append_lsh_index",
     "load_lsh_index",
     "probe_lsh_index",
     "save_centroids",
