@@ -1,0 +1,86 @@
+"""Measure the persisted-index payoff: probe-only vs rebuild-per-run.
+
+The in-session multi-table LSH operator re-signs the whole corpus on
+every run; the index store signs once, writes parquet, and later
+sessions only read + probe. This study times the three phases on the
+seeded scale fixture so PERF.md carries the measured amortization
+instead of an argument:
+
+  build_save   — sign (BLAS kernel) + clustered parquet write
+  load_probe   — read the artifact + broadcast probe (the steady
+                 state of a build-once / probe-many deployment)
+  insession    — topk_cosine_lsh_multitable end to end (sign + probe
+                 every run — what a session without the artifact pays)
+
+Usage: python tools/index_store_study.py [n_rows ...]   (default 100000)
+Prints one JSON line per corpus size.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIM = 64
+PLANES = 6
+TABLES = 8
+K = 5
+N_QUERIES = 64
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from tools import scale_fixture as FX
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.operators.similarity import topk_cosine_lsh_multitable
+    from workhop2_etl_spark.session import get_spark
+
+    sizes = [int(a) for a in sys.argv[1:]] or [100_000]
+    spark = get_spark("index_store_study")
+    spark.range(1000).count()  # absorb JVM start
+
+    for n in sizes:
+        emb = spark.read.parquet(FX.ensure_embeddings(n, DIM))
+        queries = emb.filter(F.col("vec_id") < N_QUERIES)
+        path = os.path.join(tempfile.gettempdir(), f"idx_study_{os.getpid()}_{n}")
+
+        t0 = time.time()
+        IDX.save_lsh_index(
+            emb, path, dim=DIM, num_planes=PLANES, num_tables=TABLES,
+            sig_kernel="blas", mode="overwrite",
+        )
+        build_save = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        index, meta = IDX.load_lsh_index(spark, path)
+        rows_loaded = IDX.probe_lsh_index(index, meta, queries, k=K).collect()
+        load_probe = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        rows_insession = topk_cosine_lsh_multitable(
+            emb, queries, dim=DIM, k=K, num_planes=PLANES,
+            num_tables=TABLES, sig_kernel="blas",
+        ).collect()
+        insession = round(time.time() - t0, 2)
+
+        assert sorted(map(tuple, rows_loaded)) == sorted(map(tuple, rows_insession))
+        shutil.rmtree(path, ignore_errors=True)
+        print(json.dumps({
+            "n": n, "dim": DIM, "planes": PLANES, "tables": TABLES,
+            "k": K, "n_queries": N_QUERIES,
+            "build_save_sec": build_save,
+            "load_probe_sec": load_probe,
+            "insession_sec": insession,
+            "probe_speedup_vs_insession": round(insession / load_probe, 2),
+        }))
+
+
+if __name__ == "__main__":
+    main()
