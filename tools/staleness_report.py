@@ -23,6 +23,23 @@ window must be composed from:
     then oldest latest_green — the same never > changed > stale
     priority the round-5 window spec prescribes.
 
+Since round 9 the full local verify sweep is archived per round as
+VERIFYLOCAL_r{N}.jsonl (one line per query, all 183 checked every
+sweep), so the report also derives:
+
+    latest_local_green — newest archived sweep round where the query
+                         passed the strict local oracle check;
+    UNCHECKED          — kernel_round postdates BOTH the driver green
+                         and the local green, i.e. no check of any
+                         kind has run on the current code. This is
+                         the flag that matters operationally; a
+                         merely-STALE query still holds a local green
+                         newer than its kernel.
+
+The 50-slot driver window is still composed from driver greens alone
+(the driver verdict is the judged artifact); the local column exists
+so out-of-window queries are auditable rather than trusted.
+
 A commit's round is inferred from the driver's `round N:` marker
 commits: everything after marker N-1 (exclusive) belongs to round N.
 
@@ -87,6 +104,23 @@ def latest_greens() -> dict[str, int | None]:
     return greens
 
 
+def latest_local_greens() -> dict[str, int]:
+    """query -> newest archived local sweep round with pass=true
+    (VERIFYLOCAL_r{N}.jsonl, committed per round since r09)."""
+    greens: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "VERIFYLOCAL_r*.jsonl"))):
+        rnd = int(re.search(r"_r(\d+)\.jsonl$", path).group(1))
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if rec.get("pass") and "query" in rec:
+                    greens[rec["query"]] = max(rnd, greens.get(rec["query"], 0))
+    return greens
+
+
 _IMPORT_RE = re.compile(
     rf"^\s*(?:from|import)\s+({PKG}(?:\.[A-Za-z0-9_]+)*)", re.M
 )
@@ -139,6 +173,7 @@ def main() -> None:
     rounds = commit_rounds()
     this_round = max(rounds.values(), default=1)
     greens = latest_greens()
+    local_greens = latest_local_greens()
     kernels = kernel_files()
     cache: dict[str, int] = {}
 
@@ -148,13 +183,17 @@ def main() -> None:
         k_round = max(file_round(f, rounds, cache) for f in files)
         k_file = max(files, key=lambda f: file_round(f, rounds, cache))
         green = greens.get(name)
+        local = local_greens.get(name)
+        best = max(green or 0, local or 0)
         rows.append(
             {
                 "query": name,
                 "latest_green": green,
+                "latest_local_green": local,
                 "kernel_round": k_round,
                 "kernel_file": k_file,
                 "stale": green is not None and k_round > green,
+                "unchecked": k_round > best,
             }
         )
 
@@ -172,11 +211,14 @@ def main() -> None:
             print(json.dumps(r))
         return
     print(f"# staleness report (current round = r{this_round:02d})")
-    print(f"{'query':<34} {'green':>5} {'kernel':>6}  flag")
+    print(f"{'query':<34} {'green':>5} {'local':>5} {'kernel':>6}  flag")
     for r in rows:
         g = f"r{r['latest_green']:02d}" if r["latest_green"] else "NEVER"
-        flag = "STALE" if r["stale"] else ""
-        print(f"{r['query']:<34} {g:>5} r{r['kernel_round']:02d}     {flag}")
+        lg = f"r{r['latest_local_green']:02d}" if r["latest_local_green"] else "-"
+        flag = "UNCHECKED" if r["unchecked"] else ("STALE" if r["stale"] else "")
+        print(
+            f"{r['query']:<34} {g:>5} {lg:>5} r{r['kernel_round']:02d}     {flag}"
+        )
     window = [r["query"] for r in rows[:50]]
     print("\n# proposed 50-slot window (never > stale > oldest-green):")
     for q in window:
