@@ -35,10 +35,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # the r07 verdict's ask #1 verbatim (rotate the entire 44-query
 # r04-latest cohort — the whole remaining staleness tail).
 # Round-9 window composition (exactly 50):
-# (a) 1 never-driver-verified query: v9_topk_lsh_persisted_index
+# (a) 2 never-driver-verified queries: v9_topk_lsh_persisted_index
 #     (NEW this round — the persisted ANN index lifecycle: BLAS-sign
 #     → save parquet+metadata → load with drift guards → probe the
-#     loaded relation; r08 verdict ask #4);
+#     loaded relation; r08 verdict ask #4) and
+#     v10_topk_ivf_persisted_index (NEW this round — the persisted
+#     IVF-POSTINGS lifecycle including the incremental half: build on
+#     the even-id corpus, append the odd-id half under the artifact's
+#     own stored quantizer, load, probe at nprobe=2; the oracle
+#     recomputes single-shot IVF over the whole table, so green
+#     proves build ∪ append ≡ single-shot);
 # (b) 5 queries whose kernel changed THIS round, so their old greens
 #     pre-date the code under them: v8 (topk_cosine_lsh_multitable's
 #     probe now routes through the extracted _multitable_probe shared
@@ -59,12 +65,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     double as similarity.py kernel-changed re-verification.
 #     After this round no latest green is older than r06 anywhere
 #     (the r08 verdict's stated done-condition);
-# (d) 2 fill slots from the next staleness tail — r06-latest greens
-#     whose kernel changed after their green, report order: a4
-#     (dedupe.py r08), d9 (suite/similarity.py r08); dq5 (quality.py
-#     r07, next in report order) yielded its slot to the
-#     kernel-changed f6 and stays archived green in
-#     VERIFYLOCAL_r09.jsonl.
+# (d) 1 fill slot from the next staleness tail — the oldest
+#     kernel-changed r06 green, report order: a4 (dedupe.py r08).
+#     d9 (suite/similarity.py, next in report order) yielded its
+#     slot to the never-verified v10, and dq5 (quality.py r07)
+#     earlier yielded to the kernel-changed f6; both stay archived
+#     green in VERIFYLOCAL_r09.jsonl and rotate in r10.
 # Displaced (every r08-window entry not re-listed above): m10/m8/m9/
 # v8 ARE re-listed; the rest — f6, dq4, v1, and the full 44-query
 # r04 tail — all hold fresh r08 driver greens (50/50 sweep), and the
@@ -72,9 +78,13 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # r09 kernel changes, archived as VERIFYLOCAL_r09.jsonl (r08 verdict
 # ask #2 — the out-of-window greens are now a committed artifact,
 # not an assertion).
-# Deferred to a same-kernel in-window sibling: v1/v6/v7 → v8+v9
+# Deferred to a same-kernel in-window sibling: v1/v6 → v8+v9
 # (same similarity.py; their functions are untouched by the r09
 # probe refactor, and v8 exercises the extracted probe directly),
+# v7 → v5+v10 (topk_cosine_ivf's body became the shared _ivf_probe;
+# v5 drives it in-session and v10 drives it from the loaded
+# postings, both at the same centroid construction — v7's nprobe=2
+# path is v10's exact probe configuration),
 # m1–m5/m7 → m8/m9/m10 (same imagecodec/multimodal kernels; their
 # entry points — meta probe, resize, GIF walk — are untouched
 # functions, and the codec fuzz pytest covers all three container
@@ -83,6 +93,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 _PRIORITY = [
     # (a) never driver-verified
     "v9_topk_lsh_persisted_index",
+    "v10_topk_ivf_persisted_index",
     # (b) kernel changed this round
     "v8_topk_cosine_lsh_multitable",
     "m10_real_jpeg_features",
@@ -132,9 +143,8 @@ _PRIORITY = [
     "z1_zorder_key",
     "q3_shipping_priority",
     "q9_product_profit",
-    # (d) next-oldest kernel-changed r06 greens, report order
+    # (d) next-oldest kernel-changed r06 green, report order
     "a4_dup_counts",
-    "d9_semantic_dedup",
 ]
 
 

@@ -111,6 +111,7 @@ HEADLINE = [
     # probe in one entry — regresses if the save loses its single
     # (table_id, sig) repartition or the probe stops broadcasting)
     "v9_topk_lsh_persisted_index",
+    "v10_topk_ivf_persisted_index",
 ]
 
 
@@ -167,15 +168,18 @@ def bench_reference_pipeline(spark) -> dict[str, float]:
 
 
 #: Pinned reference wall-clock for the CPU calibration probe (r08
-#: verdict ask #5), measured warm on this box 2026-08-15 (round 9) at
-#: loadavg ≈ 3, best of 3. The probe is CONSTANT work — bit_xor of
-#: xxhash64 over 256M in-memory range rows across 32 partitions, no
-#: I/O, no Python, one 32-partial final agg — so its ratio vs this
-#: constant measures host conditions (co-tenant load ate rounds 6-8's
-#: bench attribution), not repo changes. PERF.md round notes divide
-#: per-query ratios by the recorded ratio before calling anything a
-#: regression.
-CALIBRATION_REF_SEC = 1.87
+#: verdict ask #5), measured WARM at idle on this box 2026-08-15
+#: (round 9): best of 5 warm runs 0.217s at loadavg 0.5 (cold first
+#: run is ~3.5s — pure codegen compile, which is why run() absorbs
+#: one untimed probe before timing; an earlier pin of 1.87s had
+#: captured part of that compile and read ~0.14 at idle — useless).
+#: The probe is CONSTANT work — bit_xor of xxhash64 over 256M
+#: in-memory range rows across 32 partitions, no I/O, no Python, one
+#: 32-partial final agg — so its ratio vs this constant measures host
+#: conditions (co-tenant load ate rounds 6-8's bench attribution),
+#: not repo changes. PERF.md round notes divide per-query ratios by
+#: the recorded ratio before calling anything a regression.
+CALIBRATION_REF_SEC = 0.217
 _CALIBRATION_EXPECT = -3314760874634033115
 
 

@@ -132,3 +132,81 @@ def test_lsh_index_incremental_append(spark):
     # appending to a path that holds no index fails loudly
     with pytest.raises(ValueError, match="no readable index metadata"):
         IDX.append_lsh_index(second, _tmp("lsh_nowhere"))
+
+
+def test_ivf_index_roundtrip_probe_identical(spark):
+    """save → load → probe ≡ the in-session topk_cosine_ivf with the
+    same centroids, at nprobe=1 and at the nprobe=2 recall knob
+    (vec/norm doubles and cell assignments round-trip parquet
+    exactly; the probe path is the shared _ivf_probe)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+    path = _tmp("ivf_postings")
+
+    meta = IDX.save_ivf_index(emb, path, cents, dim=DIM, seed=7,
+                              mode="overwrite")
+    postings, loaded_cents, loaded_meta = IDX.load_ivf_index(
+        spark, path, dim=DIM, n_centroids=4, seed=7
+    )
+    assert loaded_meta == meta
+    assert loaded_cents == sorted(cents)
+    for nprobe in (1, 2):
+        got = sorted(map(tuple, IDX.probe_ivf_index(
+            postings, loaded_cents, loaded_meta, queries, k=3, nprobe=nprobe
+        ).collect()))
+        want = sorted(map(tuple, SIM.topk_cosine_ivf(
+            emb, queries, cents, k=3, nprobe=nprobe
+        ).collect()))
+        assert got == want and got
+
+
+def test_ivf_index_incremental_append(spark):
+    """Half-then-append probes identically to a single-shot build;
+    the delta is assigned under the artifact's OWN stored quantizer;
+    epoch bumps; appending to a missing artifact fails loudly."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+
+    grown, full = _tmp("ivf_grow"), _tmp("ivf_full")
+    IDX.save_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), grown, cents,
+                       dim=DIM, mode="overwrite")
+    meta1 = IDX.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), grown)
+    assert meta1["epoch"] == 1
+    IDX.save_ivf_index(emb, full, cents, dim=DIM, mode="overwrite")
+
+    gp, gc, gm = IDX.load_ivf_index(spark, grown)
+    fp, fc, fm = IDX.load_ivf_index(spark, full)
+    got = sorted(map(tuple, IDX.probe_ivf_index(gp, gc, gm, queries, k=3).collect()))
+    want = sorted(map(tuple, IDX.probe_ivf_index(fp, fc, fm, queries, k=3).collect()))
+    assert got == want and got
+
+    with pytest.raises(ValueError, match="no readable index metadata"):
+        IDX.append_ivf_index(emb, _tmp("ivf_nowhere"))
+
+
+def test_ivf_index_drift_guard(spark):
+    """dim / n_centroids / seed drift raise descriptive errors; the
+    LSH loader refuses an IVF-postings artifact and vice versa."""
+    emb = load_table(spark, SF_DIR, "embeddings").limit(50)
+    cents = SIM.fit_centroids(emb, n_centroids=2, seed=3, max_iter=3)
+    path = _tmp("ivf_drift")
+    IDX.save_ivf_index(emb, path, cents, dim=DIM, seed=3, mode="overwrite")
+    with pytest.raises(ValueError, match="dim: expected 128"):
+        IDX.load_ivf_index(spark, path, dim=128)
+    with pytest.raises(ValueError, match="n_centroids"):
+        IDX.load_ivf_index(spark, path, n_centroids=8)
+    with pytest.raises(ValueError, match="seed"):
+        IDX.load_ivf_index(spark, path, seed=42)
+    with pytest.raises(ValueError, match="kind"):
+        IDX.load_lsh_index(spark, path)
+    with pytest.raises(ValueError, match="kind"):
+        IDX.load_centroids(spark, path)
+    # accepting the stored values works
+    _, _, meta = IDX.load_ivf_index(spark, path)
+    assert (meta["dim"], meta["n_centroids"], meta["seed"]) == (DIM, 2, 3)
+    # ragged centroids refused at save time
+    with pytest.raises(ValueError, match="wrong length"):
+        IDX.save_ivf_index(emb, _tmp("ivf_bad"), [(0, [1.0])], dim=DIM,
+                           mode="overwrite")

@@ -457,3 +457,34 @@ def test_persisted_index_probe_plan_shape(spark):
     assert schemas, "no ReadSchema in plan"
     for col in ("id:", "vec:", "norm:", "table_id:", "sig:"):
         assert col in schemas, (col, schemas)
+
+
+def test_persisted_ivf_probe_plan_shape(spark):
+    """The loaded-IVF probe must be a BroadcastHashJoin on
+    centroid_id with the |Q|-sized assigned-query side broadcast —
+    the corpus-sized postings relation never shuffles, never crosses
+    — and the postings scan reads only the probe's four columns."""
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=3)
+    path = os.path.join(
+        tempfile.gettempdir(), f"workhop2_idx_{os.getpid()}", "ivf_planshape"
+    )
+    IDX.save_ivf_index(emb, path, cents, dim=64, mode="overwrite")
+    postings, cs, meta = IDX.load_ivf_index(spark, path)
+    probe = IDX.probe_ivf_index(
+        postings, cs, meta, emb.filter(F.col("vec_id") % 100 == 0), k=3, nprobe=2
+    )
+    plan = plan_of(probe)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    schemas = " ".join(re.findall(r"ReadSchema: (.*)", plan))
+    assert schemas, "no ReadSchema in plan"
+    for col in ("id:", "vec:", "norm:", "centroid_id:"):
+        assert col in schemas, (col, schemas)

@@ -20,6 +20,13 @@ or object stores:
 * ``save_centroids`` / ``load_centroids`` — the trained IVF coarse
   quantizer (operators/similarity.py::fit_centroids), k rows of
   (centroid_id, vector).
+* ``save_ivf_index`` / ``append_ivf_index`` / ``load_ivf_index`` /
+  ``probe_ivf_index`` — the full IVF index: posting lists (one row
+  per vector: id, vector, norm, centroid_id, clustered by cell) plus
+  the quantizer that assigned them, as one self-contained artifact —
+  postings are only meaningful under their own centroids, so the two
+  travel together and a probe can never mix them with a drifted
+  quantizer.
 
 Every artifact carries a metadata record (kind, dim, planes, tables,
 sig_kernel / seed, format version) written as a one-row JSON dataset
@@ -40,7 +47,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from workhop2_etl_spark.operators.similarity import (
+    _ivf_probe,
     _multitable_probe,
+    ivf_assign,
     l2_norm,
     with_multitable_signatures,
     with_multitable_signatures_blas,
@@ -50,6 +59,7 @@ FORMAT_VERSION = 1
 
 _LSH_KIND = "multitable-hyperplane-lsh"
 _IVF_KIND = "ivf-centroids"
+_IVF_POSTINGS_KIND = "ivf-postings"
 
 _META_SCHEMA = (
     "kind string, version int, dim int, num_planes int, num_tables int,"
@@ -307,14 +317,7 @@ def save_centroids(
     table sized, one parquet file). ``seed`` records the training
     seed so a probe pipeline pinned to a seed can refuse a quantizer
     trained under another one."""
-    bad = [cid for cid, vec in centroids if len(vec) != dim]
-    if bad:
-        raise ValueError(
-            f"centroids {bad} have vectors of the wrong length for dim={dim}"
-        )
-    spark.createDataFrame(
-        centroids, "centroid_id int, centroid array<double>"
-    ).coalesce(1).write.mode(mode).parquet(f"{path}/index")
+    _write_centroid_rows(spark, centroids, dim, f"{path}/index", mode)
     meta = {
         "kind": _IVF_KIND,
         "version": FORMAT_VERSION,
@@ -338,10 +341,33 @@ def load_centroids(
     ragged vectors)."""
     meta = _read_meta(spark, path, _IVF_KIND)
     _check_drift(path, meta, {"dim": dim, "seed": seed})
-    rows = spark.read.parquet(f"{path}/index").collect()
+    return _read_centroid_rows(spark, f"{path}/index", meta), meta
+
+
+def _write_centroid_rows(
+    spark: SparkSession,
+    centroids: list[tuple[int, list[float]]],
+    dim: int,
+    data_path: str,
+    mode: str,
+) -> None:
+    bad = [cid for cid, vec in centroids if len(vec) != dim]
+    if bad:
+        raise ValueError(
+            f"centroids {bad} have vectors of the wrong length for dim={dim}"
+        )
+    spark.createDataFrame(
+        centroids, "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode(mode).parquet(data_path)
+
+
+def _read_centroid_rows(
+    spark: SparkSession, data_path: str, meta: dict
+) -> list[tuple[int, list[float]]]:
+    rows = spark.read.parquet(data_path).collect()
     if len(rows) != meta["n_centroids"]:
         raise ValueError(
-            f"centroid artifact at {path} has {len(rows)} rows, metadata "
+            f"centroid artifact at {data_path} has {len(rows)} rows, metadata "
             f"says {meta['n_centroids']} — partial or corrupt write"
         )
     out = sorted(
@@ -350,10 +376,159 @@ def load_centroids(
     ragged = [cid for cid, vec in out if len(vec) != meta["dim"]]
     if ragged:
         raise ValueError(
-            f"centroid artifact at {path}: centroids {ragged} have vectors "
+            f"centroid artifact at {data_path}: centroids {ragged} have vectors "
             f"shorter/longer than dim={meta['dim']}"
         )
-    return out, meta
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF postings index (coarse quantizer + assigned corpus, one artifact)
+# ---------------------------------------------------------------------------
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int | None = None,
+    mode: str = "error",
+) -> dict:
+    """Assign the corpus under ``centroids`` and persist the full IVF
+    index — posting lists AND the quantizer — as ONE artifact.
+
+    ``save_centroids`` persists only the trained quantizer; every
+    later session still re-assigns the whole corpus per run (a full
+    scan plus a k-way argmin per row). At 100 TB the assignment IS
+    the expensive half, so the production posture (FAISS IVF on disk)
+    stores the posting lists: one row per vector — id, vector, its
+    L2 norm, centroid_id — clustered by centroid_id so a probe scans
+    only the probed cells (parquet min/max stats prune at the scan).
+    The quantizer rides inside the artifact because postings are only
+    meaningful under the centroids that assigned them; a probe can
+    never pair them with a drifted quantizer.
+
+    Returns the metadata dict it wrote."""
+    spark = corpus.sparkSession
+    _write_ivf_postings(corpus, path, centroids, id_col, vec_col, mode)
+    _write_centroid_rows(spark, centroids, dim, f"{path}/centroids", mode)
+    meta = {
+        "kind": _IVF_POSTINGS_KIND,
+        "version": FORMAT_VERSION,
+        "dim": dim,
+        "n_centroids": len(centroids),
+        "id_col": id_col,
+        "epoch": 0,
+    }
+    if seed is not None:
+        meta["seed"] = seed
+    _write_meta(spark, path, meta, mode)
+    return meta
+
+
+def _write_ivf_postings(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    mode: str,
+) -> None:
+    assigned = ivf_assign(
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        centroids,
+        id_col="id",
+        vec_col="vec",
+    ).withColumn("norm", l2_norm(F.col("vec")))
+    (
+        assigned.repartition("centroid_id")
+        .sortWithinPartitions("centroid_id")
+        .write.mode(mode)
+        .parquet(f"{path}/index")
+    )
+
+
+def append_ivf_index(
+    corpus_delta: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+) -> dict:
+    """Grow an existing IVF index with newly-arrived corpus rows,
+    assigned under the artifact's OWN stored quantizer (the caller
+    cannot accidentally mix assignments from drifted centroids).
+    Parquet-append + metadata epoch bump; id discipline and the
+    single-writer contract are as ``append_lsh_index``."""
+    spark = corpus_delta.sparkSession
+    meta = _read_meta(spark, path, _IVF_POSTINGS_KIND)
+    centroids = _read_centroid_rows(spark, f"{path}/centroids", meta)
+    _write_ivf_postings(
+        corpus_delta, path, centroids, id_col or meta["id_col"], vec_col, "append"
+    )
+    meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
+    _write_meta(spark, path, meta, "overwrite")
+    return meta
+
+
+def load_ivf_index(
+    spark: SparkSession,
+    path: str,
+    dim: int | None = None,
+    n_centroids: int | None = None,
+    seed: int | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[float]]], dict]:
+    """(postings relation, centroids, metadata) from ``path``; raises
+    a descriptive ``ValueError`` on dim / n_centroids / seed drift or
+    a corrupt quantizer (row count != n_centroids, ragged vectors)."""
+    meta = _read_meta(spark, path, _IVF_POSTINGS_KIND)
+    _check_drift(
+        path, meta, {"dim": dim, "n_centroids": n_centroids, "seed": seed}
+    )
+    centroids = _read_centroid_rows(spark, f"{path}/centroids", meta)
+    return spark.read.parquet(f"{path}/index"), centroids, meta
+
+
+def probe_ivf_index(
+    postings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    meta: dict,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-k cosine neighbors from a LOADED IVF index — identical
+    results to ``topk_cosine_ivf`` over the original corpus with the
+    same centroids (parquet round-trips doubles exactly; the pytest
+    twin asserts row equality). Only the |Q| query vectors are
+    assigned here (``nprobe`` is the recall knob, as in-session); the
+    corpus side is the postings relation as loaded — never
+    re-assigned, never re-normed."""
+    if int(meta["dim"]) and centroids and len(centroids[0][1]) != int(meta["dim"]):
+        raise ValueError(
+            f"centroids disagree with index metadata dim={meta['dim']}"
+        )
+    c = postings.select(
+        F.col("id").alias("neighbor_id"),
+        F.col("vec").alias("__cvec"),
+        F.col("centroid_id"),
+        F.col("norm").alias("__cn"),
+    )
+    q = ivf_assign(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        ),
+        centroids,
+        id_col="query_id",
+        vec_col="__qvec",
+        nprobe=nprobe,
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
+    return _ivf_probe(c, q, k=k, round_digits=round_digits)
 
 
 __all__ = [
@@ -364,4 +539,8 @@ __all__ = [
     "probe_lsh_index",
     "save_centroids",
     "load_centroids",
+    "save_ivf_index",
+    "append_ivf_index",
+    "load_ivf_index",
+    "probe_ivf_index",
 ]

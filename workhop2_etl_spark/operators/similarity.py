@@ -256,14 +256,23 @@ def topk_cosine_ivf(
         F.col(vec_col).alias("__cvec"),
         F.col("centroid_id"),
     ).withColumn("__cn", l2_norm(F.col("__cvec")))
-    q = F.broadcast(
-        ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec"),
-            F.col("centroid_id"),
-        ).withColumn("__qn", l2_norm(F.col("__qvec")))
-    )
-    scored = c.join(q, ["centroid_id"]).filter(
+    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("centroid_id"),
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
+    return _ivf_probe(c, q, k=k, round_digits=round_digits)
+
+
+def _ivf_probe(c: DataFrame, q: DataFrame, k: int, round_digits: int) -> DataFrame:
+    """The IVF search itself, over already-assigned sides: corpus
+    ``c`` = (neighbor_id, __cvec, centroid_id, __cn — one cell per
+    vector), queries ``q`` = (query_id, __qvec, centroid_id, __qn —
+    one row per probed cell). Shared verbatim by ``topk_cosine_ivf``
+    (in-session assignment) and ``index_store.probe_ivf_index``
+    (postings loaded from parquet), so a persisted index probes
+    row-identically to an in-session one."""
+    scored = c.join(F.broadcast(q), ["centroid_id"]).filter(
         F.col("query_id") != F.col("neighbor_id")
     ).select(
         "query_id",

@@ -491,6 +491,79 @@ def v9_topk_lsh_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v10: the persisted IVF-POSTINGS lifecycle, incremental half
+# included — build the index on the even-id half of the corpus,
+# APPEND the odd-id half under the artifact's own stored quantizer,
+# load, and probe the loaded postings at nprobe=2. The oracle knows
+# nothing about persistence or the two-batch build: it recomputes
+# single-shot IVF assignment + within-cell search over the WHOLE
+# embeddings table (v7's construction, distinct query set), so a
+# green verdict proves build ∪ append is exactly the single-shot
+# index — vectors, norms, cell assignments, and the self-contained
+# quantizer all round-trip losslessly. This is the 100 TB ingest
+# posture: assign-once per batch, probe-many, never re-assign the
+# corpus.
+# ---------------------------------------------------------------------------
+@query(
+    "v10_topk_ivf_persisted_index",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cid FROM scored_c WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid
+          FROM scored_c WHERE rn <= {NPROBE} AND vec_id % 50 = 0),
+    c2 AS (SELECT vec_id AS neighbor_id, v AS cv, cid FROM cells),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM q JOIN c2 USING (cid)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v10_topk_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.suite import io_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    path = io_dir("v10_ivf_index")
+    IDX.save_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, centroids, dim=DIM,
+        mode="overwrite",
+    )
+    IDX.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    postings, cents, meta = IDX.load_ivf_index(
+        spark, path, dim=DIM, n_centroids=N_CENTROIDS
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return IDX.probe_ivf_index(
+        postings, cents, meta, queries, k=K, nprobe=NPROBE
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # d9: semantic dedup (SemDeDup-style) — cluster embeddings into IVF
 # cells (the same deterministic modulo-seed centroid set as v5; a
 # production run swaps in operators/similarity.py::fit_centroids),
