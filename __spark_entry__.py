@@ -35,24 +35,29 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # the r07 verdict's ask #1 verbatim (rotate the entire 44-query
 # r04-latest cohort — the whole remaining staleness tail).
 # Round-9 window composition (exactly 50):
-# (a) 2 never-driver-verified queries: v9_topk_lsh_persisted_index
+# (a) 3 never-driver-verified queries: v9_topk_lsh_persisted_index
 #     (NEW this round — the persisted ANN index lifecycle: BLAS-sign
 #     → save parquet+metadata → load with drift guards → probe the
-#     loaded relation; r08 verdict ask #4) and
+#     loaded relation; r08 verdict ask #4),
 #     v10_topk_ivf_persisted_index (NEW this round — the persisted
 #     IVF-POSTINGS lifecycle including the incremental half: build on
 #     the even-id corpus, append the odd-id half under the artifact's
 #     own stored quantizer, load, probe at nprobe=2; the oracle
 #     recomputes single-shot IVF over the whole table, so green
-#     proves build ∪ append ≡ single-shot);
-# (b) 5 queries whose kernel changed THIS round, so their old greens
+#     proves build ∪ append ≡ single-shot), and
+#     v11_ivf_index_health (NEW this round — the observability half:
+#     build → append → load → ivf_index_stats one-row skew report;
+#     the oracle recomputes the cell populations from single-shot SQL
+#     assignment, so green also re-proves build ∪ append lost no
+#     rows);
+# (b) 4 queries whose kernel changed THIS round, so their old greens
 #     pre-date the code under them: v8 (topk_cosine_lsh_multitable's
 #     probe now routes through the extracted _multitable_probe shared
 #     with the index store), m10 (JPEG entropy scan skips T.81 FF
 #     fill bytes, the decode tier is pinned via allow_pil=False, and
 #     the feature memo keys on md5 digests — r08 ADVICE #2/#3/#4),
-#     m8/m9 (png_decode grew the truncated-IHDR guard the fuzz test
-#     caught, and the same memo-key change sits under their feature
+#     m8 (png_decode grew the truncated-IHDR guard the fuzz test
+#     caught, and the same memo-key change sits under its feature
 #     kernel), f6 (the offset path gained the TIMESTAMP_NTZ domain
 #     guard the r09 adversarial pass found — year-0/year-10000
 #     instants now coerce to NULL instead of crashing at
@@ -85,20 +90,23 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # v5 drives it in-session and v10 drives it from the loaded
 # postings, both at the same centroid construction — v7's nprobe=2
 # path is v10's exact probe configuration),
-# m1–m5/m7 → m8/m9/m10 (same imagecodec/multimodal kernels; their
-# entry points — meta probe, resize, GIF walk — are untouched
+# m1–m5/m7/m9 → m8+m10 (same imagecodec/multimodal kernels; their
+# entry points — meta probe, resize, GIF walk, and m9's pipeline
+# composition of m8+m10's exact feature kernel — are untouched
 # functions, and the codec fuzz pytest covers all three container
-# walkers), plus the r06/r07/r08 cohorts whose greens are ≤3 rounds
-# old and archived in VERIFYLOCAL_r09.jsonl.
+# walkers; m9 yielded its r09 slot to the never-verified v11 and
+# holds a fresh local green in VERIFYLOCAL_r09.jsonl), plus the
+# r06/r07/r08 cohorts whose greens are ≤3 rounds old and archived
+# in VERIFYLOCAL_r09.jsonl.
 _PRIORITY = [
     # (a) never driver-verified
     "v9_topk_lsh_persisted_index",
     "v10_topk_ivf_persisted_index",
+    "v11_ivf_index_health",
     # (b) kernel changed this round
     "v8_topk_cosine_lsh_multitable",
     "m10_real_jpeg_features",
     "m8_real_image_features",
-    "m9_multimodal_pipeline",
     "f6_timestamp_coerce",
     # (c) the full r05-latest tail, staleness-report order
     "a12_weighted_median",

@@ -112,6 +112,7 @@ HEADLINE = [
     # (table_id, sig) repartition or the probe stops broadcasting)
     "v9_topk_lsh_persisted_index",
     "v10_topk_ivf_persisted_index",
+    "v11_ivf_index_health",
 ]
 
 

@@ -186,6 +186,99 @@ def test_ivf_index_incremental_append(spark):
         IDX.append_ivf_index(emb, _tmp("ivf_nowhere"))
 
 
+def test_compact_index_collapses_files_probe_identical(spark):
+    """Many small appends pile up parquet files; compact_index
+    rewrites either index kind back into few cluster-sorted files
+    with probes row-identical before and after, and bumps the epoch.
+    Compacting a centroids-only artifact (or nothing) fails loudly."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+
+    for kind in ("lsh", "ivf"):
+        path = _tmp(f"compact_{kind}")
+        base = emb.filter(F.col("vec_id") % 4 == 0)
+        if kind == "lsh":
+            IDX.save_lsh_index(base, path, dim=DIM, num_planes=6,
+                               num_tables=8, mode="overwrite")
+            for r in (1, 2, 3):
+                IDX.append_lsh_index(emb.filter(F.col("vec_id") % 4 == r), path)
+            load = lambda: IDX.load_lsh_index(spark, path)  # noqa: E731
+            probe = lambda idx, m: IDX.probe_lsh_index(  # noqa: E731
+                idx[0], m, queries, k=3)
+        else:
+            IDX.save_ivf_index(base, path, cents, dim=DIM, mode="overwrite")
+            for r in (1, 2, 3):
+                IDX.append_ivf_index(emb.filter(F.col("vec_id") % 4 == r), path)
+            load = lambda: IDX.load_ivf_index(spark, path)  # noqa: E731
+            probe = lambda idx, m: IDX.probe_ivf_index(  # noqa: E731
+                idx[0], idx[1], m, queries, k=3, nprobe=2)
+
+        loaded = load()
+        before_meta = loaded[-1]
+        before = sorted(map(tuple, probe(loaded, before_meta).collect()))
+
+        stats = IDX.compact_index(spark, path, num_partitions=2)
+        assert stats["files_after"] <= 2 < stats["files_before"]
+        assert stats["epoch"] == before_meta["epoch"] + 1
+
+        loaded = load()
+        after = sorted(map(tuple, probe(loaded, loaded[-1]).collect()))
+        assert after == before and after
+        # staging dir cleaned up
+        assert not os.path.exists(f"{path}/index.compacting")
+
+    # a centroids-only artifact has nothing to compact
+    cpath = _tmp("compact_cents")
+    IDX.save_centroids(spark, cents, cpath, dim=DIM, mode="overwrite")
+    with pytest.raises(ValueError, match="only"):
+        IDX.compact_index(spark, cpath)
+    with pytest.raises(ValueError, match="no readable index metadata"):
+        IDX.compact_index(spark, _tmp("compact_nowhere"))
+
+
+def test_index_stats_reports(spark):
+    """ivf_index_stats / lsh_index_stats one-row health reports match
+    an independent recompute from the loaded relations themselves —
+    the retrain-signal numbers (imbalance, empty cells, expected
+    probe candidates) must be exactly the documented formulas."""
+    from collections import Counter
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    n = emb.count()
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+
+    ipath = _tmp("stats_ivf")
+    IDX.save_ivf_index(emb, ipath, cents, dim=DIM, mode="overwrite")
+    postings, _, imeta = IDX.load_ivf_index(spark, ipath)
+    row = IDX.ivf_index_stats(postings, imeta).collect()[0]
+    counts = Counter(r.centroid_id for r in postings.select("centroid_id").collect())
+    assert row.n_vectors == n == sum(counts.values())
+    assert row.cells_total == 4
+    assert row.cells_used == len(counts)
+    assert row.empty_cells == 4 - len(counts)
+    assert row.max_cell == max(counts.values())
+    assert row.mean_cell == round(n / len(counts), 2)
+    assert row.imbalance == round(max(counts.values()) / (n / 4), 2)
+
+    lpath = _tmp("stats_lsh")
+    IDX.save_lsh_index(emb, lpath, dim=DIM, num_planes=4, num_tables=2,
+                       mode="overwrite")
+    index, lmeta = IDX.load_lsh_index(spark, lpath)
+    row = IDX.lsh_index_stats(index, lmeta).collect()[0]
+    buckets = Counter(
+        (r.table_id, r.sig) for r in index.select("table_id", "sig").collect()
+    )
+    assert row.n_vectors == n
+    assert row.tables == 2
+    assert row.buckets_used == len(buckets)
+    assert row.max_bucket == max(buckets.values())
+    assert row.mean_bucket == round(sum(buckets.values()) / len(buckets), 2)
+    assert row.expected_candidates == round(
+        sum(v * v for v in buckets.values()) / n, 2
+    )
+
+
 def test_ivf_index_drift_guard(spark):
     """dim / n_centroids / seed drift raise descriptive errors; the
     LSH loader refuses an IVF-postings artifact and vice versa."""

@@ -1544,3 +1544,94 @@ def test_multitable_signatures_blas_drops_dirty_rows(spark):
         .collect()
     }
     assert got == expr
+
+
+def test_ivf_assign_blas_identical_to_expression(spark):
+    """The Arrow/BLAS assignment kernel emits row-for-row IDENTICAL
+    (id, centroid_id) assignments to the expression argmin — at
+    nprobe=1 and at the nprobe=2 recall knob, and through the zero-
+    vector / NaN-vector / zero-norm-centroid edges where the two
+    engines' tie and NaN orderings could diverge — and topk_cosine_ivf
+    is bit-identical under either assign_kernel."""
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = SIM.fit_centroids(emb, n_centroids=8, seed=7, max_iter=5)
+
+    for nprobe in (1, 2):
+        expr = sorted(
+            (r.vec_id, r.centroid_id)
+            for r in SIM.ivf_assign(emb, cents, nprobe=nprobe).collect()
+        )
+        blas = sorted(
+            (r.vec_id, r.centroid_id)
+            for r in SIM.ivf_assign_blas(emb, cents, nprobe=nprobe).collect()
+        )
+        assert expr == blas
+        assert len(expr) == emb.count() * nprobe
+
+    # edge vectors: zero norm (denominator-0 → score 0.0 everywhere →
+    # smallest-cid tie) and a NaN element (all-NaN scores — Spark's
+    # NaN ordering ties every centroid → smallest cids)
+    dim = len(emb.select("embedding").first()[0])
+    edgy = spark.createDataFrame(
+        [
+            (1, [0.0] * dim),
+            (2, [float("nan")] + [1.0] * (dim - 1)),
+            (3, [1.0] * dim),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    # include a zero-norm CENTROID (denominator-0 column → 0.0)
+    ecents = sorted(cents)[:3] + [(99, [0.0] * dim)]
+    for nprobe in (1, 2):
+        expr = sorted(
+            (r.vec_id, r.centroid_id)
+            for r in SIM.ivf_assign(edgy, ecents, nprobe=nprobe).collect()
+        )
+        blas = sorted(
+            (r.vec_id, r.centroid_id)
+            for r in SIM.ivf_assign_blas(edgy, ecents, nprobe=nprobe).collect()
+        )
+        assert expr == blas
+
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    a = SIM.topk_cosine_ivf(emb, queries, cents, k=3, nprobe=2).collect()
+    b = SIM.topk_cosine_ivf(
+        emb, queries, cents, k=3, nprobe=2, assign_kernel="blas"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="assign_kernel"):
+        SIM.topk_cosine_ivf(emb, queries, cents, assign_kernel="numpy")
+
+
+def test_ivf_assign_blas_drops_dirty_rows(spark):
+    """Dirty-row contract of the BLAS assignment kernel (same as the
+    signature kernel's): NULL and wrong-length embeddings are DROPPED
+    from the index instead of crashing the batch or polluting the
+    smallest cell; clean rows in the same batch assign identically to
+    the expression twin."""
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, -1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.5, -0.25, 2.0]),
+            (2, None),  # NULL vector
+            (3, [1.0, 2.0]),  # ragged (wrong length)
+            (4, [-1.0, 0.5, 3.0, 0.125]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = SIM.ivf_assign_blas(df, cents, nprobe=2).collect()
+    assert {r.vec_id for r in rows} == {1, 4}
+    got = sorted((r.vec_id, r.centroid_id) for r in rows)
+    clean = df.filter(F.col("vec_id").isin(1, 4))
+    expr = sorted(
+        (r.vec_id, r.centroid_id)
+        for r in SIM.ivf_assign(clean, cents, nprobe=2).collect()
+    )
+    assert got == expr

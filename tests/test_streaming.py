@@ -198,7 +198,7 @@ def test_stream_left_outer_interval_join_emits_nulls_after_watermark(spark):
         [ev(102, 998, 3000, "view"), ev(103, 998, 3005, "click")],
     ]
     for b in batches:
-        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(b, schema).repartition(1).write.mode("append").parquet(src)
     parts = _parts_in_batch_order(src)
     assert len(parts) == 3
     for i, p in enumerate(parts):
@@ -296,7 +296,7 @@ def test_late_rows_dropped_by_watermark_accounting(spark):
         [ev(100, 12), ev(101, 150)],
     ]
     for b in batches:
-        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(b, schema).repartition(1).write.mode("append").parquet(src)
     parts = _parts_in_batch_order(src)
     assert len(parts) == 3
     # deterministic micro-batch order: file mtimes far apart
@@ -474,7 +474,7 @@ def test_stream_full_outer_interval_join_emits_both_null_sides(spark):
         [ev(102, 998, 3000, "view"), ev(103, 998, 3005, "click")],
     ]
     for b in batches:
-        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame(b, schema).repartition(1).write.mode("append").parquet(src)
     parts = _parts_in_batch_order(src)
     assert len(parts) == 3
     for i, p in enumerate(parts):

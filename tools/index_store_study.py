@@ -1,18 +1,22 @@
 """Measure the persisted-index payoff: probe-only vs rebuild-per-run.
 
-The in-session multi-table LSH operator re-signs the whole corpus on
-every run; the index store signs once, writes parquet, and later
-sessions only read + probe. This study times the three phases on the
-seeded scale fixture so PERF.md carries the measured amortization
-instead of an argument:
+The in-session ANN operators redo the whole corpus-side index work on
+every run (multi-table LSH re-signs it; IVF re-assigns it); the index
+store does that work once, writes parquet, and later sessions only
+read + probe. This study times the three phases on the seeded scale
+fixture so PERF.md carries the measured amortization instead of an
+argument:
 
-  build_save   — sign (BLAS kernel) + clustered parquet write
+  build_save   — corpus-side index work + clustered parquet write
+                 (LSH: BLAS signing; IVF: centroid assignment)
   load_probe   — read the artifact + broadcast probe (the steady
                  state of a build-once / probe-many deployment)
-  insession    — topk_cosine_lsh_multitable end to end (sign + probe
-                 every run — what a session without the artifact pays)
+  insession    — the in-session operator end to end (index work +
+                 probe every run — what a session without the
+                 artifact pays)
 
-Usage: python tools/index_store_study.py [n_rows ...]   (default 100000)
+Usage: python tools/index_store_study.py [--ivf] [n_rows ...]
+       (default: LSH family, 100000 rows)
 Prints one JSON line per corpus size.
 """
 
@@ -30,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 DIM = 64
 PLANES = 6
 TABLES = 8
+N_CENTROIDS = 64
+NPROBE = 2
 K = 5
 N_QUERIES = 64
 
@@ -39,10 +45,16 @@ def main() -> None:
 
     from tools import scale_fixture as FX
     from workhop2_etl_spark.operators import index_store as IDX
-    from workhop2_etl_spark.operators.similarity import topk_cosine_lsh_multitable
+    from workhop2_etl_spark.operators.similarity import (
+        fit_centroids,
+        topk_cosine_ivf,
+        topk_cosine_lsh_multitable,
+    )
     from workhop2_etl_spark.session import get_spark
 
-    sizes = [int(a) for a in sys.argv[1:]] or [100_000]
+    args = [a for a in sys.argv[1:] if a != "--ivf"]
+    family = "ivf" if "--ivf" in sys.argv[1:] else "lsh"
+    sizes = [int(a) for a in args] or [100_000]
     spark = get_spark("index_store_study")
     spark.range(1000).count()  # absorb JVM start
 
@@ -50,36 +62,60 @@ def main() -> None:
         emb = spark.read.parquet(FX.ensure_embeddings(n, DIM))
         queries = emb.filter(F.col("vec_id") < N_QUERIES)
         path = os.path.join(tempfile.gettempdir(), f"idx_study_{os.getpid()}_{n}")
+        rec = {"family": family, "n": n, "dim": DIM, "k": K,
+               "n_queries": N_QUERIES}
 
-        t0 = time.time()
-        IDX.save_lsh_index(
-            emb, path, dim=DIM, num_planes=PLANES, num_tables=TABLES,
-            sig_kernel="blas", mode="overwrite",
-        )
-        build_save = round(time.time() - t0, 2)
+        if family == "lsh":
+            rec.update(planes=PLANES, tables=TABLES)
+            t0 = time.time()
+            IDX.save_lsh_index(
+                emb, path, dim=DIM, num_planes=PLANES, num_tables=TABLES,
+                sig_kernel="blas", mode="overwrite",
+            )
+            build_save = round(time.time() - t0, 2)
 
-        t0 = time.time()
-        index, meta = IDX.load_lsh_index(spark, path)
-        rows_loaded = IDX.probe_lsh_index(index, meta, queries, k=K).collect()
-        load_probe = round(time.time() - t0, 2)
+            t0 = time.time()
+            index, meta = IDX.load_lsh_index(spark, path)
+            rows_loaded = IDX.probe_lsh_index(index, meta, queries, k=K).collect()
+            load_probe = round(time.time() - t0, 2)
 
-        t0 = time.time()
-        rows_insession = topk_cosine_lsh_multitable(
-            emb, queries, dim=DIM, k=K, num_planes=PLANES,
-            num_tables=TABLES, sig_kernel="blas",
-        ).collect()
-        insession = round(time.time() - t0, 2)
+            t0 = time.time()
+            rows_insession = topk_cosine_lsh_multitable(
+                emb, queries, dim=DIM, k=K, num_planes=PLANES,
+                num_tables=TABLES, sig_kernel="blas",
+            ).collect()
+            insession = round(time.time() - t0, 2)
+        else:
+            rec.update(n_centroids=N_CENTROIDS, nprobe=NPROBE)
+            # quantizer training is one-off for BOTH paths; excluded
+            # from the phase timings the same way on each side
+            cents = fit_centroids(emb, n_centroids=N_CENTROIDS, seed=7)
+            t0 = time.time()
+            IDX.save_ivf_index(emb, path, cents, dim=DIM, mode="overwrite")
+            build_save = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            postings, cs, meta = IDX.load_ivf_index(spark, path)
+            rows_loaded = IDX.probe_ivf_index(
+                postings, cs, meta, queries, k=K, nprobe=NPROBE
+            ).collect()
+            load_probe = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            rows_insession = topk_cosine_ivf(
+                emb, queries, cents, k=K, nprobe=NPROBE, assign_kernel="blas"
+            ).collect()
+            insession = round(time.time() - t0, 2)
 
         assert sorted(map(tuple, rows_loaded)) == sorted(map(tuple, rows_insession))
         shutil.rmtree(path, ignore_errors=True)
-        print(json.dumps({
-            "n": n, "dim": DIM, "planes": PLANES, "tables": TABLES,
-            "k": K, "n_queries": N_QUERIES,
-            "build_save_sec": build_save,
-            "load_probe_sec": load_probe,
-            "insession_sec": insession,
-            "probe_speedup_vs_insession": round(insession / load_probe, 2),
-        }))
+        rec.update(
+            build_save_sec=build_save,
+            load_probe_sec=load_probe,
+            insession_sec=insession,
+            probe_speedup_vs_insession=round(insession / load_probe, 2),
+        )
+        print(json.dumps(rec))
 
 
 if __name__ == "__main__":

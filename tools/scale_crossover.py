@@ -209,7 +209,11 @@ def ann_crossover(spark: SparkSession, sizes: list[int]) -> list[dict]:
             emb, N_CENTROIDS, seed=7, max_iter=10,
             sample_fraction=min(1.0, 50_000 / n),
         )
-        ivf_index = ivf_assign(emb, cents).select(
+        # corpus-side assignment takes the BLAS kernel — the at-scale
+        # build path (identity pytest-proven; the expression twin ran
+        # 290s at just 20k rows, PERF.md round-9 note). Query-side
+        # stays expr: |Q| is bounded.
+        ivf_index = SIM.ivf_assign_blas(emb, cents).select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("__cvec"),
             "centroid_id",

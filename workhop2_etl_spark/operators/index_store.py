@@ -20,6 +20,10 @@ or object stores:
 * ``save_centroids`` / ``load_centroids`` — the trained IVF coarse
   quantizer (operators/similarity.py::fit_centroids), k rows of
   (centroid_id, vector).
+* ``compact_index`` — maintenance for either postings kind: rewrite
+  the append-accumulated small files back into the clustered layout
+  (the FAISS segment-merge / Delta OPTIMIZE role), row-identical
+  probes before and after.
 * ``save_ivf_index`` / ``append_ivf_index`` / ``load_ivf_index`` /
   ``probe_ivf_index`` — the full IVF index: posting lists (one row
   per vector: id, vector, norm, centroid_id, clustered by cell) plus
@@ -50,6 +54,7 @@ from workhop2_etl_spark.operators.similarity import (
     _ivf_probe,
     _multitable_probe,
     ivf_assign,
+    ivf_assign_blas,
     l2_norm,
     with_multitable_signatures,
     with_multitable_signatures_blas,
@@ -63,17 +68,22 @@ _IVF_POSTINGS_KIND = "ivf-postings"
 
 _META_SCHEMA = (
     "kind string, version int, dim int, num_planes int, num_tables int,"
-    " sig_kernel string, id_col string, seed long, n_centroids int,"
-    " plane_scheme string, epoch int"
+    " sig_kernel string, assign_kernel string, id_col string, seed long,"
+    " n_centroids int, plane_scheme string, epoch int"
 )
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict, mode: str) -> None:
     row = {f.split()[0]: None for f in _META_SCHEMA.split(",")}
     row.update(meta)
-    spark.createDataFrame([tuple(row.values())], _META_SCHEMA).coalesce(1).write.mode(
-        mode
-    ).json(f"{path}/meta")
+    # repartition(1), NOT coalesce(1): a local-list DataFrame
+    # parallelizes into defaultParallelism pickled slices, and
+    # coalesce makes ONE task evaluate all of them serially through
+    # Python workers (~5s measured for this one-row write);
+    # repartition computes the slices in parallel first (~0.5s)
+    spark.createDataFrame([tuple(row.values())], _META_SCHEMA).repartition(
+        1
+    ).write.mode(mode).json(f"{path}/meta")
 
 
 def _read_meta(spark: SparkSession, path: str, expect_kind: str) -> dict:
@@ -89,7 +99,7 @@ def _read_meta(spark: SparkSession, path: str, expect_kind: str) -> dict:
     # drop the shared-schema fields the other artifact kind doesn't
     # set, so load_*'s meta equals what save_* returned
     meta = {k: v for k, v in rows[0].asDict().items() if v is not None}
-    if meta["kind"] != expect_kind:
+    if expect_kind != "*" and meta["kind"] != expect_kind:
         raise ValueError(
             f"artifact at {path} is kind={meta['kind']!r}, expected "
             f"{expect_kind!r} — wrong index type for this loader"
@@ -358,7 +368,7 @@ def _write_centroid_rows(
         )
     spark.createDataFrame(
         centroids, "centroid_id int, centroid array<double>"
-    ).coalesce(1).write.mode(mode).parquet(data_path)
+    ).repartition(1).write.mode(mode).parquet(data_path)  # not coalesce — see _write_meta
 
 
 def _read_centroid_rows(
@@ -395,6 +405,7 @@ def save_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int | None = None,
+    assign_kernel: str = "blas",
     mode: str = "error",
 ) -> dict:
     """Assign the corpus under ``centroids`` and persist the full IVF
@@ -411,9 +422,17 @@ def save_ivf_index(
     meaningful under the centroids that assigned them; a probe can
     never pair them with a drifted quantizer.
 
+    ``assign_kernel`` defaults to the BLAS matmul assignment (the
+    at-scale build path — ivf_assign_blas docstring; the measured
+    expression assignment at 20k×64d×64c ran 290s); pass 'expr' for
+    the oracle-reproducible expression twin. Recorded in metadata so
+    appends default to the geometry the artifact was built with.
+
     Returns the metadata dict it wrote."""
     spark = corpus.sparkSession
-    _write_ivf_postings(corpus, path, centroids, id_col, vec_col, mode)
+    _write_ivf_postings(
+        corpus, path, centroids, id_col, vec_col, assign_kernel, mode
+    )
     _write_centroid_rows(spark, centroids, dim, f"{path}/centroids", mode)
     meta = {
         "kind": _IVF_POSTINGS_KIND,
@@ -421,6 +440,7 @@ def save_ivf_index(
         "dim": dim,
         "n_centroids": len(centroids),
         "id_col": id_col,
+        "assign_kernel": assign_kernel,
         "epoch": 0,
     }
     if seed is not None:
@@ -435,9 +455,15 @@ def _write_ivf_postings(
     centroids: list[tuple[int, list[float]]],
     id_col: str,
     vec_col: str,
+    assign_kernel: str,
     mode: str,
 ) -> None:
-    assigned = ivf_assign(
+    if assign_kernel not in ("expr", "blas"):
+        raise ValueError(
+            f"assign_kernel must be 'expr' or 'blas', got {assign_kernel!r}"
+        )
+    assign = ivf_assign if assign_kernel == "expr" else ivf_assign_blas
+    assigned = assign(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
         centroids,
         id_col="id",
@@ -456,17 +482,25 @@ def append_ivf_index(
     path: str,
     id_col: str | None = None,
     vec_col: str = "embedding",
+    assign_kernel: str | None = None,
 ) -> dict:
     """Grow an existing IVF index with newly-arrived corpus rows,
     assigned under the artifact's OWN stored quantizer (the caller
-    cannot accidentally mix assignments from drifted centroids).
+    cannot accidentally mix assignments from drifted centroids) with
+    its stored assignment kernel unless overridden.
     Parquet-append + metadata epoch bump; id discipline and the
     single-writer contract are as ``append_lsh_index``."""
     spark = corpus_delta.sparkSession
     meta = _read_meta(spark, path, _IVF_POSTINGS_KIND)
     centroids = _read_centroid_rows(spark, f"{path}/centroids", meta)
     _write_ivf_postings(
-        corpus_delta, path, centroids, id_col or meta["id_col"], vec_col, "append"
+        corpus_delta,
+        path,
+        centroids,
+        id_col or meta["id_col"],
+        vec_col,
+        assign_kernel or meta.get("assign_kernel", "expr"),
+        "append",
     )
     meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
     _write_meta(spark, path, meta, "overwrite")
@@ -489,6 +523,167 @@ def load_ivf_index(
     )
     centroids = _read_centroid_rows(spark, f"{path}/centroids", meta)
     return spark.read.parquet(f"{path}/index"), centroids, meta
+
+
+def ivf_index_stats(postings: DataFrame, meta: dict) -> DataFrame:
+    """One-row health report over an IVF postings relation — the
+    observability half of the append lifecycle. Appends assign under
+    the FROZEN quantizer, so as the data distribution drifts the cell
+    populations skew; ``imbalance`` (largest cell ÷ uniform share)
+    and ``empty_cells`` rising across epochs is the retrain-and-
+    rebuild signal, and ``max_cell`` bounds the worst probe's scan.
+    One shuffle (cell counts), dimension-sized aggregate — safe at
+    any corpus scale.
+
+    Columns: n_vectors, cells_total (from metadata — counts cells
+    the quantizer could assign, so empty cells are visible),
+    cells_used, empty_cells, max_cell, mean_cell (over USED cells,
+    2dp), imbalance (max_cell ÷ n_vectors/cells_total, 2dp)."""
+    total = int(meta["n_centroids"])
+    cells = postings.groupBy("centroid_id").agg(F.count("*").alias("__n"))
+    return (
+        cells.agg(
+            F.sum("__n").cast("long").alias("n_vectors"),
+            F.count("*").cast("long").alias("cells_used"),
+            F.max("__n").cast("long").alias("max_cell"),
+            F.round(F.avg("__n"), 2).alias("mean_cell"),
+        )
+        .withColumn("cells_total", F.lit(total).cast("long"))
+        .withColumn("empty_cells", (F.col("cells_total") - F.col("cells_used")))
+        .withColumn(
+            "imbalance",
+            F.round(F.col("max_cell") / (F.col("n_vectors") / F.col("cells_total")), 2),
+        )
+        .select(
+            "n_vectors", "cells_total", "cells_used", "empty_cells",
+            "max_cell", "mean_cell", "imbalance",
+        )
+    )
+
+
+def lsh_index_stats(index: DataFrame, meta: dict) -> DataFrame:
+    """One-row health report over a multi-table LSH index relation.
+    ``expected_candidates`` is the expected per-query candidate
+    volume for a query distributed like the corpus — Σ bucket² ÷
+    corpus size, summed over tables (a query lands in bucket b with
+    probability n_b/n and then scans n_b rows) — the number that
+    actually prices a probe; ``max_bucket`` bounds the worst one.
+    One shuffle (bucket counts), bucket-sized aggregate."""
+    n_tables = int(meta["num_tables"])
+    buckets = index.groupBy("table_id", "sig").agg(F.count("*").alias("__n"))
+    return (
+        buckets.agg(
+            (F.sum("__n") / n_tables).cast("long").alias("n_vectors"),
+            F.count("*").cast("long").alias("buckets_used"),
+            F.max("__n").cast("long").alias("max_bucket"),
+            F.round(F.avg("__n"), 2).alias("mean_bucket"),
+            F.round(
+                F.sum(F.col("__n") * F.col("__n"))
+                / (F.sum("__n") / n_tables),
+                2,
+            ).alias("expected_candidates"),
+        )
+        .withColumn("tables", F.lit(n_tables).cast("long"))
+        .select(
+            "n_vectors", "tables", "buckets_used", "max_bucket",
+            "mean_bucket", "expected_candidates",
+        )
+    )
+
+
+def compact_index(
+    spark: SparkSession,
+    path: str,
+    num_partitions: int | None = None,
+) -> dict:
+    """Rewrite an appended index back into its clustered layout —
+    the maintenance half of the append lifecycle (FAISS merges
+    segments; Delta/Iceberg call this OPTIMIZE/rewriteDataFiles).
+
+    Every ``append_*_index`` batch lands as its OWN parquet files,
+    clustered only within the batch: after many ingest epochs the
+    artifact is (a) a small-file pile — at 100 TB, thousands of
+    sub-row-group files per append schedule — and (b) no longer
+    bucket-contiguous ACROSS files, so a probe's (table_id, sig) /
+    centroid_id min-max pruning stops skipping whole files (each
+    small file spans fewer rows but EVERY file still holds every
+    bucket's epoch slice). Compaction re-shuffles the postings on
+    the artifact's own cluster keys (from metadata — works for both
+    index kinds) and rewrites them as ``num_partitions`` files
+    (default: current shuffle-partition setting), restoring the
+    freshly-built layout without touching row content: a probe
+    before and after compaction is row-identical (pytest-asserted).
+
+    Single-writer, stop-the-world by contract (same as append): the
+    rewrite stages into ``<path>/index.compacting`` first, so a crash
+    mid-compaction leaves the live ``<path>/index`` intact — only the
+    final overwrite-from-staged step replaces it; re-running
+    compaction heals a crash at that step. Readers must not hold the
+    path open across a compaction outside a transactional table
+    format. Bumps the metadata epoch; returns the metadata plus
+    ``files_before`` / ``files_after`` so callers and tests can see
+    the layout actually collapsed.
+    """
+    meta = _read_meta_any_kind(spark, path)
+    keys = (
+        ["table_id", "sig"] if meta["kind"] == _LSH_KIND else ["centroid_id"]
+    )
+    data, staging = f"{path}/index", f"{path}/index.compacting"
+    files_before = _count_part_files(spark, data)
+
+    df = spark.read.parquet(data)
+    reparted = (
+        df.repartition(num_partitions, *keys) if num_partitions
+        else df.repartition(*keys)
+    )
+    reparted.sortWithinPartitions(*keys).write.mode("overwrite").parquet(staging)
+    # the staged copy is complete and durable; now swap it in. The
+    # read-back sees only committed staged files (parquet commit
+    # protocol), so the overwrite never reads what it is deleting.
+    spark.read.parquet(staging).write.mode("overwrite").parquet(data)
+    _delete_dir(spark, staging)
+
+    meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
+    _write_meta(spark, path, meta, "overwrite")
+    return dict(
+        meta,
+        files_before=files_before,
+        files_after=_count_part_files(spark, data),
+    )
+
+
+def _read_meta_any_kind(spark: SparkSession, path: str) -> dict:
+    """Metadata of whichever index kind lives at ``path`` (compaction
+    is layout-only, so it serves both); refuses non-postings kinds —
+    a centroids-only artifact is one file and has nothing to
+    compact."""
+    meta = _read_meta(spark, path, expect_kind="*")
+    if meta["kind"] not in (_LSH_KIND, _IVF_POSTINGS_KIND):
+        raise ValueError(
+            f"artifact at {path} is kind={meta['kind']!r} — only "
+            f"{_LSH_KIND!r} and {_IVF_POSTINGS_KIND!r} indexes compact"
+        )
+    return meta
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _count_part_files(spark: SparkSession, path: str) -> int:
+    fs, hpath = _hadoop_fs(spark, path)
+    return sum(
+        1
+        for st in fs.listStatus(hpath)
+        if st.getPath().getName().startswith("part-")
+    )
+
+
+def _delete_dir(spark: SparkSession, path: str) -> None:
+    fs, hpath = _hadoop_fs(spark, path)
+    fs.delete(hpath, True)
 
 
 def probe_ivf_index(
@@ -543,4 +738,7 @@ __all__ = [
     "append_ivf_index",
     "load_ivf_index",
     "probe_ivf_index",
+    "compact_index",
+    "ivf_index_stats",
+    "lsh_index_stats",
 ]

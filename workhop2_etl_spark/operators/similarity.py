@@ -228,6 +228,100 @@ def ivf_assign(
     )
 
 
+def ivf_assign_blas(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Arrow/BLAS twin of ``ivf_assign`` — identical (id, vec,
+    centroid_id) rows, matmul formulation.
+
+    The expression variant's per-row cost is an interpreted
+    ``F.aggregate`` cosine fold per CENTROID (64 folds × dim element
+    lambdas at the suite's C=64) — the dominant cost of an IVF index
+    BUILD, which at 100 TB assigns the whole corpus (measured: the
+    in-session expression assignment at 20k×64d×64c ran 290s,
+    tools/index_store_study.py --ivf). Assignment is linear algebra:
+    one (batch × dim)·(dim × C) float64 matmul per Arrow batch, a
+    row-normalized divide, and a per-row top-``nprobe`` argsort.
+
+    Assignment identity: both kernels rank centroids by (cosine
+    desc, centroid_id asc) in float64; summation order differs
+    (sequential fold vs pairwise BLAS), so a pick could differ only
+    when two centroid cosines tie within last-ulp cancellation noise
+    — measure-zero for real embeddings; the pytest twin asserts
+    row-for-row equality on the fixture corpus including zero-norm,
+    NaN, and zero-norm-centroid edges (zero denominators score 0.0
+    and all-NaN rows fall to the smallest centroid ids, both exactly
+    as the expression's Spark-SQL NaN/struct ordering resolves them).
+
+    Dirty-row contract (same documented divergence as
+    ``with_multitable_signatures_blas``): NULL / wrong-length vectors
+    get a NULL assignment array and ``explode`` drops them — the
+    expression twin NULL-propagates their cosines to 0.0 ties and
+    files them under the smallest centroid id, polluting that cell
+    with rows that can never score. Dropping is the index-build
+    behavior you want: one dirty row must not fail (or skew) a
+    100 TB assignment job."""
+    if nprobe < 1 or nprobe > len(centroids):
+        raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    cents = sorted((int(cid), [float(x) for x in vec]) for cid, vec in centroids)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int32)
+    C = np.array([vec for _, vec in cents], dtype=np.float64)  # C × dim
+    cn = np.sqrt((C * C).sum(axis=1))
+    expect_dim, top = C.shape[1], nprobe
+
+    def _pick(V: "np.ndarray") -> list:
+        vn = np.sqrt((V * V).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = (V @ C.T) / (vn[:, None] * cn[None, :])
+        # expr semantics: denominator 0 → score 0.0 (cosine's
+        # zero-norm guard); an all-NaN row (NaN element in the
+        # vector) ties every centroid in Spark's NaN ordering and
+        # falls to the smallest cids — flatten both to 0.0 so the
+        # stable argsort below resolves them identically
+        cos[:, cn == 0] = 0.0
+        cos[(vn == 0) | np.isnan(vn), :] = 0.0
+        # stable sort on -cos: ties (and only ties) keep column
+        # order, and columns are cid-ascending — exactly the
+        # expression's (-cosine, cid) struct ordering
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :top]
+        return list(cids[idx])
+
+    def _assign_fn(v):
+        n = len(v)
+        if not n:
+            return pd.Series([], dtype=object)
+        mask = np.fromiter(
+            (x is not None and len(x) == expect_dim for x in v),
+            dtype=bool,
+            count=n,
+        )
+        if mask.all():
+            return pd.Series(_pick(np.array([list(x) for x in v], dtype=np.float64)))
+        out = np.full(n, None, dtype=object)
+        keep = np.flatnonzero(mask)
+        if len(keep):
+            out[keep] = _pick(
+                np.array([list(v.iloc[i]) for i in keep], dtype=np.float64)
+            )
+        return pd.Series(out)
+
+    _assign_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _assign = F.pandas_udf(ArrayType(IntegerType()))(_assign_fn)
+
+    return (
+        df.withColumn("__cids", _assign(F.col(vec_col)))
+        .select(F.col(id_col), F.col(vec_col), F.explode("__cids").alias("centroid_id"))
+    )
+
+
 def topk_cosine_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -237,6 +331,7 @@ def topk_cosine_ivf(
     vec_col: str = "embedding",
     round_digits: int = 6,
     nprobe: int = 1,
+    assign_kernel: str = "expr",
 ) -> DataFrame:
     """IVF ANN: exact cosine within the query's ``nprobe`` nearest
     cells (the recall knob IVF indexes are actually tuned with).
@@ -250,8 +345,19 @@ def topk_cosine_ivf(
     n×|Q| cross product. A (query, neighbor) pair matches in at most
     one cell (the neighbor lives in one cell; the probe set is
     distinct), so no dedup pass is needed.
+
+    ``assign_kernel``: ``'expr'`` (default — pure column expressions,
+    the oracle-reproducible variant) or ``'blas'`` (Arrow-batched
+    matmul assignment for the CORPUS side via ``ivf_assign_blas`` —
+    identical cells, the at-scale build path; queries always assign
+    with the expression kernel, |Q| is small by contract).
     """
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    if assign_kernel not in ("expr", "blas"):
+        raise ValueError(
+            f"assign_kernel must be 'expr' or 'blas', got {assign_kernel!r}"
+        )
+    corpus_assign = ivf_assign if assign_kernel == "expr" else ivf_assign_blas
+    c = corpus_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.col("centroid_id"),

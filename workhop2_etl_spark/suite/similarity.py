@@ -564,6 +564,71 @@ def v10_topk_ivf_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v11: persisted-index HEALTH — the observability half of the append
+# lifecycle. Appends assign under the FROZEN quantizer, so as data
+# drifts the cell populations skew; ivf_index_stats' one-row report
+# (imbalance = largest cell ÷ uniform share, empty cells, max cell)
+# is the retrain-and-rebuild signal an operator watches across
+# epochs. The query runs the full build → append → load → stats
+# chain over the persisted artifact; the oracle recomputes the same
+# cell populations from single-shot SQL assignment over the whole
+# embeddings table, so a green verdict proves the stats describe
+# exactly the cells the index actually holds (and, transitively,
+# that build ∪ append lost no rows). One shuffle over the postings,
+# dimension-sized aggregate — the report costs the same at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "v11_ivf_index_health",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    scored_c AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    counts AS (
+      SELECT cid, count(*) AS n FROM scored_c WHERE rn = 1 GROUP BY cid
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST({N_CENTROIDS} AS BIGINT) AS cells_total,
+           CAST(count(*) AS BIGINT) AS cells_used,
+           CAST({N_CENTROIDS} - count(*) AS BIGINT) AS empty_cells,
+           CAST(max(n) AS BIGINT) AS max_cell,
+           round(avg(n), 2) AS mean_cell,
+           round(max(n) / (CAST(sum(n) AS DOUBLE) / {N_CENTROIDS}), 2) AS imbalance
+    FROM counts
+    """,
+)
+def v11_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.suite import io_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    path = io_dir("v11_ivf_index")
+    IDX.save_ivf_index(
+        emb.filter(F.col("vec_id") % 2 == 0), path, centroids, dim=DIM,
+        mode="overwrite",
+    )
+    IDX.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    postings, _, meta = IDX.load_ivf_index(
+        spark, path, dim=DIM, n_centroids=N_CENTROIDS
+    )
+    return IDX.ivf_index_stats(postings, meta)
+
+
+# ---------------------------------------------------------------------------
 # d9: semantic dedup (SemDeDup-style) — cluster embeddings into IVF
 # cells (the same deterministic modulo-seed centroid set as v5; a
 # production run swaps in operators/similarity.py::fit_centroids),
