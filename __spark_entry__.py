@@ -70,12 +70,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     double as similarity.py kernel-changed re-verification.
 #     After this round no latest green is older than r06 anywhere
 #     (the r08 verdict's stated done-condition);
-# (d) 1 fill slot from the next staleness tail — the oldest
-#     kernel-changed r06 green, report order: a4 (dedupe.py r08).
-#     d9 (suite/similarity.py, next in report order) yielded its
-#     slot to the never-verified v10, and dq5 (quality.py r07)
-#     earlier yielded to the kernel-changed f6; both stay archived
-#     green in VERIFYLOCAL_r09.jsonl and rotate in r10.
+# (d) 1 more never-verified: st13_streaming_index_ingest (NEW this
+#     round — streaming maintenance of the persisted IVF index:
+#     three availableNow micro-batches ingested exactly-once via the
+#     ledger/staging/rename protocol, then probed from the loaded
+#     postings; the oracle recomputes single-shot IVF, so green
+#     proves the streamed epochs reconstruct the batch index).
+#     a4 (dedupe.py r08, the previous fill), d9 (suite/similarity.py)
+#     and dq5 (quality.py r07) all yielded their slots to
+#     never-verified queries; each stays archived green in
+#     VERIFYLOCAL_r09.jsonl and rotates in r10.
 # Displaced (every r08-window entry not re-listed above): m10/m8/m9/
 # v8 ARE re-listed; the rest — f6, dq4, v1, and the full 44-query
 # r04 tail — all hold fresh r08 driver greens (50/50 sweep), and the
@@ -151,8 +155,9 @@ _PRIORITY = [
     "z1_zorder_key",
     "q3_shipping_priority",
     "q9_product_profit",
-    # (d) next-oldest kernel-changed r06 green, report order
-    "a4_dup_counts",
+    # (a, continued) never driver-verified — landed after the list
+    # above was first composed
+    "st13_streaming_index_ingest",
 ]
 
 

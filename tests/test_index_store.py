@@ -237,6 +237,57 @@ def test_compact_index_collapses_files_probe_identical(spark):
         IDX.compact_index(spark, _tmp("compact_nowhere"))
 
 
+def test_compact_index_crash_recovery(spark):
+    """The swap is crash-safe: an UNCOMMITTED staging leftover (crash
+    mid-stage) is discarded and compaction proceeds from the intact
+    live data; a COMMITTED staging dir (crash inside the swap window,
+    with or without the data dir already deleted) is swapped in as-is
+    — never recompacted from a half-replaced data dir."""
+    import shutil
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+
+    def _probe(path):
+        p, c, m = IDX.load_ivf_index(spark, path)
+        return sorted(map(tuple, IDX.probe_ivf_index(
+            p, c, m, queries, k=3, nprobe=2).collect()))
+
+    # crash mid-stage: junk staging without _SUCCESS → discarded
+    path = _tmp("crash_stage")
+    IDX.save_ivf_index(emb, path, cents, dim=DIM, mode="overwrite")
+    want = _probe(path)
+    os.makedirs(f"{path}/index.compacting", exist_ok=True)
+    with open(f"{path}/index.compacting/part-junk.parquet", "wb") as f:
+        f.write(b"not parquet")
+    stats = IDX.compact_index(spark, path, num_partitions=2)
+    assert stats["files_after"] <= 2 and stats["files_before"] is not None
+    assert _probe(path) == want
+
+    # crash inside the swap, data dir still present: committed
+    # staging must win (it is the newer layout), not be recompacted
+    path2 = _tmp("crash_swap")
+    IDX.save_ivf_index(emb, path2, cents, dim=DIM, mode="overwrite")
+    want2 = _probe(path2)
+    shutil.copytree(f"{path2}/index", f"{path2}/index.compacting")
+    epoch_before = IDX._read_meta_any_kind(spark, path2)["epoch"]
+    stats = IDX.compact_index(spark, path2)
+    assert stats["files_before"] is None  # recovery path, no restage
+    assert stats["epoch"] == epoch_before + 1
+    assert _probe(path2) == want2
+
+    # crash inside the swap, data dir already deleted
+    path3 = _tmp("crash_swap_deleted")
+    IDX.save_ivf_index(emb, path3, cents, dim=DIM, mode="overwrite")
+    want3 = _probe(path3)
+    shutil.move(f"{path3}/index", f"{path3}/index.compacting")
+    stats = IDX.compact_index(spark, path3)
+    assert stats["files_before"] is None
+    assert _probe(path3) == want3
+    assert not os.path.exists(f"{path3}/index.compacting")
+
+
 def test_index_stats_reports(spark):
     """ivf_index_stats / lsh_index_stats one-row health reports match
     an independent recompute from the loaded relations themselves —

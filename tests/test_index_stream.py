@@ -1,0 +1,129 @@
+"""Streaming ANN index maintenance (streaming/index_stream.py): an
+availableNow stream of embedding files must leave the persisted
+artifact IDENTICAL (by probe) to a single-shot batch build, and the
+epoch protocol (ledger marker, staged write, deterministic renames)
+must make replays — full, marker-deleted, or mid-stage-crashed —
+converge without duplicating a posting."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators import index_store as IDX
+from workhop2_etl_spark.operators import similarity as SIM
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.streaming import index_stream as IS
+
+from tests.conftest import SF_DIR
+
+DIM = 64
+
+
+def _tmp(name: str) -> str:
+    return os.path.join(
+        tempfile.mkdtemp(prefix="w2e_idxstream_"), f"{name}_{uuid.uuid4().hex[:6]}"
+    )
+
+
+def _probe(spark, path, queries, kind):
+    if kind == "lsh":
+        index, meta = IDX.load_lsh_index(spark, path)
+        got = IDX.probe_lsh_index(index, meta, queries, k=3)
+    else:
+        postings, cents, meta = IDX.load_ivf_index(spark, path)
+        got = IDX.probe_ivf_index(postings, cents, meta, queries, k=3, nprobe=2)
+    return sorted(map(tuple, got.collect()))
+
+
+@pytest.mark.parametrize("kind", ["lsh", "ivf"])
+def test_stream_ingest_equals_batch_build(spark, kind):
+    """Seed an EMPTY artifact, stream the whole corpus through in
+    three micro-batches, and probe: results must be row-identical to
+    an index built single-shot on the full corpus. The ledger holds
+    one marker per epoch and no staging dirs survive."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+
+    streamed, full = _tmp(f"{kind}_streamed"), _tmp(f"{kind}_full")
+    if kind == "lsh":
+        IDX.save_lsh_index(emb.limit(0), streamed, dim=DIM, num_planes=6,
+                           num_tables=8, mode="overwrite")
+        IDX.save_lsh_index(emb, full, dim=DIM, num_planes=6, num_tables=8,
+                           mode="overwrite")
+    else:
+        IDX.save_ivf_index(emb.limit(0), streamed, cents, dim=DIM,
+                           mode="overwrite")
+        IDX.save_ivf_index(emb, full, cents, dim=DIM, mode="overwrite")
+
+    src = _tmp(f"{kind}_srcdir")
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    ckpt = _tmp(f"{kind}_ckpt")
+    IS.stream_index_ingest(
+        spark, src, emb.schema, streamed, ckpt, partitions_per_epoch=2
+    )
+
+    assert _probe(spark, streamed, queries, kind) == _probe(
+        spark, full, queries, kind
+    )
+    markers = sorted(
+        f for f in os.listdir(f"{streamed}/ledger") if not f.startswith(".")
+    )
+    assert len(markers) == 3
+    assert not [d for d in os.listdir(streamed) if d.startswith("ingest.epoch")]
+
+    # a second run over the same checkpoint adds no batches
+    before = spark.read.parquet(f"{streamed}/index").count()
+    IS.stream_index_ingest(
+        spark, src, emb.schema, streamed, ckpt, partitions_per_epoch=2
+    )
+    assert spark.read.parquet(f"{streamed}/index").count() == before
+
+
+def test_ingest_epoch_replay_converges(spark):
+    """The exactly-once protocol under every crash window: a committed
+    epoch short-circuits on the ledger ('skipped'); deleting the
+    marker and replaying the SAME epoch re-stages but every rename
+    target exists, so no posting duplicates; a half-staged crash
+    (junk staging, no marker) is overwritten."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+
+    path = _tmp("replay_ivf")
+    IDX.save_ivf_index(emb.limit(0), path, cents, dim=DIM, mode="overwrite")
+
+    batches = [emb.filter(F.col("vec_id") % 2 == r) for r in (0, 1)]
+    assert IS.ingest_epoch(spark, batches[0], 0, path) == "committed"
+    # half-staged crash before epoch 1: junk staging, no marker
+    os.makedirs(f"{path}/ingest.epoch-{1:012d}", exist_ok=True)
+    with open(f"{path}/ingest.epoch-{1:012d}/part-junk.parquet", "wb") as f:
+        f.write(b"junk")
+    assert IS.ingest_epoch(spark, batches[1], 1, path) == "committed"
+
+    want = _probe(spark, path, queries, "ivf")
+    n = spark.read.parquet(f"{path}/index").count()
+    assert n == emb.count()
+
+    # committed replay → ledger short-circuit
+    assert IS.ingest_epoch(spark, batches[1], 1, path) == "skipped"
+    # crash-between-renames-and-marker replay: marker gone, files in
+    # place — re-stage, skip every rename, converge
+    os.remove(f"{path}/ledger/epoch-{1:012d}")
+    assert IS.ingest_epoch(spark, batches[1], 1, path) == "committed"
+    assert spark.read.parquet(f"{path}/index").count() == n
+    assert _probe(spark, path, queries, "ivf") == want
+
+    # a stream against an artifact that does not exist fails fast
+    with pytest.raises(ValueError, match="no readable index metadata"):
+        IS.stream_index_ingest(
+            spark, _tmp("nosrc"), emb.schema, _tmp("noidx"), _tmp("nockpt")
+        )

@@ -184,6 +184,8 @@ def _write_signed(
     vec_col: str,
     sig_kernel: str,
     mode: str,
+    data_dir: str | None = None,
+    num_partitions: int | None = None,
 ) -> None:
     if sig_kernel not in ("expr", "blas"):
         raise ValueError(f"sig_kernel must be 'expr' or 'blas', got {sig_kernel!r}")
@@ -202,11 +204,15 @@ def _write_signed(
         table_col="table_id",
         sig_col="sig",
     )
+    keys = ["table_id", "sig"]
+    reparted = (
+        signed.repartition(num_partitions, *keys) if num_partitions
+        else signed.repartition(*keys)
+    )
     (
-        signed.repartition("table_id", "sig")
-        .sortWithinPartitions("table_id", "sig")
+        reparted.sortWithinPartitions(*keys)
         .write.mode(mode)
-        .parquet(f"{path}/index")
+        .parquet(data_dir or f"{path}/index")
     )
 
 
@@ -457,6 +463,8 @@ def _write_ivf_postings(
     vec_col: str,
     assign_kernel: str,
     mode: str,
+    data_dir: str | None = None,
+    num_partitions: int | None = None,
 ) -> None:
     if assign_kernel not in ("expr", "blas"):
         raise ValueError(
@@ -469,11 +477,14 @@ def _write_ivf_postings(
         id_col="id",
         vec_col="vec",
     ).withColumn("norm", l2_norm(F.col("vec")))
+    reparted = (
+        assigned.repartition(num_partitions, "centroid_id") if num_partitions
+        else assigned.repartition("centroid_id")
+    )
     (
-        assigned.repartition("centroid_id")
-        .sortWithinPartitions("centroid_id")
+        reparted.sortWithinPartitions("centroid_id")
         .write.mode(mode)
-        .parquet(f"{path}/index")
+        .parquet(data_dir or f"{path}/index")
     )
 
 
@@ -614,34 +625,59 @@ def compact_index(
     freshly-built layout without touching row content: a probe
     before and after compaction is row-identical (pytest-asserted).
 
-    Single-writer, stop-the-world by contract (same as append): the
-    rewrite stages into ``<path>/index.compacting`` first, so a crash
-    mid-compaction leaves the live ``<path>/index`` intact — only the
-    final overwrite-from-staged step replaces it; re-running
-    compaction heals a crash at that step. Readers must not hold the
-    path open across a compaction outside a transactional table
-    format. Bumps the metadata epoch; returns the metadata plus
-    ``files_before`` / ``files_after`` so callers and tests can see
-    the layout actually collapsed.
+    Single-writer, stop-the-world by contract (same as append), and
+    crash-safe by construction: the rewrite stages into
+    ``<path>/index.compacting`` (one full write — the postings are
+    never written twice), then swaps in with filesystem
+    metadata-only operations (delete old dir, rename staging). A
+    crash before the staged ``_SUCCESS`` marker leaves the live
+    ``<path>/index`` untouched and the dead staging dir is discarded
+    on the next run; a crash inside the swap window is detected on
+    the next run (staging committed) and the swap completes WITHOUT
+    re-reading the data dir — the one sequence that must never
+    happen is recompacting a half-replaced data dir. Readers must
+    not hold the path open across a compaction outside a
+    transactional table format. Bumps the metadata epoch; returns
+    the metadata plus ``files_before`` / ``files_after`` so callers
+    and tests can see the layout actually collapsed.
     """
     meta = _read_meta_any_kind(spark, path)
     keys = (
         ["table_id", "sig"] if meta["kind"] == _LSH_KIND else ["centroid_id"]
     )
     data, staging = f"{path}/index", f"{path}/index.compacting"
-    files_before = _count_part_files(spark, data)
+    fs, data_p = _hadoop_fs(spark, data)
+    _, staging_p = _hadoop_fs(spark, staging)
+    _, staged_ok = _hadoop_fs(spark, f"{staging}/_SUCCESS")
 
-    df = spark.read.parquet(data)
-    reparted = (
-        df.repartition(num_partitions, *keys) if num_partitions
-        else df.repartition(*keys)
-    )
-    reparted.sortWithinPartitions(*keys).write.mode("overwrite").parquet(staging)
-    # the staged copy is complete and durable; now swap it in. The
-    # read-back sees only committed staged files (parquet commit
-    # protocol), so the overwrite never reads what it is deleting.
-    spark.read.parquet(staging).write.mode("overwrite").parquet(data)
-    _delete_dir(spark, staging)
+    if fs.exists(staging_p):
+        if not fs.exists(staged_ok):
+            # uncommitted leftover from a crash mid-stage: the live
+            # data dir is intact — discard and compact normally
+            fs.delete(staging_p, True)
+        # a COMMITTED staging dir means a prior run crashed inside
+        # the swap; fall through — the swap below completes it
+        # idempotently without touching the (possibly half-deleted)
+        # data dir's content
+    if not fs.exists(staged_ok):
+        files_before = _count_part_files(spark, data)
+        df = spark.read.parquet(data)
+        reparted = (
+            df.repartition(num_partitions, *keys) if num_partitions
+            else df.repartition(*keys)
+        )
+        reparted.sortWithinPartitions(*keys).write.mode("overwrite").parquet(
+            staging
+        )
+    else:
+        files_before = None  # crash recovery: old layout already gone
+
+    # the staged copy is complete and durable; swap it in with
+    # metadata-only filesystem ops (both re-runnable after a crash)
+    if fs.exists(data_p):
+        fs.delete(data_p, True)
+    if not fs.rename(staging_p, data_p):
+        raise IOError(f"rename {staging} -> {data} failed during compaction")
 
     meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
     _write_meta(spark, path, meta, "overwrite")
@@ -673,11 +709,16 @@ def _hadoop_fs(spark: SparkSession, path: str):
 
 
 def _count_part_files(spark: SparkSession, path: str) -> int:
+    """Data files in a parquet dir: everything except commit markers
+    (_SUCCESS/_temporary) and checksum sidecars — stream-ingested
+    files (streaming/index_stream.py) carry epoch-derived names, not
+    the part- prefix, and must count too."""
     fs, hpath = _hadoop_fs(spark, path)
     return sum(
         1
         for st in fs.listStatus(hpath)
-        if st.getPath().getName().startswith("part-")
+        if st.isFile()
+        and not st.getPath().getName().startswith((".", "_"))
     )
 
 

@@ -1,0 +1,193 @@
+"""Streaming maintenance of a persisted ANN index — exactly-once.
+
+The persisted index artifacts (operators/index_store.py) cover the
+batch lifecycle: build once, append per ingest batch, probe many
+sessions. At 100 TB the ingest side is usually a STREAM — embeddings
+arrive continuously, and the index must stay current without a
+rebuild and without double-indexing a replayed micro-batch. This
+module runs ``append``-equivalent index work inside ``foreachBatch``
+with an idempotence protocol that makes at-least-once delivery
+EXACTLY-ONCE in effect:
+
+1. **Ledger short-circuit** — each committed epoch leaves a marker
+   file under ``<path>/ledger/``; a replayed epoch that already
+   committed returns immediately (after sweeping any staging
+   leftovers).
+2. **Staged write** — the batch's postings/signature rows are
+   assigned/signed under the artifact's OWN stored parameters (same
+   guarantee as ``append_*_index``) and written to a per-epoch
+   staging dir with ``mode=overwrite``, so a replay of a half-staged
+   epoch starts clean.
+3. **Deterministic renames** — staged files move into the live
+   ``<path>/index`` dir under names derived from (epoch, partition
+   index); a rename whose target exists is skipped. The batch
+   repartitions on the cluster keys with a FIXED partition count, so
+   a replay reproduces the same row multiset per partition index and
+   the skip is a true no-op — a crash at any point between renames
+   converges on replay without duplicating a single posting. (This
+   is why duplicates never reach ``_ivf_probe``, whose top-k window
+   would count a double-indexed neighbor twice.)
+4. **Marker, then sweep** — the ledger marker is created only after
+   every staged file is in place; staging is deleted after the
+   marker, so the worst crash leaves a swept-on-replay leftover.
+
+Contracts: single writer (don't run two streams or a concurrent
+``append_*_index``/``compact_index`` against one artifact — stop the
+stream before maintenance, as with any non-transactional table
+format); the source must replay an epoch with the same data (file
+sources with a checkpoint do — the contract Structured Streaming
+itself requires for end-to-end exactly-once sinks). All I/O is
+Spark parquet + Hadoop FileSystem calls, so the artifact can live on
+local disk, HDFS, or an object store with a rename-capable
+committer.
+
+Reference parity: the reference ETL has no streaming; this extends
+the engine per the build brief, shaped after the public pattern of
+idempotent foreachBatch sinks (batch-id ledger, as in the Spark docs
+and this repo's streaming/jdbc_sink.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from workhop2_etl_spark.operators.index_store import (
+    _IVF_POSTINGS_KIND,
+    _LSH_KIND,
+    _hadoop_fs,
+    _read_centroid_rows,
+    _read_meta_any_kind,
+    _write_ivf_postings,
+    _write_meta,
+    _write_signed,
+)
+
+
+def ingest_epoch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch_id: int,
+    index_path: str,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+    partitions_per_epoch: int = 4,
+) -> str:
+    """Index one micro-batch into the artifact at ``index_path``
+    under the exactly-once protocol (module docstring). Returns
+    ``'committed'`` or ``'skipped'`` (epoch already in the ledger).
+    Exposed separately from the stream driver so tests (and manual
+    backfills) can drive replay semantics directly."""
+    fs, marker = _hadoop_fs(spark, f"{index_path}/ledger/epoch-{epoch_id:012d}")
+    staging = f"{index_path}/ingest.epoch-{epoch_id:012d}"
+    _, staging_p = _hadoop_fs(spark, staging)
+    if fs.exists(marker):
+        if fs.exists(staging_p):  # crash between marker and sweep
+            fs.delete(staging_p, True)
+        return "skipped"
+
+    meta = _read_meta_any_kind(spark, index_path)
+    if meta["kind"] == _LSH_KIND:
+        _write_signed(
+            batch,
+            index_path,
+            int(meta["dim"]),
+            int(meta["num_planes"]),
+            int(meta["num_tables"]),
+            id_col or meta["id_col"],
+            vec_col,
+            meta.get("sig_kernel", "expr"),
+            "overwrite",
+            data_dir=staging,
+            num_partitions=partitions_per_epoch,
+        )
+    else:  # _IVF_POSTINGS_KIND (guaranteed by _read_meta_any_kind)
+        centroids = _read_centroid_rows(spark, f"{index_path}/centroids", meta)
+        _write_ivf_postings(
+            batch,
+            index_path,
+            centroids,
+            id_col or meta["id_col"],
+            vec_col,
+            meta.get("assign_kernel", "expr"),
+            "overwrite",
+            data_dir=staging,
+            num_partitions=partitions_per_epoch,
+        )
+
+    staged = sorted(
+        (
+            st.getPath()
+            for st in fs.listStatus(staging_p)
+            if st.isFile()
+            and not st.getPath().getName().startswith((".", "_"))
+        ),
+        key=lambda p: p.getName(),
+    )
+    for i, src in enumerate(staged):
+        _, dst = _hadoop_fs(
+            spark, f"{index_path}/index/stream-{epoch_id:012d}-{i:05d}.parquet"
+        )
+        if not fs.exists(dst):
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"rename {src} -> {dst} failed during epoch "
+                    f"{epoch_id} index ingest"
+                )
+
+    # commit point: marker first (replays now short-circuit), then
+    # sweep staging and bump the advisory epoch counter
+    fs.mkdirs(marker.getParent())
+    fs.createNewFile(marker)
+    fs.delete(staging_p, True)
+    _write_meta(spark, index_path, dict(meta, epoch=int(meta.get("epoch") or 0) + 1),
+                "overwrite")
+    return "committed"
+
+
+def stream_index_ingest(
+    spark: SparkSession,
+    stream_dir: str,
+    schema,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str | None = None,
+    vec_col: str = "embedding",
+    partitions_per_epoch: int = 4,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain every file currently in ``stream_dir`` (availableNow)
+    into the index artifact at ``index_path``, one exactly-once
+    ``ingest_epoch`` per micro-batch. The artifact must already exist
+    (created by ``save_lsh_index`` / ``save_ivf_index``, possibly on
+    a seed corpus) — its stored metadata, not caller arguments,
+    decides the index kind and geometry, so a stream can never sign
+    or assign a batch under drifted parameters."""
+    _read_meta_any_kind(spark, index_path)  # fail fast before starting
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(stream_dir)
+    )
+
+    def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_epoch(
+            batch_df.sparkSession,
+            batch_df,
+            epoch_id,
+            index_path,
+            id_col=id_col,
+            vec_col=vec_col,
+            partitions_per_epoch=partitions_per_epoch,
+        )
+
+    (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+__all__ = ["ingest_epoch", "stream_index_ingest"]

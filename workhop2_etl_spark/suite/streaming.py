@@ -423,3 +423,95 @@ def st12_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# st13: streaming maintenance of the persisted IVF index — the ingest
+# face of the v10 lifecycle. The corpus arrives as a FILE STREAM
+# (three micro-batches, availableNow); each epoch is indexed into the
+# artifact by streaming/index_stream.py's exactly-once protocol
+# (ledger marker → staged write → deterministic renames), and the
+# probe runs against the loaded postings. The oracle knows nothing
+# about streaming, persistence, or epochs: it recomputes single-shot
+# IVF assignment + within-cell search over the whole embeddings
+# table, so a green verdict proves the three streamed epochs
+# reconstruct exactly the batch-built index — the 100 TB posture
+# where embeddings arrive continuously and the index never rebuilds.
+# ---------------------------------------------------------------------------
+def _st13_oracle() -> str:
+    from workhop2_etl_spark.suite.similarity import (
+        K,
+        N_CENTROIDS,
+        NPROBE,
+        _pair_cos_sql,
+    )
+
+    return f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cid FROM scored_c WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid
+          FROM scored_c WHERE rn <= {NPROBE} AND vec_id % 45 = 0),
+    c2 AS (SELECT vec_id AS neighbor_id, v AS cv, cid FROM cells),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM q JOIN c2 USING (cid)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """
+
+
+@query("st13_streaming_index_ingest", oracle=_st13_oracle())
+def st13_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.streaming import index_stream as IS
+    from workhop2_etl_spark.suite.similarity import DIM, K, N_CENTROIDS, NPROBE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+
+    # fresh dirs per run: the artifact's epoch ledger and the stream
+    # checkpoint are both stateful across runs by design
+    base = tempfile.mkdtemp(prefix="w2e_st13_")
+    src, path, ckpt = (os.path.join(base, d) for d in ("src", "idx", "ckpt"))
+    for i in range(3):
+        emb.filter(F.col("vec_id") % 3 == i).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    IDX.save_ivf_index(emb.limit(0), path, centroids, dim=DIM, mode="overwrite")
+    IS.stream_index_ingest(
+        spark, src, emb.schema, path, ckpt, partitions_per_epoch=2
+    )
+    postings, cents, meta = IDX.load_ivf_index(
+        spark, path, dim=DIM, n_centroids=N_CENTROIDS
+    )
+    queries = emb.filter(F.col("vec_id") % 45 == 0)
+    return IDX.probe_ivf_index(
+        postings, cents, meta, queries, k=K, nprobe=NPROBE
+    ).orderBy("query_id", "rank")
