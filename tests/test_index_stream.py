@@ -115,10 +115,15 @@ def test_ingest_epoch_replay_converges(spark):
 
     # committed replay → ledger short-circuit
     assert IS.ingest_epoch(spark, batches[1], 1, path) == "skipped"
-    # crash-between-renames-and-marker replay: marker gone, files in
-    # place — re-stage, skip every rename, converge
+    # crash-between-renames-and-marker replay: marker gone, the
+    # epoch's live files (including a stale partial from a different
+    # partitioning) are rebuilt whole from fresh staging — converge
     os.remove(f"{path}/ledger/epoch-{1:012d}")
+    stale = f"{path}/index/stream-{1:012d}-99999.parquet"
+    with open(stale, "wb") as f:
+        f.write(b"stale partial from an earlier attempt")
     assert IS.ingest_epoch(spark, batches[1], 1, path) == "committed"
+    assert not os.path.exists(stale)  # epoch-owned delete removed it
     assert spark.read.parquet(f"{path}/index").count() == n
     assert _probe(spark, path, queries, "ivf") == want
 

@@ -18,15 +18,16 @@ EXACTLY-ONCE in effect:
    guarantee as ``append_*_index``) and written to a per-epoch
    staging dir with ``mode=overwrite``, so a replay of a half-staged
    epoch starts clean.
-3. **Deterministic renames** — staged files move into the live
-   ``<path>/index`` dir under names derived from (epoch, partition
-   index); a rename whose target exists is skipped. The batch
-   repartitions on the cluster keys with a FIXED partition count, so
-   a replay reproduces the same row multiset per partition index and
-   the skip is a true no-op — a crash at any point between renames
-   converges on replay without duplicating a single posting. (This
-   is why duplicates never reach ``_ivf_probe``, whose top-k window
-   would count a double-indexed neighbor twice.)
+3. **Epoch-owned renames** — any live files a previous attempt of
+   THIS epoch already moved in are deleted first (each epoch's files
+   carry its id in their names, so an epoch only ever touches its
+   own), then the staged files rename into the live ``<path>/index``
+   dir. A crash at any point between deletes or renames converges on
+   replay — the epoch's live file set is rebuilt from the fresh
+   staging whole-or-not-at-all, with no reliance on the replay
+   reproducing the same partitioning. (This is why duplicates never
+   reach ``_ivf_probe``, whose top-k window would count a
+   double-indexed neighbor twice.)
 4. **Marker, then sweep** — the ledger marker is created only after
    every staged file is in place; staging is deleted after the
    marker, so the worst crash leaves a swept-on-replay leftover.
@@ -123,16 +124,24 @@ def ingest_epoch(
         ),
         key=lambda p: p.getName(),
     )
+    # a previous attempt of this epoch may have moved files in before
+    # crashing; remove them so the live set is rebuilt whole from the
+    # fresh staging (epoch id in the name scopes the delete to this
+    # epoch's own files)
+    prefix = f"stream-{epoch_id:012d}-"
+    _, index_p = _hadoop_fs(spark, f"{index_path}/index")
+    for st in fs.listStatus(index_p):
+        if st.getPath().getName().startswith(prefix):
+            fs.delete(st.getPath(), False)
     for i, src in enumerate(staged):
         _, dst = _hadoop_fs(
-            spark, f"{index_path}/index/stream-{epoch_id:012d}-{i:05d}.parquet"
+            spark, f"{index_path}/index/{prefix}{i:05d}.parquet"
         )
-        if not fs.exists(dst):
-            if not fs.rename(src, dst):
-                raise IOError(
-                    f"rename {src} -> {dst} failed during epoch "
-                    f"{epoch_id} index ingest"
-                )
+        if not fs.rename(src, dst):
+            raise IOError(
+                f"rename {src} -> {dst} failed during epoch "
+                f"{epoch_id} index ingest"
+            )
 
     # commit point: marker first (replays now short-circuit), then
     # sweep staging and bump the advisory epoch counter
