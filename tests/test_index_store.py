@@ -288,6 +288,40 @@ def test_compact_index_crash_recovery(spark):
     assert not os.path.exists(f"{path3}/index.compacting")
 
 
+def test_retrain_ivf_index_blue_green(spark):
+    """retrain_ivf_index rebuilds a drifted index under a freshly
+    KMeans-trained quantizer into a NEW path: every posting survives
+    (n_vectors preserved), the source artifact is untouched (blue/
+    green), and the rebuilt index probes identically to an in-session
+    search with the same trained centroids."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    # deliberately unbalanced quantizer: 4 arbitrary data rows
+    rows = emb.orderBy("vec_id").limit(4).select("embedding").collect()
+    bad = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+
+    src, dst = _tmp("retrain_src"), _tmp("retrain_dst")
+    IDX.save_ivf_index(emb, src, bad, dim=DIM, mode="overwrite")
+    src_postings, _, src_meta = IDX.load_ivf_index(spark, src)
+    n_before = src_postings.count()
+
+    new_meta = IDX.retrain_ivf_index(
+        spark, src, dst, seed=7, max_iter=5, mode="overwrite"
+    )
+    assert new_meta["n_centroids"] == 4 and new_meta["seed"] == 7
+
+    postings, cents, meta = IDX.load_ivf_index(spark, dst, seed=7)
+    assert postings.count() == n_before
+    got = sorted(map(tuple, IDX.probe_ivf_index(
+        postings, cents, meta, queries, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, SIM.topk_cosine_ivf(
+        emb, queries, cents, k=3, nprobe=2).collect()))
+    assert got == want and got
+    # source untouched: same postings count, same metadata epoch
+    again, _, again_meta = IDX.load_ivf_index(spark, src)
+    assert again.count() == n_before and again_meta == src_meta
+
+
 def test_index_stats_reports(spark):
     """ivf_index_stats / lsh_index_stats one-row health reports match
     an independent recompute from the loaded relations themselves —

@@ -536,6 +536,54 @@ def load_ivf_index(
     return spark.read.parquet(f"{path}/index"), centroids, meta
 
 
+def retrain_ivf_index(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    n_centroids: int | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+    assign_kernel: str = "blas",
+    mode: str = "error",
+) -> dict:
+    """Rebuild the IVF index at ``src_path`` under a FRESHLY-TRAINED
+    quantizer, into ``dst_path`` — the action ``ivf_index_stats``'
+    report calls for when append drift has skewed the cells (rising
+    imbalance / empty_cells across epochs). Fits seeded Spark ML
+    KMeans on the index's own postings (``sample_fraction`` bounds
+    the training scan at corpus scale), re-assigns every posting
+    under the new centroids, and writes a complete new artifact;
+    the source is read-only throughout, so probes can keep serving
+    from it until the caller swaps paths — the blue/green cutover a
+    100 TB index needs (FAISS retrains the same way: new quantizer,
+    full re-add). ``n_centroids`` defaults to the source's. Returns
+    the new artifact's metadata."""
+    from workhop2_etl_spark.operators.similarity import fit_centroids
+
+    postings, _, meta = load_ivf_index(spark, src_path)
+    corpus = postings.select(
+        F.col("id").alias(meta["id_col"]), F.col("vec").alias("embedding")
+    )
+    cents = fit_centroids(
+        corpus,
+        int(n_centroids or meta["n_centroids"]),
+        seed=seed,
+        max_iter=max_iter,
+        sample_fraction=sample_fraction,
+    )
+    return save_ivf_index(
+        corpus,
+        dst_path,
+        cents,
+        dim=int(meta["dim"]),
+        id_col=meta["id_col"],
+        seed=seed,
+        assign_kernel=assign_kernel,
+        mode=mode,
+    )
+
+
 def ivf_index_stats(postings: DataFrame, meta: dict) -> DataFrame:
     """One-row health report over an IVF postings relation — the
     observability half of the append lifecycle. Appends assign under
@@ -780,6 +828,7 @@ __all__ = [
     "load_ivf_index",
     "probe_ivf_index",
     "compact_index",
+    "retrain_ivf_index",
     "ivf_index_stats",
     "lsh_index_stats",
 ]
