@@ -244,13 +244,21 @@ def bench_scale_guards(spark) -> dict[str, float]:
     - ``xscale_neardup_lsh_8k``: banded MinHash near-dup pairs over
       8k documents (the naive all-pairs baseline already needs ~100
       minutes at this size — this entry regresses if candidate
-      generation stops being a band equi-join).
+      generation stops being a band equi-join);
+    - ``xscale_ivf_assign_blas_100k``: IVF cell assignment of 100k
+      vectors under 64 centroids via the Arrow/BLAS kernel (the
+      interpreted expression argmin ran 290s for just 20k rows,
+      PERF.md round-9 — this entry regresses if the matmul
+      assignment de-vectorizes).
     """
     from pyspark.sql import functions as F
 
     from tools import scale_fixture as FX
     from workhop2_etl_spark.operators.dedup_text import near_dup_pairs
-    from workhop2_etl_spark.operators.similarity import topk_cosine_bruteforce_blas
+    from workhop2_etl_spark.operators.similarity import (
+        ivf_assign_blas,
+        topk_cosine_bruteforce_blas,
+    )
 
     out: dict[str, float] = {}
     emb = spark.read.parquet(FX.ensure_embeddings(100_000, 64))
@@ -265,6 +273,15 @@ def bench_scale_guards(spark) -> dict[str, float]:
     rows = near_dup_pairs(docs, threshold=0.7).select("id_a", "id_b").collect()
     out["xscale_neardup_lsh_8k"] = round(time.time() - t0, 3)
     assert rows
+
+    cents = [
+        (i, [float((i * 31 + d * 7) % 13) - 6.0 for d in range(64)])
+        for i in range(64)
+    ]
+    t0 = time.time()
+    n = ivf_assign_blas(emb, cents).groupBy("centroid_id").count().count()
+    out["xscale_ivf_assign_blas_100k"] = round(time.time() - t0, 3)
+    assert n >= 1
     return out
 
 
