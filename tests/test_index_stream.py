@@ -132,3 +132,16 @@ def test_ingest_epoch_replay_converges(spark):
         IS.stream_index_ingest(
             spark, _tmp("nosrc"), emb.schema, _tmp("noidx"), _tmp("nockpt")
         )
+
+    # compaction refuses while an UNCOMMITTED stream epoch is pending
+    # (its replay would duplicate the folded rows), but sweeps a
+    # committed epoch's staging leftover and proceeds
+    os.makedirs(f"{path}/ingest.epoch-{2:012d}", exist_ok=True)
+    with pytest.raises(ValueError, match="uncommitted stream ingest epoch"):
+        IDX.compact_index(spark, path)
+    with open(f"{path}/ledger/epoch-{2:012d}", "w") as f:
+        f.write("")
+    stats = IDX.compact_index(spark, path, num_partitions=2)
+    assert stats["files_after"] <= 2
+    assert not os.path.exists(f"{path}/ingest.epoch-{2:012d}")
+    assert _probe(spark, path, queries, "ivf") == want

@@ -698,6 +698,29 @@ def compact_index(
     _, staging_p = _hadoop_fs(spark, staging)
     _, staged_ok = _hadoop_fs(spark, f"{staging}/_SUCCESS")
 
+    # an UNCOMMITTED stream epoch (streaming/index_stream.py) always
+    # leaves its ingest.epoch-* staging dir behind; compacting now
+    # would fold its already-renamed rows into part-* files and the
+    # epoch's replay would re-add them — duplicates. A COMMITTED
+    # epoch's leftover staging (crash between marker and sweep) is
+    # just swept.
+    _, root_p = _hadoop_fs(spark, path)
+    for st in fs.listStatus(root_p):
+        name = st.getPath().getName()
+        if name.startswith("ingest.epoch-"):
+            _, marker = _hadoop_fs(
+                spark, f"{path}/ledger/epoch-{name.removeprefix('ingest.epoch-')}"
+            )
+            if fs.exists(marker):
+                fs.delete(st.getPath(), True)
+            else:
+                raise ValueError(
+                    f"index at {path} has an uncommitted stream ingest epoch "
+                    f"({name}) — resume the stream to convergence (or remove "
+                    "the staging dir if the stream is abandoned) before "
+                    "compacting, else the epoch's replay would duplicate rows"
+                )
+
     if fs.exists(staging_p):
         if not fs.exists(staged_ok):
             # uncommitted leftover from a crash mid-stage: the live
