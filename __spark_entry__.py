@@ -50,18 +50,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     the oracle recomputes the cell populations from single-shot SQL
 #     assignment, so green also re-proves build ∪ append lost no
 #     rows);
-# (b) 4 queries whose kernel changed THIS round, so their old greens
+# (b) 3 queries whose kernel changed THIS round, so their old greens
 #     pre-date the code under them: v8 (topk_cosine_lsh_multitable's
 #     probe now routes through the extracted _multitable_probe shared
 #     with the index store), m10 (JPEG entropy scan skips T.81 FF
 #     fill bytes, the decode tier is pinned via allow_pil=False, and
 #     the feature memo keys on md5 digests — r08 ADVICE #2/#3/#4),
-#     m8 (png_decode grew the truncated-IHDR guard the fuzz test
-#     caught, and the same memo-key change sits under its feature
-#     kernel), f6 (the offset path gained the TIMESTAMP_NTZ domain
+#     f6 (the offset path gained the TIMESTAMP_NTZ domain
 #     guard the r09 adversarial pass found — year-0/year-10000
 #     instants now coerce to NULL instead of crashing at
-#     materialization);
+#     materialization). m8 (png truncated-IHDR guard + the same memo
+#     change) yielded its slot to the never-verified v12 — its two
+#     kernel changes are pinned by tests (codec fuzz battery, m10's
+#     oracle exercising the same memo/decode path) and it holds a
+#     fresh local green in VERIFYLOCAL_r09.jsonl;
 # (c) ALL 42 r05-latest greens — the entire staleness tail, report
 #     order: a12, a13, a14, d1, d2, d8, dq1, dq2, dq3, e3, e7, e8,
 #     e9, j10, j11, j7, k1, k2, s6, st10, t10, t1, t2, t4, t5, t6,
@@ -110,7 +112,7 @@ _PRIORITY = [
     # (b) kernel changed this round
     "v8_topk_cosine_lsh_multitable",
     "m10_real_jpeg_features",
-    "m8_real_image_features",
+    "v12_topk_ivf_int8_index",
     "f6_timestamp_coerce",
     # (c) the full r05-latest tail, staleness-report order
     "a12_weighted_median",

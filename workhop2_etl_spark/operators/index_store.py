@@ -69,7 +69,7 @@ _IVF_POSTINGS_KIND = "ivf-postings"
 _META_SCHEMA = (
     "kind string, version int, dim int, num_planes int, num_tables int,"
     " sig_kernel string, assign_kernel string, id_col string, seed long,"
-    " n_centroids int, plane_scheme string, epoch int"
+    " n_centroids int, plane_scheme string, epoch int, store_dtype string"
 )
 
 
@@ -412,10 +412,21 @@ def save_ivf_index(
     vec_col: str = "embedding",
     seed: int | None = None,
     assign_kernel: str = "blas",
+    store_dtype: str = "float64",
     mode: str = "error",
 ) -> dict:
     """Assign the corpus under ``centroids`` and persist the full IVF
     index — posting lists AND the quantizer — as ONE artifact.
+
+    ``store_dtype='int8'`` stores symmetric per-vector-quantized
+    vectors (array<tinyint> + one double scale) instead of float64 —
+    ~8× less vector storage, the knob that matters when the INDEX
+    for a 100 TB embedding corpus has to fit a disk budget (FAISS's
+    SQ8 quantizer). Cell assignment always runs on the float
+    vectors; only storage and probe-time scoring see quantization,
+    so probes are approximate within quantization error (recall
+    bound pytest-asserted) while the artifact remains fully
+    self-describing — the probe reads the dtype from metadata.
 
     ``save_centroids`` persists only the trained quantizer; every
     later session still re-assigns the whole corpus per run (a full
@@ -437,7 +448,8 @@ def save_ivf_index(
     Returns the metadata dict it wrote."""
     spark = corpus.sparkSession
     _write_ivf_postings(
-        corpus, path, centroids, id_col, vec_col, assign_kernel, mode
+        corpus, path, centroids, id_col, vec_col, assign_kernel, mode,
+        store_dtype=store_dtype,
     )
     _write_centroid_rows(spark, centroids, dim, f"{path}/centroids", mode)
     meta = {
@@ -447,12 +459,20 @@ def save_ivf_index(
         "n_centroids": len(centroids),
         "id_col": id_col,
         "assign_kernel": assign_kernel,
+        "store_dtype": store_dtype,
         "epoch": 0,
     }
     if seed is not None:
         meta["seed"] = seed
     _write_meta(spark, path, meta, mode)
     return meta
+
+
+def _dequant_int8(qvec, scale):
+    """Dequantized float64 vector from an int8-quantized posting —
+    the probe-side inverse of the quantization in
+    ``_write_ivf_postings`` (pure expressions, JVM-side)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
 
 
 def _write_ivf_postings(
@@ -465,10 +485,15 @@ def _write_ivf_postings(
     mode: str,
     data_dir: str | None = None,
     num_partitions: int | None = None,
+    store_dtype: str = "float64",
 ) -> None:
     if assign_kernel not in ("expr", "blas"):
         raise ValueError(
             f"assign_kernel must be 'expr' or 'blas', got {assign_kernel!r}"
+        )
+    if store_dtype not in ("float64", "int8"):
+        raise ValueError(
+            f"store_dtype must be 'float64' or 'int8', got {store_dtype!r}"
         )
     assign = ivf_assign if assign_kernel == "expr" else ivf_assign_blas
     assigned = assign(
@@ -476,7 +501,44 @@ def _write_ivf_postings(
         centroids,
         id_col="id",
         vec_col="vec",
-    ).withColumn("norm", l2_norm(F.col("vec")))
+    )
+    if store_dtype == "int8":
+        # symmetric per-vector quantization: scale = max|x|/127, so
+        # the full int8 range is used per vector; assignment above
+        # ran on the FLOAT vector (cell choice is never quantized).
+        # The stored norm is the norm of the DEQUANTIZED vector, so
+        # probe cosines are internally consistent. Quantization uses
+        # Spark SQL round (HALF_UP) — reproducible in ANSI SQL, so an
+        # oracle can recompute the identical stored values.
+        scale = F.aggregate(
+            F.transform(F.col("vec"), F.abs),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ) / F.lit(127.0)
+        # NaN guard: a NaN element drives scale to NaN, and NaN > 0
+        # is TRUE under Spark's NaN ordering — without the isnan
+        # term the ANSI NaN→tinyint cast would fail the job. Such
+        # rows store zeros and keep their NaN scale, so dequantized
+        # scoring yields NaN and they lose every ranking — exactly
+        # the float artifact's behavior for NaN vectors.
+        q_ok = (F.col("scale") > 0) & ~F.isnan(F.col("scale"))
+        qvec = F.when(
+            q_ok,
+            F.transform(
+                F.col("vec"),
+                lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+            ),
+        ).otherwise(
+            F.transform(F.col("vec"), lambda x: F.lit(0).cast("tinyint"))
+        )
+        assigned = (
+            assigned.withColumn("scale", scale)
+            .withColumn("qvec", qvec)
+            .withColumn("norm", l2_norm(_dequant_int8(F.col("qvec"), F.col("scale"))))
+            .drop("vec")
+        )
+    else:
+        assigned = assigned.withColumn("norm", l2_norm(F.col("vec")))
     reparted = (
         assigned.repartition(num_partitions, "centroid_id") if num_partitions
         else assigned.repartition("centroid_id")
@@ -512,6 +574,7 @@ def append_ivf_index(
         vec_col,
         assign_kernel or meta.get("assign_kernel", "expr"),
         "append",
+        store_dtype=meta.get("store_dtype", "float64"),
     )
     meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
     _write_meta(spark, path, meta, "overwrite")
@@ -558,12 +621,20 @@ def retrain_ivf_index(
     from it until the caller swaps paths — the blue/green cutover a
     100 TB index needs (FAISS retrains the same way: new quantizer,
     full re-add). ``n_centroids`` defaults to the source's. Returns
-    the new artifact's metadata."""
+    the new artifact's metadata. Retraining an ``int8`` artifact
+    trains and re-assigns on the dequantized vectors (the float
+    originals are gone by design) and keeps the dtype."""
     from workhop2_etl_spark.operators.similarity import fit_centroids
 
     postings, _, meta = load_ivf_index(spark, src_path)
+    store_dtype = meta.get("store_dtype", "float64")
+    vec = (
+        _dequant_int8(F.col("qvec"), F.col("scale"))
+        if store_dtype == "int8"
+        else F.col("vec")
+    )
     corpus = postings.select(
-        F.col("id").alias(meta["id_col"]), F.col("vec").alias("embedding")
+        F.col("id").alias(meta["id_col"]), vec.alias("embedding")
     )
     cents = fit_centroids(
         corpus,
@@ -580,6 +651,7 @@ def retrain_ivf_index(
         id_col=meta["id_col"],
         seed=seed,
         assign_kernel=assign_kernel,
+        store_dtype=store_dtype,
         mode=mode,
     )
 
@@ -815,14 +887,20 @@ def probe_ivf_index(
     twin asserts row equality). Only the |Q| query vectors are
     assigned here (``nprobe`` is the recall knob, as in-session); the
     corpus side is the postings relation as loaded — never
-    re-assigned, never re-normed."""
+    re-assigned, never re-normed. An ``int8`` artifact (metadata
+    ``store_dtype``) rescans with dequantized vectors — scores are
+    approximate within quantization error, cells are exact."""
     if int(meta["dim"]) and centroids and len(centroids[0][1]) != int(meta["dim"]):
         raise ValueError(
             f"centroids disagree with index metadata dim={meta['dim']}"
         )
+    if meta.get("store_dtype", "float64") == "int8":
+        cvec = _dequant_int8(F.col("qvec"), F.col("scale"))
+    else:
+        cvec = F.col("vec")
     c = postings.select(
         F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("__cvec"),
+        cvec.alias("__cvec"),
         F.col("centroid_id"),
         F.col("norm").alias("__cn"),
     )

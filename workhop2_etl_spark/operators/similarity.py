@@ -899,6 +899,17 @@ def fit_centroids(
     from pyspark.ml.functions import array_to_vector
 
     train = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
+    # dirty-row guard: Spark ML's summarizer hard-fails on NaN/Inf
+    # vector values, and one corrupt embedding must not fail (or
+    # skew) a corpus-scale quantizer fit — non-finite vectors train
+    # nothing (they also lose every cosine ranking downstream)
+    train = train.filter(
+        F.col("__v").isNotNull()
+        & F.forall(
+            F.col("__v"),
+            lambda x: ~F.isnan(x) & (F.abs(x) < F.lit(float("inf"))),
+        )
+    )
     if sample_fraction is not None:
         train = train.sample(fraction=sample_fraction, seed=seed)
     train = train.select(array_to_vector(F.col("__v")).alias("features"))

@@ -113,6 +113,7 @@ def ingest_epoch(
             "overwrite",
             data_dir=staging,
             num_partitions=partitions_per_epoch,
+            store_dtype=meta.get("store_dtype", "float64"),
         )
 
     staged = sorted(

@@ -629,6 +629,87 @@ def v11_ivf_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v12: the int8-QUANTIZED persisted index — storage-side scalar
+# quantization (FAISS SQ8's role): postings store array<tinyint> +
+# one double scale per vector (~3× smaller on the fixture, measured),
+# cells assign on the FLOAT vectors, probes rescore on the
+# dequantized values. The oracle reproduces the quantization itself
+# in SQL — scale = max|x|/127, q = round(x/scale) (both engines
+# round half-away-from-zero), dequant = q·scale — then runs the same
+# single-shot IVF search on the dequantized corpus, so a green
+# verdict proves the STORED LOW-PRECISION VALUES are cross-engine
+# reproducible, not merely close. Zero-vector guard mirrors the
+# operator: scale 0 stores zeros.
+# ---------------------------------------------------------------------------
+def _dequant_sql(v: str) -> str:
+    scale = f"(list_max([abs({v}[i]) FOR i IN range(1, {DIM} + 1)]) / 127.0)"
+    return (
+        f"CASE WHEN {scale} > 0 THEN "
+        f"[round({v}[i] / {scale})::TINYINT::DOUBLE * {scale} "
+        f"FOR i IN range(1, {DIM} + 1)] "
+        f"ELSE [0.0 FOR i IN range(1, {DIM} + 1)] END"
+    )
+
+
+@query(
+    "v12_topk_ivf_int8_index",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, {_dequant_sql('v')} AS dv, cid
+              FROM scored_c WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid
+          FROM scored_c WHERE rn <= {NPROBE} AND vec_id % 55 = 0),
+    c2 AS (SELECT vec_id AS neighbor_id, dv AS cv, cid FROM cells),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM q JOIN c2 USING (cid)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v12_topk_ivf_int8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.suite import io_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    path = io_dir("v12_ivf_int8_index")
+    IDX.save_ivf_index(
+        emb, path, centroids, dim=DIM, store_dtype="int8", mode="overwrite"
+    )
+    postings, cents, meta = IDX.load_ivf_index(
+        spark, path, dim=DIM, n_centroids=N_CENTROIDS
+    )
+    queries = emb.filter(F.col("vec_id") % 55 == 0)
+    return IDX.probe_ivf_index(
+        postings, cents, meta, queries, k=K, nprobe=NPROBE
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # d9: semantic dedup (SemDeDup-style) — cluster embeddings into IVF
 # cells (the same deterministic modulo-seed centroid set as v5; a
 # production run swaps in operators/similarity.py::fit_centroids),
