@@ -113,6 +113,7 @@ HEADLINE = [
     "v9_topk_lsh_persisted_index",
     "v10_topk_ivf_persisted_index",
     "v11_ivf_index_health",
+    "v12_topk_ivf_int8_index",
     "st13_streaming_index_ingest",
 ]
 

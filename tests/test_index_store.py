@@ -379,6 +379,52 @@ def test_ivf_index_int8_quantized(spark):
     assert IDX.probe_ivf_index(pod, cd, lmd, queries, k=3, nprobe=2).count() > 0
 
 
+def test_lsh_index_int8_quantized(spark):
+    """store_dtype='int8' on the multi-table LSH index: buckets are
+    identical to the float index (signing runs on floats), probes
+    agree at ≥0.9, the artifact is smaller despite the L-way vector
+    duplication, and appends inherit the dtype from metadata."""
+    import os as _os
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+
+    p8, pf = _tmp("lsh_int8"), _tmp("lsh_f64")
+    m8 = IDX.save_lsh_index(emb, p8, dim=DIM, num_planes=6, num_tables=8,
+                            store_dtype="int8", mode="overwrite")
+    IDX.save_lsh_index(emb, pf, dim=DIM, num_planes=6, num_tables=8,
+                       mode="overwrite")
+    assert m8["store_dtype"] == "int8"
+
+    i8, lm8 = IDX.load_lsh_index(spark, p8)
+    if_, lmf = IDX.load_lsh_index(spark, pf)
+    assert {"qvec", "scale"} <= set(i8.columns) and "vec" not in i8.columns
+    b8 = {(r.id, r.table_id, r.sig)
+          for r in i8.select("id", "table_id", "sig").collect()}
+    bf = {(r.id, r.table_id, r.sig)
+          for r in if_.select("id", "table_id", "sig").collect()}
+    assert b8 == bf
+
+    r8 = {(r.query_id, r.neighbor_id) for r in IDX.probe_lsh_index(
+        i8, lm8, queries, k=3).collect()}
+    rf = {(r.query_id, r.neighbor_id) for r in IDX.probe_lsh_index(
+        if_, lmf, queries, k=3).collect()}
+    assert len(r8 & rf) / len(rf) >= 0.9 and rf
+
+    def du(p):
+        return sum(
+            _os.path.getsize(_os.path.join(dp, f))
+            for dp, _, fs in _os.walk(p) for f in fs
+        )
+    assert du(f"{p8}/index") < 0.6 * du(f"{pf}/index")
+
+    before = i8.count()
+    IDX.append_lsh_index(emb.limit(5), p8)
+    i8b, _ = IDX.load_lsh_index(spark, p8)
+    assert i8b.count() == before + 5 * 8
+    assert "qvec" in i8b.columns
+
+
 def test_retrain_ivf_index_blue_green(spark):
     """retrain_ivf_index rebuilds a drifted index under a freshly
     KMeans-trained quantizer into a NEW path: every posting survives

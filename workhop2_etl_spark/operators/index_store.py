@@ -140,9 +140,17 @@ def save_lsh_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sig_kernel: str = "blas",
+    store_dtype: str = "float64",
     mode: str = "error",
 ) -> dict:
     """Sign the corpus and persist the index relation at ``path``.
+
+    ``store_dtype='int8'`` stores symmetric per-vector-quantized
+    vectors (see ``save_ivf_index``) — here the win compounds,
+    because the relation materializes the vector once per TABLE row
+    (``num_tables``-way duplication); signing always runs on floats,
+    probe rescoring dequantizes (approximate within quantization
+    error, buckets exact).
 
     One shuffle total: the signed rows repartition+sort by
     (table_id, sig) before the parquet write, so each file's row
@@ -157,7 +165,7 @@ def save_lsh_index(
     """
     _write_signed(
         corpus, path, dim, num_planes, num_tables, id_col, vec_col,
-        sig_kernel, mode,
+        sig_kernel, mode, store_dtype=store_dtype,
     )
     meta = {
         "kind": _LSH_KIND,
@@ -166,6 +174,7 @@ def save_lsh_index(
         "num_planes": num_planes,
         "num_tables": num_tables,
         "sig_kernel": sig_kernel,
+        "store_dtype": store_dtype,
         "id_col": id_col,
         "plane_scheme": "md5(plane:dim)[:8]/2^31 - 1",
         "epoch": 0,
@@ -186,17 +195,50 @@ def _write_signed(
     mode: str,
     data_dir: str | None = None,
     num_partitions: int | None = None,
+    store_dtype: str = "float64",
 ) -> None:
     if sig_kernel not in ("expr", "blas"):
         raise ValueError(f"sig_kernel must be 'expr' or 'blas', got {sig_kernel!r}")
+    if store_dtype not in ("float64", "int8"):
+        raise ValueError(
+            f"store_dtype must be 'float64' or 'int8', got {store_dtype!r}"
+        )
     signatures = (
         with_multitable_signatures if sig_kernel == "expr"
         else with_multitable_signatures_blas
     )
+    base = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    if store_dtype == "int8":
+        # the LSH relation stores the vector once per TABLE row (×L
+        # redundancy), so quantized storage compounds: ~8× smaller
+        # elements × the L-way duplication. Signing always runs on
+        # the float vector (bucket choice is never quantized); the
+        # quantization itself is the IVF path's, see
+        # _write_ivf_postings.
+        scale = F.aggregate(
+            F.transform(F.col("vec"), F.abs),
+            F.lit(0.0),
+            lambda acc, v: F.greatest(acc, v),
+        ) / F.lit(127.0)
+        q_ok = (F.col("scale") > 0) & ~F.isnan(F.col("scale"))
+        qvec = F.when(
+            q_ok,
+            F.transform(
+                F.col("vec"),
+                lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+            ),
+        ).otherwise(
+            F.transform(F.col("vec"), lambda x: F.lit(0).cast("tinyint"))
+        )
+        base = (
+            base.withColumn("scale", scale)
+            .withColumn("qvec", qvec)
+            .withColumn("norm", l2_norm(_dequant_int8(F.col("qvec"), F.col("scale"))))
+        )
+    else:
+        base = base.withColumn("norm", l2_norm(F.col("vec")))
     signed = signatures(
-        corpus.select(
-            F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-        ).withColumn("norm", l2_norm(F.col("vec"))),
+        base,
         "vec",
         dim,
         num_planes,
@@ -204,6 +246,8 @@ def _write_signed(
         table_col="table_id",
         sig_col="sig",
     )
+    if store_dtype == "int8":
+        signed = signed.drop("vec")
     keys = ["table_id", "sig"]
     reparted = (
         signed.repartition(num_partitions, *keys) if num_partitions
@@ -251,6 +295,7 @@ def append_lsh_index(
         vec_col,
         sig_kernel or meta["sig_kernel"],
         "append",
+        store_dtype=meta.get("store_dtype", "float64"),
     )
     meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
     _write_meta(spark, path, meta, "overwrite")
@@ -294,7 +339,9 @@ def probe_lsh_index(
     The corpus side is the index relation as loaded (never re-signed,
     never re-normed); only the |Q| query vectors are signed here, with
     the expression kernel — signatures are kernel-independent by the
-    documented sign-identity, and |Q| is small by contract."""
+    documented sign-identity, and |Q| is small by contract. An
+    ``int8`` artifact rescans with dequantized vectors — scores are
+    approximate within quantization error, buckets are exact."""
     q = with_multitable_signatures(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
@@ -306,9 +353,13 @@ def probe_lsh_index(
         table_col="__qt",
         sig_col="__qsig",
     )
+    if meta.get("store_dtype", "float64") == "int8":
+        cvec = _dequant_int8(F.col("qvec"), F.col("scale"))
+    else:
+        cvec = F.col("vec")
     c = index.select(
         F.col("id").alias("neighbor_id"),
-        F.col("vec").alias("__cvec"),
+        cvec.alias("__cvec"),
         F.col("norm").alias("__cn"),
         F.col("table_id").alias("__ct"),
         F.col("sig").alias("__csig"),

@@ -100,6 +100,7 @@ def ingest_epoch(
             "overwrite",
             data_dir=staging,
             num_partitions=partitions_per_epoch,
+            store_dtype=meta.get("store_dtype", "float64"),
         )
     else:  # _IVF_POSTINGS_KIND (guaranteed by _read_meta_any_kind)
         centroids = _read_centroid_rows(spark, f"{index_path}/centroids", meta)
