@@ -89,6 +89,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # r09 kernel changes, archived as VERIFYLOCAL_r09.jsonl (r08 verdict
 # ask #2 — the out-of-window greens are now a committed artifact,
 # not an assertion).
+# Not in this window: v13_topk_ivf_pq (IVF-PQ search, landed at the
+# very end of r09 with the window already composed at its exactly-50
+# spec above) — it holds a fresh local oracle green in
+# VERIFYLOCAL_r09.jsonl and, as the only never-driver-verified query,
+# is the r10 window HEAD by the maintained ordering (never-verified >
+# kernel-changed > oldest green).
 # Deferred to a same-kernel in-window sibling: v1/v6 → v8+v9
 # (same similarity.py; their functions are untouched by the r09
 # probe refactor, and v8 exercises the extracted probe directly),

@@ -114,6 +114,7 @@ HEADLINE = [
     "v10_topk_ivf_persisted_index",
     "v11_ivf_index_health",
     "v12_topk_ivf_int8_index",
+    "v13_topk_ivf_pq",
     "st13_streaming_index_ingest",
 ]
 

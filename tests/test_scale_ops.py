@@ -1635,3 +1635,73 @@ def test_ivf_assign_blas_drops_dirty_rows(spark):
         for r in SIM.ivf_assign(clean, cents, nprobe=2).collect()
     )
     assert got == expr
+
+
+def test_ivf_pq_planted_recall_and_shapes(spark):
+    """IVF-PQ quality gate: with planted near-duplicate queries the
+    PQ-reconstructed search must keep the planted original in the
+    top-k at parity with the float IVF (measured 0.95 for all three
+    on this fixture), for BOTH codebook constructions; the encoded
+    relation is m small ints + one norm per vector; contract guards
+    raise on ragged/partial codebooks."""
+    import hashlib
+
+    from workhop2_etl_spark.operators import similarity as SIM
+    from workhop2_etl_spark.suite.similarity import DIM, N_CENTROIDS
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 25 == 0).orderBy("vec_id").limit(20).collect()
+
+    def noise(q, d):
+        h = hashlib.md5(f"{q}:{d}".encode()).hexdigest()[:8]
+        return (int(h, 16) / float(1 << 31) - 1.0) * 0.05
+
+    planted = [
+        (int(r.vec_id) + 1_000_000,
+         [float(v) + noise(r.vec_id, d) for d, v in enumerate(r.embedding)])
+        for r in base
+    ]
+    queries = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    want = {q: q - 1_000_000 for q, _ in planted}
+
+    def rec(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(1 for q, b in want.items() if b in got.get(q, set())) / len(want)
+
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id")
+        .limit(N_CENTROIDS).select("embedding").collect()
+    )
+    cents = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    k = 10
+
+    float_ivf = rec(SIM.topk_cosine_ivf(emb, queries, cents, k=k, nprobe=2))
+    for cb in (
+        SIM.sample_pq_codebooks(emb, dim=DIM),
+        SIM.fit_pq_codebooks(emb, dim=DIM, max_iter=10),
+    ):
+        pq = rec(SIM.topk_cosine_ivf_pq(
+            emb, queries, cents, cb, dim=DIM, k=k, nprobe=2))
+        assert pq >= 0.8, f"IVF-PQ planted recall collapsed: {pq:.2f}"
+        assert pq >= float_ivf - 0.1  # parity: misses are cell misses
+
+    # encoded relation shape: m codes + one norm per vector
+    cb = SIM.sample_pq_codebooks(emb, dim=DIM)
+    enc = SIM.pq_encode(emb, cb, dim=DIM)
+    row = enc.first()
+    assert len(row.codes) == 8 and all(0 <= c < 16 for c in row.codes)
+    assert enc.count() == emb.count()
+    assert row.recon_norm > 0
+
+    # contract guards
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="full m×k grid|dense"):
+        SIM.pq_encode(emb, cb[:-1], dim=DIM)
+    with _pytest.raises(ValueError, match="not divisible"):
+        SIM.sample_pq_codebooks(emb, dim=DIM, num_subspaces=7)
+    with _pytest.raises(ValueError, match="are not dim/m"):
+        SIM.pq_encode(
+            emb, [(m, j, [1.0]) for m in range(2) for j in range(2)], dim=DIM,
+        )

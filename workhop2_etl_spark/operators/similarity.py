@@ -918,3 +918,228 @@ def fit_centroids(
         (i, [float(x) for x in center])
         for i, center in enumerate(model.clusterCenters())
     ]
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — FAISS IVFPQ's storage model, Spark-shaped
+# ---------------------------------------------------------------------------
+
+
+def sample_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    modulo: int = 29,
+) -> list[tuple[int, int, list[float]]]:
+    """Deterministic PQ codebooks: codeword (m, j) is the m-th
+    subvector of the j-th modulo-sampled corpus row (``vec_id %
+    modulo == 0``, ordered, first ``codes_per_subspace`` rows) —
+    the same bounded-driver-side construction the suite's IVF
+    centroids use, chosen so a SQL oracle can rebuild the identical
+    codebooks and therefore the identical codes. A production run
+    swaps in per-subspace KMeans (``fit_pq_codebooks``); the
+    operator contract is just the (m, j, subvector) list."""
+    if dim % num_subspaces:
+        raise ValueError(f"dim={dim} not divisible by m={num_subspaces}")
+    dsub = dim // num_subspaces
+    rows = (
+        df.filter(F.col(id_col) % modulo == 0)
+        .orderBy(id_col)
+        .limit(codes_per_subspace)
+        .select(vec_col)
+        .collect()
+    )
+    return [
+        (m, j, [float(x) for x in r[0][m * dsub:(m + 1) * dsub]])
+        for m in range(num_subspaces)
+        for j, r in enumerate(rows)
+    ]
+
+
+def fit_pq_codebooks(
+    df: DataFrame,
+    dim: int,
+    num_subspaces: int = 8,
+    codes_per_subspace: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+    sample_fraction: float | None = None,
+) -> list[tuple[int, int, list[float]]]:
+    """Trained PQ codebooks: seeded Spark ML KMeans per SUBSPACE over
+    the corpus's subvectors (the standard PQ training loop — FAISS
+    does exactly this on a sample). ``num_subspaces`` bounded driver
+    loops, each a distributed fit; only m×k codewords return to the
+    driver. Same (m, j, subvector) shape as the deterministic
+    sampler."""
+    if dim % num_subspaces:
+        raise ValueError(f"dim={dim} not divisible by m={num_subspaces}")
+    dsub = dim // num_subspaces
+    out: list[tuple[int, int, list[float]]] = []
+    for m in range(num_subspaces):
+        sub = df.select(
+            F.slice(F.col(vec_col), m * dsub + 1, dsub).alias("embedding")
+        )
+        cents = fit_centroids(
+            sub,
+            codes_per_subspace,
+            seed=seed + m,
+            max_iter=max_iter,
+            sample_fraction=sample_fraction,
+        )
+        out.extend((m, j, vec) for j, vec in cents)
+    return out
+
+
+def _pq_codebook_relation(spark: SparkSession, codebooks, dim: int):
+    """(one-row broadcastable relation with the sorted (m, j, c)
+    struct array, m, k, dsub) — shared by encode and decode. The
+    array is sorted by (m, j), so subspace m's codewords are the
+    contiguous run [m·k+1, k] and codeword (m, j) is element
+    m·k+j+1 — O(1) lookups, plan size flat in m×k (same rationale
+    as with_hyperplane_signature's broadcast planes)."""
+    ms = sorted({m for m, _, _ in codebooks})
+    js = sorted({j for _, j, _ in codebooks})
+    num_subspaces, k = len(ms), len(js)
+    if ms != list(range(num_subspaces)) or js != list(range(k)):
+        raise ValueError("codebooks must cover dense (m, j) index grids")
+    if len(codebooks) != num_subspaces * k:
+        raise ValueError(
+            f"codebooks must be a full m×k grid, got {len(codebooks)} entries"
+        )
+    dsub = dim // num_subspaces
+    bad = [(m, j) for m, j, c in codebooks if len(c) != dsub]
+    if bad:
+        raise ValueError(f"codewords {bad} are not dim/m = {dsub} long")
+    cb = spark.createDataFrame(
+        [(int(m), int(j), [float(x) for x in c]) for m, j, c in codebooks],
+        "m int, j int, c array<double>",
+    )
+    one = cb.agg(
+        F.sort_array(F.collect_list(F.struct("m", "j", "c"))).alias("__cb")
+    )
+    return one, num_subspaces, k, dsub
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    norm_col: str = "recon_norm",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """PQ-encode every vector: ``codes[m] = argmin_j ‖x_m − c_mj‖²``
+    (squared-L2 per subspace, ties to the smallest code id — the
+    textbook PQ assignment), plus the RECONSTRUCTION's L2 norm so a
+    cosine probe over codes is internally consistent. Output is
+    (id, codes array<int>, recon_norm) — ``m`` small ints per vector
+    instead of ``dim`` doubles: at m=8 that is 8 codes + 1 norm vs 64
+    doubles, the storage model that makes 100 TB embedding search
+    affordable (FAISS IVFPQ). Distances fold sequentially in float64,
+    so codes are reproducible cross-engine."""
+    spark = df.sparkSession
+    one, num_subspaces, k, dsub = _pq_codebook_relation(spark, codebooks, dim)
+
+    def sub_dist(cw):
+        # ‖x_m − c‖² with x_m = slice(vec, m·dsub+1, dsub); fold is
+        # sequential over the subspace elements
+        return F.aggregate(
+            F.zip_with(
+                F.slice(F.col(vec_col), cw["m"] * dsub + 1, dsub),
+                cw["c"],
+                lambda x, c: (x.cast("double") - c) * (x.cast("double") - c),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(num_subspaces - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.slice(F.col("__cb"), m * k + 1, k),
+                lambda cw: F.struct(sub_dist(cw).alias("d"), cw["j"].alias("j")),
+            )
+        )["j"],
+    )
+    staged = (
+        df.crossJoin(F.broadcast(one))
+        .withColumn(codes_col, codes)
+        .withColumn(norm_col, l2_norm(pq_decode(F.col(codes_col), "__cb", k)))
+    )
+    return staged.select(
+        F.col(id_col), F.col(codes_col), F.col(norm_col),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
+def pq_decode(codes, cb_col, k: int):
+    """Reconstruction expression: concatenate the chosen codewords
+    (codeword (m, j) is element m·k+j+1 of the sorted struct array).
+    Usable anywhere the codebook relation is in scope."""
+    cb = F.col(cb_col) if isinstance(cb_col, str) else cb_col
+    idx = F.transform(
+        codes, lambda j, m: F.element_at(cb, m * F.lit(k) + j + 1)["c"]
+    )
+    return F.flatten(idx)
+
+
+def topk_cosine_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    dim: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    nprobe: int = 1,
+    assign_kernel: str = "expr",
+) -> DataFrame:
+    """IVF-PQ ANN search: IVF cells bound the candidate set (exactly
+    ``topk_cosine_ivf``'s equi-join — shuffle ∝ probed-cell
+    populations, never n×|Q|), and candidates score against their PQ
+    RECONSTRUCTIONS — the corpus side carries only (codes,
+    recon_norm, centroid_id), never the original vectors, so the
+    search's working set is the PQ-compressed one. Queries stay
+    float (asymmetric distance — the standard, higher-recall PQ
+    configuration). Reconstruction + the sequential cosine fold make
+    scores cross-engine reproducible; the probe itself is the shared
+    ``_ivf_probe``."""
+    if assign_kernel not in ("expr", "blas"):
+        raise ValueError(
+            f"assign_kernel must be 'expr' or 'blas', got {assign_kernel!r}"
+        )
+    spark = corpus.sparkSession
+    one, num_subspaces, kk, dsub = _pq_codebook_relation(spark, codebooks, dim)
+    corpus_assign = ivf_assign if assign_kernel == "expr" else ivf_assign_blas
+    enc = pq_encode(
+        corpus_assign(corpus, centroids, id_col, vec_col),
+        codebooks,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=("centroid_id",),
+    )
+    c = (
+        enc.crossJoin(F.broadcast(one))
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            pq_decode(F.col("codes"), "__cb", kk).alias("__cvec"),
+            F.col("centroid_id"),
+            F.col("recon_norm").alias("__cn"),
+        )
+    )
+    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("centroid_id"),
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
+    return _ivf_probe(c, q, k=k, round_digits=round_digits)

@@ -710,6 +710,109 @@ def v12_topk_ivf_int8_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v13: IVF-PQ search — FAISS IVFPQ's storage model end to end. The
+# corpus side carries only PQ codes (m=8 small ints) + the
+# reconstruction norm — never the original vectors; candidates come
+# from the same IVF cell equi-join as v5/v7/v10 and score against
+# their reconstructions (asymmetric distance: float queries). The
+# codebooks here are the DETERMINISTIC sample construction
+# (operators/similarity.py::sample_pq_codebooks — codeword (m, j) =
+# the m-th subvector of the j-th modulo-sampled corpus row) so the
+# oracle can rebuild the identical codebooks, re-derive the identical
+# codes (sequential squared-L2 folds, ties to the smallest code id),
+# reconstruct the identical vectors, and reproduce every score to
+# the rounded digit — the whole lossy-compression pipeline is
+# cross-engine bit-reproducible, not merely close. fit_pq_codebooks
+# (per-subspace seeded KMeans) is the production construction,
+# recall-gated in tests/test_scale_ops.py.
+# ---------------------------------------------------------------------------
+_PQ_M = 8
+_PQ_K = 16
+_PQ_DSUB = DIM // _PQ_M
+
+
+def _pq_sq_dist_sql(m: str, v: str, c: str) -> str:
+    """Σ_i (v[m·dsub+i] − c[i])², sequential fold — Spark's
+    pq_encode sub_dist twin."""
+    return (
+        f"list_reduce([({v}[{m} * {_PQ_DSUB} + i]::DOUBLE - {c}[i]::DOUBLE)"
+        f" * ({v}[{m} * {_PQ_DSUB} + i]::DOUBLE - {c}[i]::DOUBLE)"
+        f" FOR i IN range(1, {_PQ_DSUB} + 1)], (x, y) -> x + y)"
+    )
+
+
+@query(
+    "v13_topk_ivf_pq",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    cbrows AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS bv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    cb AS (
+      SELECT ms.m, cbrows.j,
+             [bv[i] FOR i IN range(ms.m * {_PQ_DSUB} + 1, ms.m * {_PQ_DSUB} + {_PQ_DSUB} + 1)] AS c
+      FROM cbrows CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) ms
+    ),
+    enc AS (
+      SELECT e.vec_id, b.m, b.j,
+             row_number() OVER (PARTITION BY e.vec_id, b.m
+                                ORDER BY {_pq_sq_dist_sql('b.m', 'e.embedding', 'b.c')} ASC, b.j) AS rn
+      FROM embeddings e CROSS JOIN cb b
+    ),
+    recon AS (
+      SELECT enc.vec_id, flatten(list(b2.c ORDER BY enc.m)) AS rv
+      FROM enc JOIN cb b2 ON enc.m = b2.m AND enc.j = b2.j
+      WHERE enc.rn = 1 GROUP BY enc.vec_id
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT s.vec_id, r.rv, s.cid
+              FROM scored_c s JOIN recon r USING (vec_id) WHERE s.rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid
+          FROM scored_c WHERE rn <= {NPROBE} AND vec_id % 65 = 0),
+    c2 AS (SELECT vec_id AS neighbor_id, rv AS cv, cid FROM cells),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM q JOIN c2 USING (cid)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v13_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    codebooks = SIM.sample_pq_codebooks(
+        emb, dim=DIM, num_subspaces=_PQ_M, codes_per_subspace=_PQ_K
+    )
+    queries = emb.filter(F.col("vec_id") % 65 == 0)
+    return SIM.topk_cosine_ivf_pq(
+        emb, queries, centroids, codebooks, dim=DIM, k=K, nprobe=NPROBE
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # d9: semantic dedup (SemDeDup-style) — cluster embeddings into IVF
 # cells (the same deterministic modulo-seed centroid set as v5; a
 # production run swaps in operators/similarity.py::fit_centroids),
