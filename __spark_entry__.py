@@ -34,7 +34,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # green; the r08 window below follows the r08-head report output and
 # the r07 verdict's ask #1 verbatim (rotate the entire 44-query
 # r04-latest cohort — the whole remaining staleness tail).
-# Round-9 window composition (exactly 50):
+# Round-9 window composition (exactly 50 — net: 5 never-verified
+# v9/v10/v11/v12/st13 + 3 kernel-changed v8/m10/f6 + the entire
+# 42-query r05 cohort; details below):
 # (a) 3 never-driver-verified queries: v9_topk_lsh_persisted_index
 #     (NEW this round — the persisted ANN index lifecycle: BLAS-sign
 #     → save parquet+metadata → load with drift guards → probe the
