@@ -425,6 +425,75 @@ def test_lsh_index_int8_quantized(spark):
     assert "qvec" in i8b.columns
 
 
+def test_ivf_index_pq8_lifecycle(spark):
+    """store_dtype='pq8': the artifact stores PQ codes + recon norm
+    with the codebooks riding inside; a loaded probe is row-identical
+    to the in-session topk_cosine_ivf_pq; build-half-then-append-half
+    equals single-shot; stream ingest and retrain keep the tier and
+    codebooks; a corrupt codebook dir fails loudly."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+    cb = SIM.sample_pq_codebooks(emb, dim=DIM)
+
+    path = _tmp("ivf_pq8")
+    meta = IDX.save_ivf_index(emb, path, cents, dim=DIM, store_dtype="pq8",
+                              codebooks=cb, mode="overwrite")
+    assert (meta["store_dtype"], meta["pq_m"], meta["pq_k"]) == ("pq8", 8, 16)
+
+    postings, loaded_cents, lmeta = IDX.load_ivf_index(spark, path)
+    assert {"codes", "norm"} <= set(postings.columns)
+    assert "vec" not in postings.columns
+    assert sorted(lmeta["_codebooks"]) == sorted(cb)
+    got = sorted(map(tuple, IDX.probe_ivf_index(
+        postings, loaded_cents, lmeta, queries, k=3, nprobe=2).collect()))
+    want = sorted(map(tuple, SIM.topk_cosine_ivf_pq(
+        emb, queries, cents, cb, dim=DIM, k=3, nprobe=2).collect()))
+    assert got == want and got
+
+    # half + append ≡ single-shot (codes re-derived under the
+    # artifact's own persisted codebooks)
+    grown = _tmp("ivf_pq8_grown")
+    IDX.save_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), grown, cents,
+                       dim=DIM, store_dtype="pq8", codebooks=cb,
+                       mode="overwrite")
+    IDX.append_ivf_index(emb.filter(F.col("vec_id") % 2 == 1), grown)
+    gp, gc, gm = IDX.load_ivf_index(spark, grown)
+    grown_probe = sorted(map(tuple, IDX.probe_ivf_index(
+        gp, gc, gm, queries, k=3, nprobe=2).collect()))
+    assert grown_probe == got
+
+    # stream ingest honors the tier
+    from workhop2_etl_spark.streaming import index_stream as IS
+    before = gp.count()
+    IS.ingest_epoch(spark, emb.limit(7), 0, grown)
+    gp2, _, _ = IDX.load_ivf_index(spark, grown)
+    assert gp2.count() == before + 7 and "codes" in gp2.columns
+
+    # retrain keeps the tier and the codebooks
+    dst = _tmp("ivf_pq8_retrained")
+    new_meta = IDX.retrain_ivf_index(spark, path, dst, seed=7, max_iter=5,
+                                     mode="overwrite")
+    assert new_meta["store_dtype"] == "pq8"
+    rp, rc, rm = IDX.load_ivf_index(spark, dst)
+    assert sorted(rm["_codebooks"]) == sorted(cb)
+    assert rp.count() == emb.count()
+    assert IDX.probe_ivf_index(rp, rc, rm, queries, k=3, nprobe=2).count() > 0
+
+    # corrupt codebooks fail loudly at load
+    import shutil
+    shutil.rmtree(f"{path}/codebooks")
+    IDX._write_codebook_rows(spark, cb[:64], DIM, f"{path}/codebooks",
+                             "overwrite")
+    with pytest.raises(ValueError, match="partial or corrupt"):
+        IDX.load_ivf_index(spark, path)
+
+    # pq8 without codebooks refused at save
+    with pytest.raises(ValueError, match="requires codebooks"):
+        IDX.save_ivf_index(emb, _tmp("pq8_bad"), cents, dim=DIM,
+                           store_dtype="pq8", mode="overwrite")
+
+
 def test_retrain_ivf_index_blue_green(spark):
     """retrain_ivf_index rebuilds a drifted index under a freshly
     KMeans-trained quantizer into a NEW path: every posting survives

@@ -53,9 +53,12 @@ from pyspark.sql import functions as F
 from workhop2_etl_spark.operators.similarity import (
     _ivf_probe,
     _multitable_probe,
+    _pq_codebook_relation,
     ivf_assign,
     ivf_assign_blas,
     l2_norm,
+    pq_decode,
+    pq_encode,
     with_multitable_signatures,
     with_multitable_signatures_blas,
 )
@@ -69,7 +72,8 @@ _IVF_POSTINGS_KIND = "ivf-postings"
 _META_SCHEMA = (
     "kind string, version int, dim int, num_planes int, num_tables int,"
     " sig_kernel string, assign_kernel string, id_col string, seed long,"
-    " n_centroids int, plane_scheme string, epoch int, store_dtype string"
+    " n_centroids int, plane_scheme string, epoch int, store_dtype string,"
+    " pq_m int, pq_k int"
 )
 
 
@@ -464,20 +468,32 @@ def save_ivf_index(
     seed: int | None = None,
     assign_kernel: str = "blas",
     store_dtype: str = "float64",
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
     mode: str = "error",
 ) -> dict:
     """Assign the corpus under ``centroids`` and persist the full IVF
     index — posting lists AND the quantizer — as ONE artifact.
 
-    ``store_dtype='int8'`` stores symmetric per-vector-quantized
-    vectors (array<tinyint> + one double scale) instead of float64 —
-    ~8× less vector storage, the knob that matters when the INDEX
-    for a 100 TB embedding corpus has to fit a disk budget (FAISS's
-    SQ8 quantizer). Cell assignment always runs on the float
-    vectors; only storage and probe-time scoring see quantization,
-    so probes are approximate within quantization error (recall
-    bound pytest-asserted) while the artifact remains fully
-    self-describing — the probe reads the dtype from metadata.
+    ``store_dtype`` picks the storage tier, recorded in metadata so
+    probes, appends, stream ingest, and retrain are self-describing:
+
+    * ``'float64'`` — exact vectors (the oracle-reproducible tier);
+    * ``'int8'`` — symmetric per-vector scalar quantization
+      (array<tinyint> + one double scale), ~8× less vector storage
+      (FAISS SQ8);
+    * ``'pq8'`` — product quantization (requires ``codebooks`` from
+      ``sample_pq_codebooks``/``fit_pq_codebooks``): m small ints +
+      one reconstruction norm per vector — the FAISS-IVFPQ model,
+      the tier that makes a 100 TB embedding corpus's index fit a
+      disk budget. The codebooks are persisted INSIDE the artifact
+      (codes are only meaningful under the codebooks that produced
+      them — same rationale as the riding coarse quantizer).
+
+    Cell assignment always runs on the float vectors; only storage
+    and probe-time scoring see quantization, so quantized probes are
+    approximate within (de)quantization error — recall bounds
+    pytest-asserted, and the quantization arithmetic itself is
+    oracle-proven cross-engine (v12/v13).
 
     ``save_centroids`` persists only the trained quantizer; every
     later session still re-assigns the whole corpus per run (a full
@@ -500,7 +516,7 @@ def save_ivf_index(
     spark = corpus.sparkSession
     _write_ivf_postings(
         corpus, path, centroids, id_col, vec_col, assign_kernel, mode,
-        store_dtype=store_dtype,
+        store_dtype=store_dtype, codebooks=codebooks, dim=dim,
     )
     _write_centroid_rows(spark, centroids, dim, f"{path}/centroids", mode)
     meta = {
@@ -513,6 +529,11 @@ def save_ivf_index(
         "store_dtype": store_dtype,
         "epoch": 0,
     }
+    if store_dtype == "pq8":
+        ms = {m for m, _, _ in codebooks}
+        js = {j for _, j, _ in codebooks}
+        meta["pq_m"], meta["pq_k"] = len(ms), len(js)
+        _write_codebook_rows(spark, codebooks, dim, f"{path}/codebooks", mode)
     if seed is not None:
         meta["seed"] = seed
     _write_meta(spark, path, meta, mode)
@@ -537,15 +558,19 @@ def _write_ivf_postings(
     data_dir: str | None = None,
     num_partitions: int | None = None,
     store_dtype: str = "float64",
+    codebooks: list[tuple[int, int, list[float]]] | None = None,
+    dim: int | None = None,
 ) -> None:
     if assign_kernel not in ("expr", "blas"):
         raise ValueError(
             f"assign_kernel must be 'expr' or 'blas', got {assign_kernel!r}"
         )
-    if store_dtype not in ("float64", "int8"):
+    if store_dtype not in ("float64", "int8", "pq8"):
         raise ValueError(
-            f"store_dtype must be 'float64' or 'int8', got {store_dtype!r}"
+            f"store_dtype must be 'float64', 'int8' or 'pq8', got {store_dtype!r}"
         )
+    if store_dtype == "pq8" and (codebooks is None or dim is None):
+        raise ValueError("store_dtype='pq8' requires codebooks and dim")
     assign = ivf_assign if assign_kernel == "expr" else ivf_assign_blas
     assigned = assign(
         corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
@@ -553,7 +578,14 @@ def _write_ivf_postings(
         id_col="id",
         vec_col="vec",
     )
-    if store_dtype == "int8":
+    if store_dtype == "pq8":
+        # PQ tier: m small ints + one reconstruction norm per vector
+        # (see similarity.pq_encode) — the FAISS-IVFPQ disk model
+        assigned = pq_encode(
+            assigned, codebooks, dim, id_col="id", vec_col="vec",
+            norm_col="norm", keep_cols=("centroid_id",),
+        )
+    elif store_dtype == "int8":
         # symmetric per-vector quantization: scale = max|x|/127, so
         # the full int8 range is used per vector; assignment above
         # ran on the FLOAT vector (cell choice is never quantized).
@@ -601,6 +633,36 @@ def _write_ivf_postings(
     )
 
 
+def _write_codebook_rows(
+    spark: SparkSession,
+    codebooks: list[tuple[int, int, list[float]]],
+    dim: int,
+    data_path: str,
+    mode: str,
+) -> None:
+    # grid validation happens in similarity._pq_codebook_relation at
+    # encode time; persist exactly what encoded the postings
+    spark.createDataFrame(
+        [(int(m), int(j), [float(x) for x in c]) for m, j, c in codebooks],
+        "m int, j int, c array<double>",
+    ).repartition(1).write.mode(mode).parquet(data_path)
+
+
+def _read_codebook_rows(
+    spark: SparkSession, data_path: str, meta: dict
+) -> list[tuple[int, int, list[float]]]:
+    rows = spark.read.parquet(data_path).collect()
+    want = int(meta["pq_m"]) * int(meta["pq_k"])
+    if len(rows) != want:
+        raise ValueError(
+            f"PQ codebook artifact at {data_path} has {len(rows)} rows, "
+            f"metadata says m×k = {want} — partial or corrupt write"
+        )
+    return sorted(
+        (int(r.m), int(r.j), [float(x) for x in r.c]) for r in rows
+    )
+
+
 def append_ivf_index(
     corpus_delta: DataFrame,
     path: str,
@@ -617,6 +679,12 @@ def append_ivf_index(
     spark = corpus_delta.sparkSession
     meta = _read_meta(spark, path, _IVF_POSTINGS_KIND)
     centroids = _read_centroid_rows(spark, f"{path}/centroids", meta)
+    store_dtype = meta.get("store_dtype", "float64")
+    codebooks = (
+        _read_codebook_rows(spark, f"{path}/codebooks", meta)
+        if store_dtype == "pq8"
+        else None
+    )
     _write_ivf_postings(
         corpus_delta,
         path,
@@ -625,7 +693,9 @@ def append_ivf_index(
         vec_col,
         assign_kernel or meta.get("assign_kernel", "expr"),
         "append",
-        store_dtype=meta.get("store_dtype", "float64"),
+        store_dtype=store_dtype,
+        codebooks=codebooks,
+        dim=int(meta["dim"]),
     )
     meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
     _write_meta(spark, path, meta, "overwrite")
@@ -641,12 +711,20 @@ def load_ivf_index(
 ) -> tuple[DataFrame, list[tuple[int, list[float]]], dict]:
     """(postings relation, centroids, metadata) from ``path``; raises
     a descriptive ``ValueError`` on dim / n_centroids / seed drift or
-    a corrupt quantizer (row count != n_centroids, ragged vectors)."""
+    a corrupt quantizer (row count != n_centroids, ragged vectors).
+    For a ``pq8`` artifact the persisted codebooks ride back inside
+    the metadata dict (key ``_codebooks``) so ``probe_ivf_index``
+    can reconstruct without extra plumbing."""
     meta = _read_meta(spark, path, _IVF_POSTINGS_KIND)
     _check_drift(
         path, meta, {"dim": dim, "n_centroids": n_centroids, "seed": seed}
     )
     centroids = _read_centroid_rows(spark, f"{path}/centroids", meta)
+    if meta.get("store_dtype") == "pq8":
+        meta = dict(
+            meta,
+            _codebooks=_read_codebook_rows(spark, f"{path}/codebooks", meta),
+        )
     return spark.read.parquet(f"{path}/index"), centroids, meta
 
 
@@ -672,18 +750,26 @@ def retrain_ivf_index(
     from it until the caller swaps paths — the blue/green cutover a
     100 TB index needs (FAISS retrains the same way: new quantizer,
     full re-add). ``n_centroids`` defaults to the source's. Returns
-    the new artifact's metadata. Retraining an ``int8`` artifact
-    trains and re-assigns on the dequantized vectors (the float
-    originals are gone by design) and keeps the dtype."""
+    the new artifact's metadata. Retraining a quantized artifact
+    trains and re-assigns on the DE-quantized vectors (the float
+    originals are gone by design) and keeps the dtype; a ``pq8``
+    artifact keeps its codebooks too — retrain refits the COARSE
+    quantizer, not the product codebooks (rebuild from the float
+    corpus to refit those)."""
     from workhop2_etl_spark.operators.similarity import fit_centroids
 
     postings, _, meta = load_ivf_index(spark, src_path)
     store_dtype = meta.get("store_dtype", "float64")
-    vec = (
-        _dequant_int8(F.col("qvec"), F.col("scale"))
-        if store_dtype == "int8"
-        else F.col("vec")
-    )
+    if store_dtype == "pq8":
+        one, _, kk, _ = _pq_codebook_relation(
+            spark, meta["_codebooks"], int(meta["dim"])
+        )
+        postings = postings.crossJoin(F.broadcast(one))
+        vec = pq_decode(F.col("codes"), "__cb", kk)
+    elif store_dtype == "int8":
+        vec = _dequant_int8(F.col("qvec"), F.col("scale"))
+    else:
+        vec = F.col("vec")
     corpus = postings.select(
         F.col("id").alias(meta["id_col"]), vec.alias("embedding")
     )
@@ -703,6 +789,7 @@ def retrain_ivf_index(
         seed=seed,
         assign_kernel=assign_kernel,
         store_dtype=store_dtype,
+        codebooks=meta.get("_codebooks"),
         mode=mode,
     )
 
@@ -945,7 +1032,14 @@ def probe_ivf_index(
         raise ValueError(
             f"centroids disagree with index metadata dim={meta['dim']}"
         )
-    if meta.get("store_dtype", "float64") == "int8":
+    store_dtype = meta.get("store_dtype", "float64")
+    if store_dtype == "pq8":
+        one, _, kk, _ = _pq_codebook_relation(
+            postings.sparkSession, meta["_codebooks"], int(meta["dim"])
+        )
+        postings = postings.crossJoin(F.broadcast(one))
+        cvec = pq_decode(F.col("codes"), "__cb", kk)
+    elif store_dtype == "int8":
         cvec = _dequant_int8(F.col("qvec"), F.col("scale"))
     else:
         cvec = F.col("vec")

@@ -103,7 +103,10 @@ def ingest_epoch(
             store_dtype=meta.get("store_dtype", "float64"),
         )
     else:  # _IVF_POSTINGS_KIND (guaranteed by _read_meta_any_kind)
+        from workhop2_etl_spark.operators.index_store import _read_codebook_rows
+
         centroids = _read_centroid_rows(spark, f"{index_path}/centroids", meta)
+        store_dtype = meta.get("store_dtype", "float64")
         _write_ivf_postings(
             batch,
             index_path,
@@ -114,7 +117,13 @@ def ingest_epoch(
             "overwrite",
             data_dir=staging,
             num_partitions=partitions_per_epoch,
-            store_dtype=meta.get("store_dtype", "float64"),
+            store_dtype=store_dtype,
+            codebooks=(
+                _read_codebook_rows(spark, f"{index_path}/codebooks", meta)
+                if store_dtype == "pq8"
+                else None
+            ),
+            dim=int(meta["dim"]),
         )
 
     staged = sorted(
