@@ -30,7 +30,13 @@ or object stores:
   the quantizer that assigned them, as one self-contained artifact —
   postings are only meaningful under their own centroids, so the two
   travel together and a probe can never mix them with a drifted
-  quantizer.
+  quantizer. Three storage tiers (``store_dtype``): exact float64,
+  int8 scalar quantization (FAISS SQ8), and pq8 product quantization
+  (FAISS IVFPQ — codebooks persisted inside the artifact).
+* ``ivf_index_stats`` / ``lsh_index_stats`` — one-row skew/health
+  reports (the retrain signal); ``retrain_ivf_index`` — blue/green
+  rebuild under a freshly-trained coarse quantizer. Streaming
+  ingest lives in streaming/index_stream.py (exactly-once epochs).
 
 Every artifact carries a metadata record (kind, dim, planes, tables,
 sig_kernel / seed, format version) written as a one-row JSON dataset
@@ -79,7 +85,9 @@ _META_SCHEMA = (
 
 def _write_meta(spark: SparkSession, path: str, meta: dict, mode: str) -> None:
     row = {f.split()[0]: None for f in _META_SCHEMA.split(",")}
-    row.update(meta)
+    # only schema fields persist — load-time conveniences like the
+    # in-memory ``_codebooks`` must never leak into the JSON record
+    row.update({k: v for k, v in meta.items() if k in row})
     # repartition(1), NOT coalesce(1): a local-list DataFrame
     # parallelizes into defaultParallelism pickled slices, and
     # coalesce makes ONE task evaluate all of them serially through
