@@ -1705,3 +1705,93 @@ def test_ivf_pq_planted_recall_and_shapes(spark):
         SIM.pq_encode(
             emb, [(m, j, [1.0]) for m in range(2) for j in range(2)], dim=DIM,
         )
+
+
+def test_ivf_pq_adc_matches_reconstruction_scoring(spark):
+    """score_mode='adc' (per-query codeword lookup table, m lookups
+    per pair) must produce the same neighbor sets as reconstruction
+    scoring, with scores equal up to float addition order (the m
+    partials sum in a hash aggregate)."""
+    from workhop2_etl_spark.operators import similarity as SIM
+    from workhop2_etl_spark.suite.similarity import DIM, N_CENTROIDS
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id")
+        .limit(N_CENTROIDS).select("embedding").collect()
+    )
+    cents = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    cb = SIM.sample_pq_codebooks(emb, dim=DIM)
+
+    recon = SIM.topk_cosine_ivf_pq(
+        emb, queries, cents, cb, dim=DIM, k=5, nprobe=2).collect()
+    adc = SIM.topk_cosine_ivf_pq(
+        emb, queries, cents, cb, dim=DIM, k=5, nprobe=2,
+        score_mode="adc").collect()
+
+    rset = {(r.query_id, r.neighbor_id): r.score for r in recon}
+    aset = {(r.query_id, r.neighbor_id): r.score for r in adc}
+    assert set(rset) == set(aset) and rset
+    for pair, s in rset.items():
+        assert abs(s - aset[pair]) <= 1e-6, (pair, s, aset[pair])
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="score_mode"):
+        SIM.topk_cosine_ivf_pq(
+            emb, queries, cents, cb, dim=DIM, score_mode="lut")
+
+
+def test_pq_encode_blas_identical_to_expression(spark):
+    """The Arrow/BLAS PQ encoder emits code-for-code IDENTICAL
+    assignments and bit-identical stored reconstruction norms to the
+    expression encoder (including the exact-match rows the sampled
+    codebooks guarantee, where distances are exactly 0.0), and drops
+    NULL/ragged vectors instead of crashing the batch."""
+    from workhop2_etl_spark.operators import similarity as SIM
+    from workhop2_etl_spark.suite.similarity import DIM
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cb = SIM.sample_pq_codebooks(emb, dim=DIM)
+
+    expr = {
+        r.vec_id: (list(r.codes), r.recon_norm)
+        for r in SIM.pq_encode(emb, cb, dim=DIM).collect()
+    }
+    blas = {
+        r.vec_id: (list(r.codes), r.recon_norm)
+        for r in SIM.pq_encode_blas(emb, cb, dim=DIM).collect()
+    }
+    assert expr == blas and len(expr) == emb.count()
+
+    dirty = spark.createDataFrame(
+        [
+            (1, [1.0] * DIM),
+            (2, None),
+            (3, [1.0, 2.0]),
+            (4, [float("nan")] + [0.5] * (DIM - 1)),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = SIM.pq_encode_blas(dirty, cb, dim=DIM).collect()
+    assert {r.vec_id for r in rows} == {1, 4}  # NULL/ragged dropped
+    clean_expr = {
+        r.vec_id: list(r.codes)
+        for r in SIM.pq_encode(
+            dirty.filter(F.col("vec_id").isin(1, 4)), cb, dim=DIM
+        ).collect()
+    }
+    assert {r.vec_id: list(r.codes) for r in rows} == clean_expr
+
+    # the IVF-PQ search is identical under either build kernel
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    rows37 = (
+        emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id")
+        .limit(8).select("embedding").collect()
+    )
+    cents = [(i, list(r.embedding)) for i, r in enumerate(rows37)]
+    a = SIM.topk_cosine_ivf_pq(emb, queries, cents, cb, dim=DIM, k=3,
+                               nprobe=2).collect()
+    b = SIM.topk_cosine_ivf_pq(emb, queries, cents, cb, dim=DIM, k=3,
+                               nprobe=2, assign_kernel="blas").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a

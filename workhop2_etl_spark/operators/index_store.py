@@ -65,6 +65,7 @@ from workhop2_etl_spark.operators.similarity import (
     l2_norm,
     pq_decode,
     pq_encode,
+    pq_encode_blas,
     with_multitable_signatures,
     with_multitable_signatures_blas,
 )
@@ -588,8 +589,12 @@ def _write_ivf_postings(
     )
     if store_dtype == "pq8":
         # PQ tier: m small ints + one reconstruction norm per vector
-        # (see similarity.pq_encode) — the FAISS-IVFPQ disk model
-        assigned = pq_encode(
+        # (see similarity.pq_encode) — the FAISS-IVFPQ disk model.
+        # assign_kernel doubles as the build kernel: 'blas' takes the
+        # matmul encoder (the expression encoder's m·k interpreted
+        # folds per row dominate a corpus-scale build)
+        encode = pq_encode if assign_kernel == "expr" else pq_encode_blas
+        assigned = encode(
             assigned, codebooks, dim, id_col="id", vec_col="vec",
             norm_col="norm", keep_cols=("centroid_id",),
         )

@@ -1079,6 +1079,92 @@ def pq_encode(
     )
 
 
+def pq_encode_blas(
+    df: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+    norm_col: str = "recon_norm",
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Arrow/BLAS twin of ``pq_encode`` — identical codes, matmul
+    formulation. The expression encoder runs m·k interpreted
+    distance folds per row (128 at m=8, k=16) — the dominant cost of
+    a PQ index BUILD (a 400k-row expression encode ran past 10
+    minutes; this kernel does it in seconds). Distances come from
+    the ‖x‖² − 2x·Cᵀ + ‖c‖² expansion, one einsum per Arrow batch;
+    argmin ties keep the first (smallest code id), matching the
+    expression's (d, j) struct ordering, and a pick can differ only
+    on last-ulp distance ties — measure-zero; the pytest twin
+    asserts code-for-code equality on the fixture including the
+    exact-match rows the sampled codebooks guarantee. The
+    reconstruction norm is computed AFTERWARDS by the same
+    expression fold as the expr twin (one decode per row), so stored
+    norms are bit-identical between kernels. Dirty-row contract as
+    the other BLAS kernels: NULL / wrong-length vectors get NULL
+    codes and are dropped from the output — one dirty row must not
+    fail a 100 TB encode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    spark = df.sparkSession
+    one, num_subspaces, k, dsub = _pq_codebook_relation(spark, codebooks, dim)
+    C = np.zeros((num_subspaces, k, dsub), dtype=np.float64)
+    for m, j, c in codebooks:
+        C[m, j] = c
+    c_sq = (C * C).sum(axis=2)  # m × k
+    expect_dim = dim
+
+    def _codes(V: "np.ndarray") -> list:
+        V3 = V.reshape(len(V), num_subspaces, dsub)
+        d = (
+            (V3 * V3).sum(axis=2)[:, :, None]
+            - 2.0 * np.einsum("nmd,mkd->nmk", V3, C)
+            + c_sq[None, :, :]
+        )
+        # np.argmin keeps the FIRST minimum — the expression's
+        # smallest-j tiebreak; all-NaN rows also fall to j=0 exactly
+        # as Spark's NaN struct ordering resolves them
+        with np.errstate(invalid="ignore"):
+            return list(np.argmin(d, axis=2).astype(np.int32))
+
+    def _codes_fn(v):
+        n = len(v)
+        if not n:
+            return pd.Series([], dtype=object)
+        mask = np.fromiter(
+            (x is not None and len(x) == expect_dim for x in v),
+            dtype=bool,
+            count=n,
+        )
+        if mask.all():
+            return pd.Series(_codes(np.array([list(x) for x in v], dtype=np.float64)))
+        out = np.full(n, None, dtype=object)
+        keep = np.flatnonzero(mask)
+        if len(keep):
+            out[keep] = _codes(
+                np.array([list(v.iloc[i]) for i in keep], dtype=np.float64)
+            )
+        return pd.Series(out)
+
+    _codes_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _enc = F.pandas_udf(ArrayType(IntegerType()))(_codes_fn)
+
+    staged = (
+        df.withColumn(codes_col, _enc(F.col(vec_col)))
+        .filter(F.col(codes_col).isNotNull())
+        .crossJoin(F.broadcast(one))
+        .withColumn(norm_col, l2_norm(pq_decode(F.col(codes_col), "__cb", k)))
+    )
+    return staged.select(
+        F.col(id_col), F.col(codes_col), F.col(norm_col),
+        *[F.col(c) for c in keep_cols],
+    )
+
+
 def pq_decode(codes, cb_col, k: int):
     """Reconstruction expression: concatenate the chosen codewords
     (codeword (m, j) is element m·k+j+1 of the sorted struct array).
@@ -1102,6 +1188,7 @@ def topk_cosine_ivf_pq(
     round_digits: int = 6,
     nprobe: int = 1,
     assign_kernel: str = "expr",
+    score_mode: str = "recon",
 ) -> DataFrame:
     """IVF-PQ ANN search: IVF cells bound the candidate set (exactly
     ``topk_cosine_ivf``'s equi-join — shuffle ∝ probed-cell
@@ -1112,15 +1199,29 @@ def topk_cosine_ivf_pq(
     float (asymmetric distance — the standard, higher-recall PQ
     configuration). Reconstruction + the sequential cosine fold make
     scores cross-engine reproducible; the probe itself is the shared
-    ``_ivf_probe``."""
+    ``_ivf_probe``.
+
+    ``score_mode='adc'`` is the classic asymmetric-distance-
+    computation variant: per query, the dot against every codeword
+    is precomputed ONCE (an m×k lookup table, |Q|·m·k rows,
+    broadcast), and each candidate pair costs m table lookups + a
+    sum instead of a dim-element fold. Scores match ``'recon'`` up
+    to float addition order (the m partials sum in a hash
+    aggregate), so ADC is the non-oracle performance path —
+    tolerance-compared in pytest, measured in PERF.md."""
     if assign_kernel not in ("expr", "blas"):
         raise ValueError(
             f"assign_kernel must be 'expr' or 'blas', got {assign_kernel!r}"
         )
+    if score_mode not in ("recon", "adc"):
+        raise ValueError(
+            f"score_mode must be 'recon' or 'adc', got {score_mode!r}"
+        )
     spark = corpus.sparkSession
     one, num_subspaces, kk, dsub = _pq_codebook_relation(spark, codebooks, dim)
     corpus_assign = ivf_assign if assign_kernel == "expr" else ivf_assign_blas
-    enc = pq_encode(
+    encode = pq_encode if assign_kernel == "expr" else pq_encode_blas
+    enc = encode(
         corpus_assign(corpus, centroids, id_col, vec_col),
         codebooks,
         dim,
@@ -1128,18 +1229,88 @@ def topk_cosine_ivf_pq(
         vec_col=vec_col,
         keep_cols=("centroid_id",),
     )
-    c = (
-        enc.crossJoin(F.broadcast(one))
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            pq_decode(F.col("codes"), "__cb", kk).alias("__cvec"),
-            F.col("centroid_id"),
-            F.col("recon_norm").alias("__cn"),
-        )
-    )
     q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.col("centroid_id"),
     ).withColumn("__qn", l2_norm(F.col("__qvec")))
-    return _ivf_probe(c, q, k=k, round_digits=round_digits)
+
+    if score_mode == "recon":
+        c = (
+            enc.crossJoin(F.broadcast(one))
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                pq_decode(F.col("codes"), "__cb", kk).alias("__cvec"),
+                F.col("centroid_id"),
+                F.col("recon_norm").alias("__cn"),
+            )
+        )
+        return _ivf_probe(c, q, k=k, round_digits=round_digits)
+
+    # ADC: per-query lookup table of codeword partial dots, |Q|·m·k
+    # rows, broadcast. Each candidate pair explodes to m (m, code)
+    # rows, joins the LUT, and sums — the dim-fold never runs.
+    lut = (
+        q.select("query_id", "__qvec").distinct()
+        .crossJoin(F.broadcast(one))
+        .select(
+            "query_id",
+            F.explode("__cb").alias("__cw"),
+            F.col("__qvec"),
+        )
+        .select(
+            "query_id",
+            F.col("__cw.m").alias("__m"),
+            F.col("__cw.j").alias("__j"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(
+                        F.col("__qvec"), F.col("__cw.m") * dsub + 1, dsub
+                    ),
+                    F.col("__cw.c"),
+                    lambda x, cc: x.cast("double") * cc,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("__partial"),
+        )
+    )
+    cand = (
+        enc.select(
+            F.col(id_col).alias("neighbor_id"),
+            "codes",
+            F.col("recon_norm").alias("__cn"),
+            "centroid_id",
+        )
+        .join(
+            F.broadcast(q.select("query_id", "centroid_id", "__qn")),
+            ["centroid_id"],
+        )
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", "__cn", "__qn",
+            F.posexplode("codes").alias("__m", "__j"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "__m", "__j"])
+        .groupBy("query_id", "neighbor_id", "__cn", "__qn")
+        .agg(F.sum("__partial").alias("__dot"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.when(
+                    F.col("__qn") * F.col("__cn") > 0,
+                    F.col("__dot") / (F.col("__qn") * F.col("__cn")),
+                ).otherwise(F.lit(0.0)),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("__rn").alias("rank"))
+    )
