@@ -15,7 +15,7 @@ argument:
                  probe every run — what a session without the
                  artifact pays)
 
-Usage: python tools/index_store_study.py [--ivf] [n_rows ...]
+Usage: python tools/index_store_study.py [--ivf | --pq] [n_rows ...]
        (default: LSH family, 100000 rows)
 Prints one JSON line per corpus size.
 """
@@ -47,13 +47,19 @@ def main() -> None:
     from workhop2_etl_spark.operators import index_store as IDX
     from workhop2_etl_spark.operators.similarity import (
         fit_centroids,
+        fit_pq_codebooks,
         topk_cosine_ivf,
+        topk_cosine_ivf_pq,
         topk_cosine_lsh_multitable,
     )
     from workhop2_etl_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if a != "--ivf"]
-    family = "ivf" if "--ivf" in sys.argv[1:] else "lsh"
+    args = [a for a in sys.argv[1:] if a not in ("--ivf", "--pq")]
+    family = (
+        "ivf" if "--ivf" in sys.argv[1:]
+        else "pq" if "--pq" in sys.argv[1:]
+        else "lsh"
+    )
     sizes = [int(a) for a in args] or [100_000]
     spark = get_spark("index_store_study")
     spark.range(1000).count()  # absorb JVM start
@@ -85,7 +91,7 @@ def main() -> None:
                 num_tables=TABLES, sig_kernel="blas",
             ).collect()
             insession = round(time.time() - t0, 2)
-        else:
+        elif family == "ivf":
             rec.update(n_centroids=N_CENTROIDS, nprobe=NPROBE)
             # quantizer training is one-off for BOTH paths; excluded
             # from the phase timings the same way on each side
@@ -104,6 +110,33 @@ def main() -> None:
             t0 = time.time()
             rows_insession = topk_cosine_ivf(
                 emb, queries, cents, k=K, nprobe=NPROBE, assign_kernel="blas"
+            ).collect()
+            insession = round(time.time() - t0, 2)
+        else:  # pq
+            rec.update(n_centroids=N_CENTROIDS, nprobe=NPROBE, pq_m=8, pq_k=16)
+            # quantizer + codebook training one-off for BOTH paths
+            cents = fit_centroids(emb, n_centroids=N_CENTROIDS, seed=7)
+            cb = fit_pq_codebooks(
+                emb, dim=DIM, seed=7, sample_fraction=min(1.0, 50_000 / n)
+            )
+            t0 = time.time()
+            IDX.save_ivf_index(
+                emb, path, cents, dim=DIM, store_dtype="pq8",
+                codebooks=cb, mode="overwrite",
+            )
+            build_save = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            postings, cs, meta = IDX.load_ivf_index(spark, path)
+            rows_loaded = IDX.probe_ivf_index(
+                postings, cs, meta, queries, k=K, nprobe=NPROBE
+            ).collect()
+            load_probe = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            rows_insession = topk_cosine_ivf_pq(
+                emb, queries, cents, cb, dim=DIM, k=K, nprobe=NPROBE,
+                assign_kernel="blas",
             ).collect()
             insession = round(time.time() - t0, 2)
 
