@@ -424,6 +424,13 @@ def test_lsh_index_int8_quantized(spark):
     assert i8b.count() == before + 5 * 8
     assert "qvec" in i8b.columns
 
+    # stream ingest honors the stored dtype on the LSH kind too
+    from workhop2_etl_spark.streaming import index_stream as IS
+    IS.ingest_epoch(spark, emb.limit(3), 0, p8)
+    i8c, _ = IDX.load_lsh_index(spark, p8)
+    assert i8c.count() == before + 5 * 8 + 3 * 8
+    assert "qvec" in i8c.columns and "vec" not in i8c.columns
+
 
 def test_ivf_index_pq8_lifecycle(spark):
     """store_dtype='pq8': the artifact stores PQ codes + recon norm
