@@ -576,6 +576,21 @@ def test_index_stats_reports(spark):
         sum(v * v for v in buckets.values()) / n, 2
     )
 
+    # a just-created EMPTY artifact reports zeros, not NULLs — the
+    # health-check-before-first-ingest ops flow
+    ei, el = _tmp("stats_empty_ivf"), _tmp("stats_empty_lsh")
+    IDX.save_ivf_index(emb.limit(0), ei, cents, dim=DIM, mode="overwrite")
+    IDX.save_lsh_index(emb.limit(0), el, dim=DIM, num_planes=4, num_tables=2,
+                       mode="overwrite")
+    p0, _, m0 = IDX.load_ivf_index(spark, ei)
+    r0 = IDX.ivf_index_stats(p0, m0).collect()[0]
+    assert (r0.n_vectors, r0.cells_used, r0.empty_cells, r0.max_cell,
+            r0.mean_cell, r0.imbalance) == (0, 0, 4, 0, 0.0, 0.0)
+    i0, l0 = IDX.load_lsh_index(spark, el)
+    r0 = IDX.lsh_index_stats(i0, l0).collect()[0]
+    assert (r0.n_vectors, r0.buckets_used, r0.max_bucket, r0.mean_bucket,
+            r0.expected_candidates) == (0, 0, 0, 0.0, 0.0)
+
 
 def test_ivf_index_drift_guard(spark):
     """dim / n_centroids / seed drift raise descriptive errors; the

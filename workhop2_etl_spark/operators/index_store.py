@@ -825,16 +825,24 @@ def ivf_index_stats(postings: DataFrame, meta: dict) -> DataFrame:
     cells = postings.groupBy("centroid_id").agg(F.count("*").alias("__n"))
     return (
         cells.agg(
-            F.sum("__n").cast("long").alias("n_vectors"),
+            # coalesce: a just-created EMPTY artifact (health-checked
+            # before its first ingest) reports zeros, not NULLs
+            F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_vectors"),
             F.count("*").cast("long").alias("cells_used"),
-            F.max("__n").cast("long").alias("max_cell"),
-            F.round(F.avg("__n"), 2).alias("mean_cell"),
+            F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("max_cell"),
+            F.round(F.coalesce(F.avg("__n"), F.lit(0.0)), 2).alias("mean_cell"),
         )
         .withColumn("cells_total", F.lit(total).cast("long"))
         .withColumn("empty_cells", (F.col("cells_total") - F.col("cells_used")))
         .withColumn(
             "imbalance",
-            F.round(F.col("max_cell") / (F.col("n_vectors") / F.col("cells_total")), 2),
+            F.when(
+                F.col("n_vectors") > 0,
+                F.round(
+                    F.col("max_cell") / (F.col("n_vectors") / F.col("cells_total")),
+                    2,
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .select(
             "n_vectors", "cells_total", "cells_used", "empty_cells",
@@ -855,13 +863,19 @@ def lsh_index_stats(index: DataFrame, meta: dict) -> DataFrame:
     buckets = index.groupBy("table_id", "sig").agg(F.count("*").alias("__n"))
     return (
         buckets.agg(
-            (F.sum("__n") / n_tables).cast("long").alias("n_vectors"),
+            # coalesce: empty artifacts report zeros, not NULLs
+            F.coalesce(F.sum("__n") / n_tables, F.lit(0.0))
+            .cast("long")
+            .alias("n_vectors"),
             F.count("*").cast("long").alias("buckets_used"),
-            F.max("__n").cast("long").alias("max_bucket"),
-            F.round(F.avg("__n"), 2).alias("mean_bucket"),
+            F.coalesce(F.max("__n"), F.lit(0)).cast("long").alias("max_bucket"),
+            F.round(F.coalesce(F.avg("__n"), F.lit(0.0)), 2).alias("mean_bucket"),
             F.round(
-                F.sum(F.col("__n") * F.col("__n"))
-                / (F.sum("__n") / n_tables),
+                F.coalesce(
+                    F.sum(F.col("__n") * F.col("__n"))
+                    / (F.sum("__n") / n_tables),
+                    F.lit(0.0),
+                ),
                 2,
             ).alias("expected_candidates"),
         )
