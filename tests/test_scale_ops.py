@@ -1770,15 +1770,19 @@ def test_pq_encode_blas_identical_to_expression(spark):
             (2, None),
             (3, [1.0, 2.0]),
             (4, [float("nan")] + [0.5] * (DIM - 1)),
+            (5, [float("inf")] + [0.5] * (DIM - 1)),
         ],
         "vec_id bigint, embedding array<double>",
     )
     rows = SIM.pq_encode_blas(dirty, cb, dim=DIM).collect()
-    assert {r.vec_id for r in rows} == {1, 4}  # NULL/ragged dropped
+    # NULL/ragged AND non-finite dropped: a NaN vector would encode
+    # as a valid-looking codeword-0 reconstruction (unlike float/int8
+    # tiers where NaN scores self-neutralize) — the widened contract
+    assert {r.vec_id for r in rows} == {1}
     clean_expr = {
         r.vec_id: list(r.codes)
         for r in SIM.pq_encode(
-            dirty.filter(F.col("vec_id").isin(1, 4)), cb, dim=DIM
+            dirty.filter(F.col("vec_id") == 1), cb, dim=DIM
         ).collect()
     }
     assert {r.vec_id: list(r.codes) for r in rows} == clean_expr

@@ -1103,9 +1103,16 @@ def pq_encode_blas(
     reconstruction norm is computed AFTERWARDS by the same
     expression fold as the expr twin (one decode per row), so stored
     norms are bit-identical between kernels. Dirty-row contract as
-    the other BLAS kernels: NULL / wrong-length vectors get NULL
-    codes and are dropped from the output — one dirty row must not
-    fail a 100 TB encode."""
+    the other BLAS kernels, WIDENED here to non-finite vectors:
+    NULL / wrong-length / NaN-or-Inf-carrying vectors get NULL codes
+    and are dropped from the output. The widening matters for PQ
+    specifically — in the float and int8 tiers a NaN vector
+    self-neutralizes (its scores are NaN and lose every ranking),
+    but PQ would encode it as a perfectly VALID codeword-0
+    reconstruction that masquerades as a real neighbor; the
+    expression twin keeps that behavior (documented divergence) and
+    build paths default to this kernel, so corrupt embeddings never
+    reach a production index."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import ArrayType, IntegerType
@@ -1126,17 +1133,20 @@ def pq_encode_blas(
             + c_sq[None, :, :]
         )
         # np.argmin keeps the FIRST minimum — the expression's
-        # smallest-j tiebreak; all-NaN rows also fall to j=0 exactly
-        # as Spark's NaN struct ordering resolves them
-        with np.errstate(invalid="ignore"):
-            return list(np.argmin(d, axis=2).astype(np.int32))
+        # smallest-j tiebreak
+        return list(np.argmin(d, axis=2).astype(np.int32))
 
     def _codes_fn(v):
         n = len(v)
         if not n:
             return pd.Series([], dtype=object)
         mask = np.fromiter(
-            (x is not None and len(x) == expect_dim for x in v),
+            (
+                x is not None
+                and len(x) == expect_dim
+                and np.isfinite(np.asarray(x, dtype=np.float64)).all()
+                for x in v
+            ),
             dtype=bool,
             count=n,
         )
