@@ -1,0 +1,206 @@
+"""Retrieval operators: BM25 scoring, RRF fusion, IVF-PQ refine.
+
+BM25 is checked against an independent pure-Python computation of
+the same formula (not against the operator's own SQL twin), RRF
+against hand-computed reciprocal sums, and the refine stage against
+the exact brute-force search it must converge to when the candidate
+stage is exhaustive.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from workhop2_etl_spark.operators import retrieval as RET
+from workhop2_etl_spark.operators import similarity as SIM
+from workhop2_etl_spark.session import load_table
+
+DOCS = [
+    (0, "apple banana apple cherry"),
+    (1, "banana cherry date"),
+    (2, "apple apple apple apple"),
+    (3, "elephant fig grape"),
+    (4, ""),  # empty: excluded from index, N and avgdl
+]
+
+
+def _py_bm25(query_terms, k1=1.2, b=0.75):
+    """Independent reference BM25 over DOCS (plain dict/loop code —
+    no shared expression tree with the operator)."""
+    toks = {i: t.split() for i, t in DOCS if t}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = {}
+    for ts in toks.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    out = {}
+    for qid, terms in query_terms.items():
+        for d, ts in toks.items():
+            if d == qid:
+                continue
+            s = 0.0
+            hits = 0
+            for t in sorted(set(terms)):
+                tf = ts.count(t)
+                if not tf:
+                    continue
+                hits += 1
+                idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(ts) / avgdl)
+                )
+            if hits:
+                out[(qid, d)] = (round(s, 6), hits)
+    return out
+
+
+def test_bm25_matches_independent_reference(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim("text"), " "))
+        .alias("toks"),
+    )
+    qt = spark.createDataFrame(
+        [(0, "apple"), (0, "date"), (3, "banana"), (3, "elephant")],
+        "query_id long, term string",
+    )
+    got = {
+        (r.query_id, r.doc_id): (r.score, r.n_hit)
+        for r in RET.bm25_topk(corpus, qt, k=10).collect()
+    }
+    want = _py_bm25({0: ["apple", "date"], 3: ["banana", "elephant"]})
+    assert got == want
+    # self-exclusion: doc 0 contains 'apple' but never scores for q=0
+    assert (0, 0) not in got
+    # empty doc is not retrievable and did not distort avgdl/N
+    assert all(d != 4 for (_, d) in got)
+
+
+def test_bm25_rare_term_outranks_common(spark):
+    """idf ordering: a doc matching the corpus-rare term must outrank
+    a doc matching (equally often, same length) the common term."""
+    rows = [(i, "common filler" + " pad" * 3) for i in range(8)]
+    rows += [(100, "rare filler pad pad pad"), (101, "common filler pad pad pad")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    qt = spark.createDataFrame(
+        [(999, "rare"), (999, "common")], "query_id long, term string"
+    )
+    ranked = RET.bm25_topk(corpus, qt, k=2).collect()
+    assert [r.doc_id for r in sorted(ranked, key=lambda r: r.rank)][0] == 100
+
+
+def test_rrf_fuse_contract(spark):
+    arm_a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2)], "query_id long, doc_id long, rank int"
+    )
+    arm_b = spark.createDataFrame(
+        [(1, 11, 1), (1, 12, 2)], "query_id long, doc_id long, rank int"
+    )
+    rows = {r.doc_id: r for r in RET.rrf_fuse(arm_a, arm_b, k=10).collect()}
+    # overlap doc: both reciprocal terms; singles: one term + NULL rank
+    assert rows[11].rrf_score == round(1.0 / 62 + 1.0 / 61, 6)
+    assert rows[10].rrf_score == round(1.0 / 61, 6)
+    assert rows[12].rrf_score == round(1.0 / 62, 6)
+    assert rows[10].rank_b is None and rows[12].rank_a is None
+    assert rows[11].rank_a == 2 and rows[11].rank_b == 1
+    # fused order: overlap first, then the two rank-deficient docs by
+    # score (1/61 > 1/62), doc_id breaking exact ties
+    assert [r.doc_id for r in sorted(rows.values(), key=lambda r: r.rank)] == [
+        11,
+        10,
+        12,
+    ]
+
+
+def test_refine_equals_bruteforce_when_exhaustive(spark):
+    """With every cell probed and an exhaustive candidate budget the
+    refine search IS the exact brute-force search — row-identical."""
+    from workhop2_etl_spark.suite.similarity import DIM, N_CENTROIDS
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(
+        F.col("vec_id") < 120
+    )
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    cents = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    cb = SIM.sample_pq_codebooks(emb, dim=DIM)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    got = SIM.topk_cosine_ivf_pq_refine(
+        emb, queries, cents, cb, dim=DIM, k=5,
+        n_candidates=1000, nprobe=len(cents),
+    ).collect()
+    want = SIM.topk_cosine_bruteforce(emb, queries, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+
+def test_refine_recall_at_least_pq_and_exact_scores(spark):
+    """At production settings (nprobe=2, C=3k) refine must (a) score
+    every returned pair with the EXACT cosine — equal to the
+    brute-force score for that pair — and (b) keep planted neighbors
+    at least as well as the unrefined PQ search."""
+    import hashlib
+
+    from workhop2_etl_spark.suite.similarity import DIM, N_CENTROIDS
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.filter(F.col("vec_id") % 25 == 0).orderBy("vec_id").limit(15).collect()
+
+    def noise(q, d):
+        h = hashlib.md5(f"{q}:{d}".encode()).hexdigest()[:8]
+        return (int(h, 16) / float(1 << 31) - 1.0) * 0.05
+
+    planted = [
+        (int(r.vec_id) + 1_000_000,
+         [float(v) + noise(r.vec_id, d) for d, v in enumerate(r.embedding)])
+        for r in base
+    ]
+    queries = spark.createDataFrame(planted, "vec_id long, embedding array<float>")
+    want = {q: q - 1_000_000 for q, _ in planted}
+
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0).orderBy("vec_id")
+        .limit(N_CENTROIDS).select("embedding").collect()
+    )
+    cents = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    cb = SIM.sample_pq_codebooks(emb, dim=DIM)
+
+    def rec(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(1 for q, b in want.items() if b in got.get(q, set())) / len(want)
+
+    k = 5
+    refined = SIM.topk_cosine_ivf_pq_refine(
+        emb, queries, cents, cb, dim=DIM, k=k, n_candidates=3 * k, nprobe=2
+    )
+    pq = SIM.topk_cosine_ivf_pq(emb, queries, cents, cb, dim=DIM, k=k, nprobe=2)
+    assert rec(refined) >= rec(pq) > 0.7
+
+    # (a) exactness: every refined score equals the brute-force score
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in SIM.topk_cosine_bruteforce(emb, queries, k=50).collect()
+    }
+    for r in refined.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact:  # brute k=50 covers all refine winners here
+            assert r.score == exact[key]
+
+    with pytest.raises(ValueError, match="n_candidates"):
+        SIM.topk_cosine_ivf_pq_refine(
+            emb, queries, cents, cb, dim=DIM, k=5, n_candidates=3
+        )

@@ -1324,3 +1324,86 @@ def topk_cosine_ivf_pq(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "score", F.col("__rn").alias("rank"))
     )
+
+
+def topk_cosine_ivf_pq_refine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[tuple[int, int, list[float]]],
+    dim: int,
+    k: int = 5,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+    nprobe: int = 1,
+    assign_kernel: str = "expr",
+    score_mode: str = "recon",
+) -> DataFrame:
+    """IVF-PQ search with an exact refine stage — FAISS's
+    ``IVFPQR``/refine pattern: the PQ-compressed index nominates
+    ``n_candidates`` approximate neighbors per query (lossy,
+    compression-cheap), then ONLY those |Q|·n_candidates rows rescore
+    against the original float vectors for the final top-k. This is
+    the standard answer to PQ's quantization error: recall at k is
+    set by the candidate stage while the reported scores (and the
+    final ordering) are exact cosines.
+
+    Scale shape: stage 1 is ``topk_cosine_ivf_pq`` unchanged (cell
+    equi-join over the compressed corpus); stage 2 broadcasts the
+    tiny (query_id, neighbor_id) candidate relation against the float
+    corpus — one broadcast-hash join and a |Q|·C-row window, so the
+    full-precision vectors are touched for candidates only and NEVER
+    shuffle. ``n_candidates`` is the recall knob (must be ≥ k;
+    raising it widens only the rescore set, not any corpus scan).
+    """
+    if n_candidates < k:
+        raise ValueError(f"n_candidates ({n_candidates}) must be >= k ({k})")
+    cand = topk_cosine_ivf_pq(
+        corpus,
+        queries,
+        centroids,
+        codebooks,
+        dim,
+        k=n_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+        nprobe=nprobe,
+        assign_kernel=assign_kernel,
+        score_mode=score_mode,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+    ).withColumn("__cn", l2_norm(F.col("__cvec")))
+    qf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+    ).withColumn("__qn", l2_norm(F.col("__qvec")))
+    exact = (
+        c.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_with_norms(
+                    F.col("__qvec"),
+                    F.col("__cvec"),
+                    F.col("__qn"),
+                    F.col("__cn"),
+                ),
+                round_digits,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "score", F.col("__rn").alias("rank"))
+    )

@@ -60,6 +60,7 @@ def load_all() -> None:
         maintenance,
         multimodal,
         pipeline2,
+        retrieval,
         similarity,
         star,
         star2,

@@ -1,0 +1,214 @@
+"""Retrieval queries — BM25 lexical search over `documents` and
+hybrid lexical+vector fusion across `documents` ⋈ `embeddings`.
+
+North-star extension (no reference counterpart): training-data
+curation needs lexical retrieval next to the v-family ANN —
+contamination probes, quality-by-example search, eval-leakage audits
+— and hybrid RRF is the production way to combine the two rankings.
+
+Query sets follow the v-family convention: a modulo-sampled subset of
+the corpus plays the query side (small by construction, broadcast
+everywhere). Tokenization imports pipeline2's `_NORM`/`_toks` — the
+ONE corpus tokenization convention — so BM25 document lengths agree
+exactly with the t/x-family token counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from workhop2_etl_spark.operators import retrieval as RET
+from workhop2_etl_spark.operators import similarity as SIM
+from workhop2_etl_spark.session import load_table
+from workhop2_etl_spark.suite import query
+from workhop2_etl_spark.suite.pipeline2 import _NORM, _toks
+from workhop2_etl_spark.suite.similarity import _pair_cos_sql
+
+_QT = 8  # query vocabulary = distinct terms among the doc's first 8 tokens
+_BM25_Q_MOD = 89  # t11 query sample: doc_id % 89 == 0
+_RRF_Q_MOD = 83  # v15 query sample: doc_id/vec_id % 83 == 0
+_BM25_K = 10
+_ARM_K = 20  # per-arm candidate depth feeding the fusion
+_RRF_FINAL_K = 10
+
+
+def _query_terms(docs: DataFrame, mod: int) -> DataFrame:
+    """(query_id, term): distinct first-_QT tokens of every sampled
+    query document — tiny by construction (broadcast by bm25_topk)."""
+    return (
+        docs.select(F.col("doc_id").alias("query_id"), _toks().alias("t"))
+        .filter((F.col("query_id") % mod == 0) & (F.size("t") > 0))
+        .select("query_id", F.explode(F.slice("t", 1, _QT)).alias("term"))
+        .distinct()
+    )
+
+
+def _bm25_cte_sql(q_mod: int, top_k: int) -> str:
+    """The BM25 pipeline as DuckDB CTEs ending in ``lex`` =
+    (query_id, rank, doc_id, score, n_hit), rank ≤ top_k. The term
+    contribution imports operators/retrieval.bm25_contrib_sql — the
+    Spark kernel's expression-tree twin — so the two engines can't
+    silently diverge on the scoring formula."""
+    contrib = RET.bm25_contrib_sql(
+        tf="tf.tf", df="df.df", dl="tf.dl", n_docs="s.n_docs", avgdl="s.avgdl"
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS t
+      FROM documents WHERE {_NORM} <> ''
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id,
+             unnest(list_slice(t, 1, {_QT})) AS term
+      FROM toks WHERE doc_id % {q_mod} = 0
+    ),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id, qt.term, {contrib} AS c
+      FROM qt
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> qt.query_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 6)
+               AS score,
+             count(*) AS n_hit
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    lex AS (
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score, n_hit
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM bm
+      ) WHERE rank <= {top_k}
+    )"""
+
+
+# ---------------------------------------------------------------------------
+# t11: BM25 top-k retrieval — Okapi BM25 (Robertson & Zaragoza 2009,
+# the non-negative idf variant) with modulo-sampled query documents,
+# their first-8-token distinct vocabulary as the query. Scores fold
+# per-term contributions in term order (sequential double fold), so
+# the oracle comparison is bit-exact. Plan shape: one corpus shuffle
+# (the (doc_id, term) tf aggregation, dl carried through it), df
+# semi-joined down to the broadcast query vocabulary, stats one
+# broadcast row — the corpus never shuffles against itself.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t11_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_BM25_Q_MOD, _BM25_K)}
+    SELECT query_id, rank, doc_id, score, n_hit
+    FROM lex ORDER BY query_id, rank
+    """,
+)
+def t11_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    qt = _query_terms(docs, _BM25_Q_MOD)
+    return RET.bm25_topk(corpus_tokens, qt, k=_BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# v15: hybrid retrieval — BM25 lexical arm over `documents` fused
+# with an exact-cosine vector arm over `embeddings` (doc_id ≡ vec_id
+# by the testdata contract) via reciprocal-rank fusion (Cormack et
+# al., SIGIR 2009; k_rrf = 60). Each arm contributes its top-20;
+# documents missing from one arm carry a NULL rank there and only
+# the other arm's reciprocal term. All ranks are integers over
+# rounded scores with id tiebreaks, so the fused ranking is
+# cross-engine deterministic end to end. Scale: the fusion join and
+# final window touch only |Q|·20-row arm outputs — corpus size never
+# enters after the arms.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "v15_hybrid_rrf",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_RRF_Q_MOD, _ARM_K)},
+    vq AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % {_RRF_Q_MOD} = 0
+    ),
+    vc AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+    vs AS (
+      SELECT query_id, doc_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM vq, vc WHERE query_id <> doc_id
+    ),
+    vec AS (
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM vs
+      ) WHERE rank <= {_ARM_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.rank AS rank_lex, v.rank AS rank_vec
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    ),
+    rrf AS (
+      SELECT query_id, doc_id, rank_lex, rank_vec,
+             round(coalesce(CAST(1.0 AS DOUBLE) / ({RET.RRF_K} + rank_lex), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / ({RET.RRF_K} + rank_vec), 0.0),
+                   6) AS rrf_score
+      FROM fused
+    )
+    SELECT query_id, rank, doc_id, rrf_score, rank_lex, rank_vec FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf_score DESC, doc_id)
+                     AS INTEGER) AS rank
+      FROM rrf
+    ) WHERE rank <= {_RRF_FINAL_K}
+    ORDER BY query_id, rank
+    """,
+)
+def v15_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    lex = RET.bm25_topk(
+        corpus_tokens, _query_terms(docs, _RRF_Q_MOD), k=_ARM_K
+    )
+    vec = SIM.topk_cosine_bruteforce(
+        emb, emb.filter(F.col("vec_id") % _RRF_Q_MOD == 0), k=_ARM_K
+    )
+    fused = RET.rrf_fuse(
+        lex.select("query_id", "doc_id", "rank"),
+        vec.select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+        ),
+        k=_RRF_FINAL_K,
+    )
+    return fused.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "rrf_score",
+        F.col("rank_a").alias("rank_lex"),
+        F.col("rank_b").alias("rank_vec"),
+    ).orderBy("query_id", "rank")

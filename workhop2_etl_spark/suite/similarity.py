@@ -813,6 +813,114 @@ def v13_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# v14: IVF-PQ with exact refine — FAISS's IVFPQR pattern: the
+# PQ-compressed index nominates top-C approximate candidates per
+# query (v13's construction verbatim, C = 3k), then ONLY those rows
+# rescore against the ORIGINAL float vectors for the final top-k.
+# Quantization error stops distorting reported scores; it only
+# bounds which candidates were considered. Both stages rank on
+# rounded scores with id tiebreaks, so the candidate set and the
+# final exact ranking are cross-engine identical. Scale shape: stage
+# 1 is the compressed cell equi-join; stage 2 broadcasts the |Q|·C
+# candidate ids against the float corpus — the full-precision
+# vectors never shuffle.
+# ---------------------------------------------------------------------------
+_REFINE_C = 3 * K
+
+
+@query(
+    "v14_topk_ivf_pq_refine",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    cbrows AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, embedding AS bv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT {_PQ_K})
+    ),
+    cb AS (
+      SELECT ms.m, cbrows.j,
+             [bv[i] FOR i IN range(ms.m * {_PQ_DSUB} + 1, ms.m * {_PQ_DSUB} + {_PQ_DSUB} + 1)] AS c
+      FROM cbrows CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m) ms
+    ),
+    enc AS (
+      SELECT e.vec_id, b.m, b.j,
+             row_number() OVER (PARTITION BY e.vec_id, b.m
+                                ORDER BY {_pq_sq_dist_sql('b.m', 'e.embedding', 'b.c')} ASC, b.j) AS rn
+      FROM embeddings e CROSS JOIN cb b
+    ),
+    recon AS (
+      SELECT enc.vec_id, flatten(list(b2.c ORDER BY enc.m)) AS rv
+      FROM enc JOIN cb b2 ON enc.m = b2.m AND enc.j = b2.j
+      WHERE enc.rn = 1 GROUP BY enc.vec_id
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT s.vec_id, r.rv, s.cid
+              FROM scored_c s JOIN recon r USING (vec_id) WHERE s.rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid
+          FROM scored_c WHERE rn <= {NPROBE} AND vec_id % 45 = 0),
+    c2 AS (SELECT vec_id AS neighbor_id, rv AS cv, cid FROM cells),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM q JOIN c2 USING (cid)
+      WHERE query_id <> neighbor_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM s
+      ) WHERE rank <= {_REFINE_C}
+    ),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             round({_pair_cos_sql('qe.embedding', 'ne.embedding')}, 6) AS score
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v14_topk_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    codebooks = SIM.sample_pq_codebooks(
+        emb, dim=DIM, num_subspaces=_PQ_M, codes_per_subspace=_PQ_K
+    )
+    queries = emb.filter(F.col("vec_id") % 45 == 0)
+    return SIM.topk_cosine_ivf_pq_refine(
+        emb,
+        queries,
+        centroids,
+        codebooks,
+        dim=DIM,
+        k=K,
+        n_candidates=_REFINE_C,
+        nprobe=NPROBE,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # d9: semantic dedup (SemDeDup-style) — cluster embeddings into IVF
 # cells (the same deterministic modulo-seed centroid set as v5; a
 # production run swaps in operators/similarity.py::fit_centroids),
