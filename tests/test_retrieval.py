@@ -204,3 +204,91 @@ def test_refine_recall_at_least_pq_and_exact_scores(spark):
         SIM.topk_cosine_ivf_pq_refine(
             emb, queries, cents, cb, dim=DIM, k=5, n_candidates=3
         )
+
+
+# ---------------------------------------------------------------------------
+# Non-finite corpus vectors: the round-10 adversarial findings. Spark
+# orders NaN above every number, so before the _cosine_from_denom
+# guard a single corrupt vector scored NaN and WON every probe's
+# top-k; and the int8 tiers crashed the whole build (inf scale →
+# inf/inf = NaN → ANSI NaN→tinyint CAST_OVERFLOW).
+# ---------------------------------------------------------------------------
+
+_DIRTY_ROWS = [
+    (1, [1.0, 0.0, 0.0, 0.0]),
+    (2, [0.9, 0.1, 0.0, 0.0]),
+    (3, [float("inf"), 1.0, 0.0, 0.0]),
+    (4, [float("nan"), 1.0, 0.0, 0.0]),
+    (5, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scores 0.0, stays ranked
+]
+_CENTS4 = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+
+
+def _dirty_fixture(spark):
+    emb = spark.createDataFrame(_DIRTY_ROWS, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    return emb, q
+
+
+def test_nonfinite_vectors_never_rank(spark):
+    """A corpus vector with an inf or NaN element must be EXCLUDED
+    from every probe's ranking (not crowned rank 1 by NaN-largest
+    ordering); the zero vector still scores 0.0 and ranks last. The
+    expression paths must agree with the BLAS kernel, which drops
+    non-finite scores via its np.isfinite mask."""
+    emb, q = _dirty_fixture(spark)
+    want = [(100, 1, 1), (100, 2, 2), (100, 5, 3)]
+    for df in (
+        SIM.topk_cosine_bruteforce(emb, q, k=5),
+        SIM.topk_cosine_bruteforce_blas(emb, q, k=5),
+        SIM.topk_cosine_ivf(emb, q, _CENTS4, k=5, nprobe=2),
+        SIM.topk_cosine_lsh_multitable(emb, q, dim=4, k=5, num_planes=2, num_tables=2),
+    ):
+        got = [(r.query_id, r.neighbor_id, r.rank) for r in df.collect()]
+        assert sorted(got) == want, got
+        scores = {r.neighbor_id: r.score for r in df.collect()}
+        assert scores[5] == 0.0
+
+
+def test_int8_index_build_survives_nonfinite_vectors(spark, tmp_path):
+    """One corrupt embedding must not fail a corpus-scale int8 index
+    build (IVF or LSH tier): dirty rows store zeros under their
+    non-finite scale and the scoring guard excludes them from every
+    probe; clean rows are unaffected."""
+    from workhop2_etl_spark.operators import index_store as IDX
+
+    emb, q = _dirty_fixture(spark)
+    p = str(tmp_path / "ivf8")
+    IDX.save_ivf_index(emb, p, _CENTS4, dim=4, store_dtype="int8", mode="overwrite")
+    postings, cents, meta = IDX.load_ivf_index(spark, p, dim=4)
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in IDX.probe_ivf_index(postings, cents, meta, q, k=5, nprobe=2).collect()
+    ]
+    assert sorted(got) == [(1, 1), (2, 2), (5, 3)]
+
+    p2 = str(tmp_path / "lsh8")
+    IDX.save_lsh_index(
+        emb, p2, dim=4, num_planes=2, num_tables=2,
+        store_dtype="int8", mode="overwrite",
+    )
+    idx, meta2 = IDX.load_lsh_index(spark, p2)
+    got = [
+        (r.neighbor_id, r.rank)
+        for r in IDX.probe_lsh_index(idx, meta2, q, k=5).collect()
+    ]
+    assert sorted(got) == [(1, 1), (2, 2), (5, 3)]
+
+
+def test_nonfinite_query_returns_no_rows(spark):
+    """A dirty QUERY vector has a non-finite norm, so every one of its
+    pairs is NULL-scored and it returns zero rows (it cannot silently
+    return garbage neighbors)."""
+    emb, _ = _dirty_fixture(spark)
+    q = spark.createDataFrame(
+        [(200, [float("nan"), 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert SIM.topk_cosine_bruteforce(emb, q, k=5).count() == 0

@@ -226,28 +226,9 @@ def _write_signed(
         # redundancy), so quantized storage compounds: ~8× smaller
         # elements × the L-way duplication. Signing always runs on
         # the float vector (bucket choice is never quantized); the
-        # quantization itself is the IVF path's, see
-        # _write_ivf_postings.
-        scale = F.aggregate(
-            F.transform(F.col("vec"), F.abs),
-            F.lit(0.0),
-            lambda acc, v: F.greatest(acc, v),
-        ) / F.lit(127.0)
-        q_ok = (F.col("scale") > 0) & ~F.isnan(F.col("scale"))
-        qvec = F.when(
-            q_ok,
-            F.transform(
-                F.col("vec"),
-                lambda x: F.round(x / F.col("scale")).cast("tinyint"),
-            ),
-        ).otherwise(
-            F.transform(F.col("vec"), lambda x: F.lit(0).cast("tinyint"))
-        )
-        base = (
-            base.withColumn("scale", scale)
-            .withColumn("qvec", qvec)
-            .withColumn("norm", l2_norm(_dequant_int8(F.col("qvec"), F.col("scale"))))
-        )
+        # quantization is the shared _int8_quantize (dirty-vector
+        # guard and HALF_UP convention documented there).
+        base = _int8_quantize(base)
     else:
         base = base.withColumn("norm", l2_norm(F.col("vec")))
     signed = signatures(
@@ -552,8 +533,53 @@ def save_ivf_index(
 def _dequant_int8(qvec, scale):
     """Dequantized float64 vector from an int8-quantized posting —
     the probe-side inverse of the quantization in
-    ``_write_ivf_postings`` (pure expressions, JVM-side)."""
+    ``_int8_quantize`` (pure expressions, JVM-side)."""
     return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
+def _int8_quantize(df: DataFrame, vec: str = "vec") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (FAISS SQ8):
+    appends ``scale`` (max|x|/127 — the full int8 range per vector),
+    ``qvec`` (array<tinyint>), and ``norm`` (of the DEQUANTIZED
+    vector, so probe cosines are internally consistent). Shared by
+    the LSH and IVF int8 tiers — ONE quantization convention.
+
+    Quantization uses Spark SQL round (HALF_UP) — reproducible in
+    ANSI SQL, so an oracle can recompute the identical stored values.
+
+    Dirty-vector guard: a NaN element drives ``scale`` to NaN
+    (greatest's NaN-largest ordering) and an ±inf element drives it
+    to +inf, where inf/inf = NaN — either way the ANSI NaN→tinyint
+    cast would fail the WHOLE build job on one corrupt row. Such
+    rows store zeros under their honest non-finite scale; the
+    dequantized vector is then all-NaN, its norm NaN, and the
+    scoring guard (similarity._cosine_from_denom) NULLs them out of
+    every ranking — the same exclusion the float tier applies to
+    non-finite vectors."""
+    scale = F.aggregate(
+        F.transform(F.col(vec), F.abs),
+        F.lit(0.0),
+        lambda acc, v: F.greatest(acc, v),
+    ) / F.lit(127.0)
+    q_ok = (
+        (F.col("scale") > 0)
+        & ~F.isnan(F.col("scale"))
+        & (F.col("scale") != float("inf"))
+    )
+    qvec = F.when(
+        q_ok,
+        F.transform(
+            F.col(vec),
+            lambda x: F.round(x / F.col("scale")).cast("tinyint"),
+        ),
+    ).otherwise(
+        F.transform(F.col(vec), lambda x: F.lit(0).cast("tinyint"))
+    )
+    return (
+        df.withColumn("scale", scale)
+        .withColumn("qvec", qvec)
+        .withColumn("norm", l2_norm(_dequant_int8(F.col("qvec"), F.col("scale"))))
+    )
 
 
 def _write_ivf_postings(
@@ -599,40 +625,10 @@ def _write_ivf_postings(
             norm_col="norm", keep_cols=("centroid_id",),
         )
     elif store_dtype == "int8":
-        # symmetric per-vector quantization: scale = max|x|/127, so
-        # the full int8 range is used per vector; assignment above
-        # ran on the FLOAT vector (cell choice is never quantized).
-        # The stored norm is the norm of the DEQUANTIZED vector, so
-        # probe cosines are internally consistent. Quantization uses
-        # Spark SQL round (HALF_UP) — reproducible in ANSI SQL, so an
-        # oracle can recompute the identical stored values.
-        scale = F.aggregate(
-            F.transform(F.col("vec"), F.abs),
-            F.lit(0.0),
-            lambda acc, v: F.greatest(acc, v),
-        ) / F.lit(127.0)
-        # NaN guard: a NaN element drives scale to NaN, and NaN > 0
-        # is TRUE under Spark's NaN ordering — without the isnan
-        # term the ANSI NaN→tinyint cast would fail the job. Such
-        # rows store zeros and keep their NaN scale, so dequantized
-        # scoring yields NaN and they lose every ranking — exactly
-        # the float artifact's behavior for NaN vectors.
-        q_ok = (F.col("scale") > 0) & ~F.isnan(F.col("scale"))
-        qvec = F.when(
-            q_ok,
-            F.transform(
-                F.col("vec"),
-                lambda x: F.round(x / F.col("scale")).cast("tinyint"),
-            ),
-        ).otherwise(
-            F.transform(F.col("vec"), lambda x: F.lit(0).cast("tinyint"))
-        )
-        assigned = (
-            assigned.withColumn("scale", scale)
-            .withColumn("qvec", qvec)
-            .withColumn("norm", l2_norm(_dequant_int8(F.col("qvec"), F.col("scale"))))
-            .drop("vec")
-        )
+        # assignment above ran on the FLOAT vector (cell choice is
+        # never quantized); storage quantizes via the shared
+        # _int8_quantize (dirty-vector guard documented there)
+        assigned = _int8_quantize(assigned).drop("vec")
     else:
         assigned = assigned.withColumn("norm", l2_norm(F.col("vec")))
     reparted = (

@@ -46,10 +46,40 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def _cosine_from_denom(a: Column, b: Column, denom: Column) -> Column:
+    """Shared guard tier for both cosine entry points:
+
+    * finite positive denominator → the cosine;
+    * finite zero denominator (a zero-norm vector) → 0.0;
+    * anything else — NaN/±inf norms (a vector with non-finite
+      elements) or NULL norms (a NULL vector) — → NULL.
+
+    The last tier matters: Spark orders NaN ABOVE every number, so
+    without it one corrupt corpus vector scores NaN against every
+    query and WINS every top-k ranking (and a desc sort places NULL
+    last, but the ranking sites filter NULL scores out entirely).
+    NULL-for-dirty matches the BLAS kernels, which drop non-finite
+    rows (np.isfinite keep mask in topk_cosine_bruteforce_blas, the
+    dirty-row guards in the signature/PQ encoders)."""
+    return _score_from_dot(dot(a, b), denom)
+
+
+def _score_from_dot(dotc: Column, denom: Column) -> Column:
+    """The guard tiering over an ALREADY-COMPUTED dot product — shared
+    by ``_cosine_from_denom`` and the ADC scorer (whose dot comes from
+    the codeword lookup table, not a vector fold)."""
+    finite = ~F.isnan(denom) & (denom != float("inf"))
+    return (
+        F.when(finite & (denom > 0), dotc / denom)
+        .when(finite & (denom == 0), F.lit(0.0))
+        .otherwise(F.lit(None).cast("double"))
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; 0 for zero-norm vectors."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+    """Cosine similarity; 0 for zero-norm vectors, NULL for vectors
+    with non-finite elements (see ``_cosine_from_denom``)."""
+    return _cosine_from_denom(a, b, l2_norm(a) * l2_norm(b))
 
 
 def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
@@ -59,9 +89,9 @@ def cosine_with_norms(a: Column, b: Column, na: Column, nb: Column) -> Column:
     is computed once instead of once per candidate pair. In a top-k
     search the corpus row appears in |Q| pairs and the query row in
     ~n/buckets pairs — inlined norms triple the array work of every
-    pair; precomputed, scoring is the dot product alone."""
-    denom = na * nb
-    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+    pair; precomputed, scoring is the dot product alone. Zero-norm →
+    0.0, non-finite/NULL norms → NULL (see ``_cosine_from_denom``)."""
+    return _cosine_from_denom(a, b, na * nb)
 
 
 def topk_cosine_bruteforce(
@@ -96,7 +126,7 @@ def topk_cosine_bruteforce(
             ),
             round_digits,
         ).alias("score"),
-    )
+    ).filter(F.col("score").isNotNull())  # dirty (non-finite) rows out
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -389,7 +419,7 @@ def _ivf_probe(c: DataFrame, q: DataFrame, k: int, round_digits: int) -> DataFra
             ),
             round_digits,
         ).alias("score"),
-    )
+    ).filter(F.col("score").isNotNull())  # dirty (non-finite) rows out
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -468,7 +498,7 @@ def topk_cosine_lsh(
             ),
             round_digits,
         ).alias("score"),
-    )
+    ).filter(F.col("score").isNotNull())  # dirty (non-finite) rows out
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         scored.withColumn("__rn", F.row_number().over(w))
@@ -862,6 +892,9 @@ def _multitable_probe(
         )
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("score").alias("score"))
+        # max() skips NULLs, so a pair survives with NULL score only
+        # when EVERY table's score was NULL (a dirty vector) — drop it
+        .filter(F.col("score").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -1310,13 +1343,13 @@ def topk_cosine_ivf_pq(
             "query_id",
             "neighbor_id",
             F.round(
-                F.when(
-                    F.col("__qn") * F.col("__cn") > 0,
-                    F.col("__dot") / (F.col("__qn") * F.col("__cn")),
-                ).otherwise(F.lit(0.0)),
+                _score_from_dot(
+                    F.col("__dot"), F.col("__qn") * F.col("__cn")
+                ),
                 round_digits,
             ).alias("score"),
         )
+        .filter(F.col("score").isNotNull())  # dirty (non-finite) rows out
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
@@ -1398,6 +1431,7 @@ def topk_cosine_ivf_pq_refine(
                 round_digits,
             ).alias("score"),
         )
+        .filter(F.col("score").isNotNull())  # dirty (non-finite) rows out
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
