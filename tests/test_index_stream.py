@@ -75,15 +75,38 @@ def test_stream_ingest_equals_batch_build(spark, kind):
         spark, full, queries, kind
     )
     markers = sorted(
-        f for f in os.listdir(f"{streamed}/ledger") if not f.startswith(".")
+        f for f in os.listdir(f"{streamed}/ledger") if f.startswith("epoch-")
     )
     assert len(markers) == 3
+    # the ledger is bound to its feeding checkpoint
+    assert [
+        f for f in os.listdir(f"{streamed}/ledger") if f.startswith("_stream-")
+    ]
     assert not [d for d in os.listdir(streamed) if d.startswith("ingest.epoch")]
 
     # a second run over the same checkpoint adds no batches
     before = spark.read.parquet(f"{streamed}/index").count()
     IS.stream_index_ingest(
         spark, src, emb.schema, streamed, ckpt, partitions_per_epoch=2
+    )
+    assert spark.read.parquet(f"{streamed}/index").count() == before
+
+    # a FRESH checkpoint would restart batch ids at 0 — its batches
+    # would collide with committed ledger epochs and be silently
+    # skipped (data loss), so the binding guard refuses up front
+    with pytest.raises(ValueError, match="different checkpoint"):
+        IS.stream_index_ingest(
+            spark, src, emb.schema, streamed, _tmp(f"{kind}_ckpt2"),
+            partitions_per_epoch=2,
+        )
+    # deliberate migration path: adopt_ledger re-binds to the new
+    # checkpoint and KEEPS the committed epochs — this source replays
+    # the already-indexed files, so its colliding batch ids skip (the
+    # caller vouched the new source wouldn't replay; here it does,
+    # and the ledger still prevents double-indexing)
+    IS.stream_index_ingest(
+        spark, src, emb.schema, streamed, _tmp(f"{kind}_ckpt3"),
+        partitions_per_epoch=2, adopt_ledger=True,
     )
     assert spark.read.parquet(f"{streamed}/index").count() == before
 

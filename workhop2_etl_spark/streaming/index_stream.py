@@ -174,6 +174,7 @@ def stream_index_ingest(
     vec_col: str = "embedding",
     partitions_per_epoch: int = 4,
     max_files_per_trigger: int = 1,
+    adopt_ledger: bool = False,
 ) -> None:
     """Drain every file currently in ``stream_dir`` (availableNow)
     into the index artifact at ``index_path``, one exactly-once
@@ -181,8 +182,60 @@ def stream_index_ingest(
     (created by ``save_lsh_index`` / ``save_ivf_index``, possibly on
     a seed corpus) — its stored metadata, not caller arguments,
     decides the index kind and geometry, so a stream can never sign
-    or assign a batch under drifted parameters."""
+    or assign a batch under drifted parameters.
+
+    The ledger is only meaningful together with the stream's
+    CHECKPOINT: epoch ids are the checkpoint's batch ids, so a fresh
+    checkpoint restarts them at 0 and every new batch would collide
+    with an already-committed ledger entry — silently SKIPPED, data
+    lost. The artifact therefore records which checkpoint feeds it
+    (``ledger/_stream-<digest>``); resuming with the same checkpoint
+    is the supported path, while a DIFFERENT checkpoint against a
+    non-empty ledger raises before any batch runs. Pass
+    ``adopt_ledger=True`` only for deliberate migrations (new
+    checkpoint whose sources are known not to replay indexed data) —
+    it re-binds the ledger to the new checkpoint."""
     _read_meta_any_kind(spark, index_path)  # fail fast before starting
+
+    import hashlib
+
+    digest = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    fs, ledger_p = _hadoop_fs(spark, f"{index_path}/ledger")
+    _, bind_p = _hadoop_fs(spark, f"{index_path}/ledger/_stream-{digest}")
+    if fs.exists(ledger_p):
+        entries = [
+            st.getPath().getName() for st in fs.listStatus(ledger_p)
+        ]
+        has_epochs = any(e.startswith("epoch-") for e in entries)
+        bound_elsewhere = any(
+            e.startswith("_stream-") and e != f"_stream-{digest}"
+            for e in entries
+        )
+        if has_epochs and not fs.exists(bind_p):
+            if not adopt_ledger:
+                raise ValueError(
+                    f"index at {index_path} has a committed ingest ledger "
+                    f"bound to a different checkpoint ({'; '.join(sorted(e for e in entries if e.startswith('_stream-'))) or 'an untracked one'}). "
+                    f"A new checkpoint restarts batch ids at 0, so its "
+                    f"batches would collide with committed ledger epochs "
+                    f"and be silently skipped. Resume with the original "
+                    f"checkpoint, or pass adopt_ledger=True to re-bind "
+                    f"after verifying the new source does not replay "
+                    f"already-indexed data"
+                )
+            for e in entries:  # deliberate migration: re-bind
+                if e.startswith("_stream-"):
+                    _, old = _hadoop_fs(spark, f"{index_path}/ledger/{e}")
+                    fs.delete(old, False)
+        elif bound_elsewhere and not has_epochs:
+            # stale binding with no epochs: nothing committed, safe to
+            # re-bind silently
+            for e in entries:
+                if e.startswith("_stream-"):
+                    _, old = _hadoop_fs(spark, f"{index_path}/ledger/{e}")
+                    fs.delete(old, False)
+    fs.mkdirs(ledger_p)
+    fs.createNewFile(bind_p)
 
     stream = (
         spark.readStream.schema(schema)
