@@ -282,6 +282,47 @@ def test_int8_index_build_survives_nonfinite_vectors(spark, tmp_path):
     assert sorted(got) == [(1, 1), (2, 2), (5, 3)]
 
 
+def test_lexical_index_roundtrip_and_append(spark, tmp_path):
+    """Persisted BM25 index: build on the even half, append the odd
+    half, load, probe — row-identical to the in-session bm25_topk
+    over the full corpus (df/n_docs/Σdl partials sum to the
+    single-shot aggregates). Drift guards: the ANN loader refuses the
+    lexical kind, and a tokenizer-label mismatch raises."""
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.operators import retrieval as RETOP
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim("text"), " "))
+        .alias("toks"),
+    )
+    qt = spark.createDataFrame(
+        [(0, "apple"), (0, "date"), (3, "banana"), (3, "elephant")],
+        "query_id long, term string",
+    )
+    path = str(tmp_path / "lex")
+    RETOP.save_lexical_index(
+        corpus.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+    )
+    meta = RETOP.append_lexical_index(
+        corpus.filter(F.col("doc_id") % 2 == 1), path
+    )
+    assert meta["epoch"] == 1
+    tf, df, stats, meta = RETOP.load_lexical_index(spark, path)
+    got = RETOP.probe_lexical_index(tf, df, stats, meta, qt, k=10).collect()
+    want = RETOP.bm25_topk(corpus, qt, k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want)) and got
+
+    with pytest.raises(ValueError, match="wrong index type"):
+        IDX.load_lsh_index(spark, path)
+    with pytest.raises(ValueError, match="does not match this probe"):
+        RETOP.load_lexical_index(spark, path, tokenizer="bpe")
+    with pytest.raises(ValueError, match="max_terms"):
+        RETOP.probe_lexical_index(tf, df, stats, meta, qt, k=10, max_terms=2)
+
+
 def test_nonfinite_query_returns_no_rows(spark):
     """A dirty QUERY vector has a non-finite norm, so every one of its
     pairs is NULL-scored and it returns zero rows (it cannot silently

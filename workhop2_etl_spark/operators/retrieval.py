@@ -85,28 +85,73 @@ def bm25_topk(
     tf ⋈bc query_terms — map-side only. Final top-k is a window on
     query_id (row_number + filter → TakeOrdered-shaped per group).
     """
-    indexed = corpus_tokens.filter(F.size(tok_col) > 0)
-    terms = indexed.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(tok_col).alias("__dl"),
-        F.explode(tok_col).alias("term"),
+    tf = _tf_relation(corpus_tokens, id_col, tok_col)
+    stats = _stats_from_counts(
+        _stats_partial(corpus_tokens, tok_col)
     )
-    tf = terms.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("dl")
+    df_all = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    return _bm25_rank(
+        tf, df_all, stats, query_terms,
+        k=k, k1=k1, b=b, round_digits=round_digits,
+        exclude_self=exclude_self,
     )
-    # corpus stats: exact-integer sums → identical avgdl double on
-    # any engine (never avg(), whose internal order could differ)
-    stats = indexed.agg(
+
+
+def _tf_relation(corpus_tokens: DataFrame, id_col: str, tok_col: str) -> DataFrame:
+    """(doc_id, term, tf, dl) — the BM25 posting relation; empty-token
+    docs are excluded from the index (they can't match and would skew
+    avgdl). dl rides through the tf aggregation (min of a per-doc
+    constant) so scoring never re-joins on doc_id."""
+    return (
+        corpus_tokens.filter(F.size(tok_col) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tok_col).alias("__dl"),
+            F.explode(tok_col).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.min("__dl").alias("dl"))
+    )
+
+
+def _stats_partial(corpus_tokens: DataFrame, tok_col: str) -> DataFrame:
+    """One-row (n_docs, sum_dl) partial over indexed docs — exact
+    integer sums, ADDITIVE across disjoint document sets (the property
+    the persisted index's append path relies on)."""
+    return corpus_tokens.filter(F.size(tok_col) > 0).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tok_col)).alias("__sum_dl"),
-    ).select(
+        F.coalesce(F.sum(F.size(tok_col)), F.lit(0)).alias("sum_dl"),
+    )
+
+
+def _stats_from_counts(counts: DataFrame) -> DataFrame:
+    """(n_docs, avgdl) from a (n_docs, sum_dl) relation. avgdl is the
+    ONE division both engines (and the save/load round trip) perform
+    on the same exact integers — never avg(), whose accumulation
+    order could differ."""
+    return counts.select(
         "n_docs",
-        (F.col("__sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
     )
+
+
+def _bm25_rank(
+    tf: DataFrame,
+    df_all: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    round_digits: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """The BM25 scoring + ranking core over prepared relations —
+    shared verbatim by ``bm25_topk`` (in-session) and
+    ``probe_lexical_index`` (loaded artifact), so a persisted index
+    probes row-identically to an in-session ranking."""
     qvocab = query_terms.select("term").distinct()
-    df_q = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).join(
-        F.broadcast(qvocab), "term"
-    )
+    df_q = df_all.join(F.broadcast(qvocab), "term")
     scored = (
         tf.join(F.broadcast(query_terms), "term")
         .join(F.broadcast(df_q), "term")
@@ -149,6 +194,180 @@ def bm25_topk(
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "score", "n_hit")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Persisted lexical (BM25) index — the lexical twin of the ANN index
+# lifecycle in operators/index_store.py. At 100 TB the expensive half
+# of lexical retrieval is the INDEX BUILD (the corpus-wide (doc,
+# term) tf aggregation); the production posture (Lucene segments) is
+# an on-disk artifact probed across sessions. BM25's corpus state is
+# exactly additive over DISJOINT document sets — df, n_docs and Σdl
+# are sums — so appends write per-epoch PARTIALS and the loader
+# re-aggregates: build ∪ append ≡ single-shot, bit-exactly (the same
+# integers reach the same divisions).
+# ---------------------------------------------------------------------------
+
+_LEXICAL_KIND = "bm25-lexical"
+
+
+def save_lexical_index(
+    corpus_tokens: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    tok_col: str = "toks",
+    tokenizer: str = "ws-lower",
+    mode: str = "error",
+) -> dict:
+    """Build the BM25 posting relation and persist the index at
+    ``path``: ``tf`` (doc_id, term, tf, dl — repartitioned and sorted
+    by term, so a point-probe's term IN-list prunes whole files via
+    parquet min/max stats), ``df`` (per-epoch (term, df) partials),
+    ``stats`` (per-epoch (n_docs, sum_dl) partials), and the metadata
+    record. ``tokenizer`` is a free-form contract string recorded so
+    a probe pipeline can refuse an index tokenized under another
+    convention (the guard is load-time, by label — the tokens
+    themselves were the caller's input). Returns the metadata."""
+    from workhop2_etl_spark.operators.index_store import (
+        FORMAT_VERSION,
+        _write_meta,
+    )
+
+    _write_lexical_epoch(corpus_tokens, path, id_col, tok_col, mode)
+    meta = {
+        "kind": _LEXICAL_KIND,
+        "version": FORMAT_VERSION,
+        "id_col": id_col,
+        "tokenizer": tokenizer,
+        "epoch": 0,
+    }
+    _write_meta(corpus_tokens.sparkSession, path, meta, mode)
+    return meta
+
+
+def _write_lexical_epoch(
+    corpus_tokens: DataFrame, path: str, id_col: str, tok_col: str, mode: str
+) -> None:
+    tf = _tf_relation(corpus_tokens, id_col, tok_col)
+    (
+        tf.repartition("term")
+        .sortWithinPartitions("term")
+        .write.mode(mode)
+        .parquet(f"{path}/tf")
+    )
+    # df/stats are PARTIALS over THIS epoch's documents only (never a
+    # re-read of the accumulated tf dir, which in append mode already
+    # holds earlier epochs); the loader sums partials, which equals
+    # the single-shot aggregate because epochs index disjoint
+    # documents (id discipline is the caller's, as with ANN appends)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df.repartition(1).write.mode(mode).parquet(f"{path}/df")
+    _stats_partial(corpus_tokens, tok_col).repartition(1).write.mode(
+        mode
+    ).parquet(f"{path}/stats")
+
+
+def append_lexical_index(
+    corpus_tokens: DataFrame,
+    path: str,
+    id_col: str | None = None,
+    tok_col: str = "toks",
+) -> dict:
+    """Grow the lexical index with newly-arrived documents. The new
+    docs' tf rows append to the posting relation and their df/stats
+    PARTIALS append alongside; nothing already on disk is rewritten
+    (df for an existing term is reconciled at load by summing
+    partials). Re-appending an already-indexed doc_id double-counts
+    it — same id discipline as the ANN index appends; single-writer
+    by contract."""
+    from workhop2_etl_spark.operators.index_store import _read_meta
+    from workhop2_etl_spark.operators.index_store import _write_meta
+
+    spark = corpus_tokens.sparkSession
+    meta = _read_meta(spark, path, _LEXICAL_KIND)
+    _write_lexical_epoch(
+        corpus_tokens, path, id_col or meta["id_col"], tok_col, "append"
+    )
+    meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
+    _write_meta(spark, path, meta, "overwrite")
+    return meta
+
+
+def load_lexical_index(
+    spark, path: str, tokenizer: str | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """(tf, df, stats, metadata) from ``path``. ``df`` and ``stats``
+    come back as LAZY re-aggregations over the persisted partials
+    (sum over epochs), so the returned relations are exactly the
+    single-shot ones regardless of how many appends built the
+    artifact. Raises on kind/tokenizer drift."""
+    from workhop2_etl_spark.operators.index_store import (
+        _check_drift,
+        _read_meta,
+    )
+
+    meta = _read_meta(spark, path, _LEXICAL_KIND)
+    _check_drift(path, meta, {"tokenizer": tokenizer})
+    tf = spark.read.parquet(f"{path}/tf")
+    df = (
+        spark.read.parquet(f"{path}/df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    stats = _stats_from_counts(
+        spark.read.parquet(f"{path}/stats").agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        )
+    )
+    return tf, df, stats, meta
+
+
+def probe_lexical_index(
+    tf: DataFrame,
+    df: DataFrame,
+    stats: DataFrame,
+    meta: dict,
+    query_terms: DataFrame,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_digits: int = 6,
+    exclude_self: bool = True,
+    max_terms: int = 4096,
+) -> DataFrame:
+    """BM25 top-k from a LOADED lexical index — row-identical to
+    ``bm25_topk`` over the original corpus (the scoring core is
+    shared verbatim and the artifact round-trips exact integers).
+
+    The query vocabulary collects to the driver (bounded loudly at
+    ``max_terms`` — query terms are dimension-sized by contract) and
+    becomes an IN-list filter on the posting scan: the tf relation is
+    term-clustered on disk, so parquet min/max stats skip every file
+    holding no query term — the probe reads a vocabulary-sized slice
+    of a corpus-sized artifact."""
+    vocab_rows = (
+        query_terms.select("term").distinct().limit(max_terms + 1).collect()
+    )
+    if len(vocab_rows) > max_terms:
+        raise ValueError(
+            f"probe_lexical_index collected more than max_terms="
+            f"{max_terms} distinct query terms; the query side must be "
+            "the bounded relation — raise max_terms explicitly if this "
+            "is intentional"
+        )
+    vocab = [r.term for r in vocab_rows]
+    return _bm25_rank(
+        tf.filter(F.col("term").isin(vocab)),
+        df.filter(F.col("term").isin(vocab)),
+        stats,
+        query_terms,
+        k=k,
+        k1=k1,
+        b=b,
+        round_digits=round_digits,
+        exclude_self=exclude_self,
     )
 
 

@@ -129,6 +129,47 @@ def t11_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t12: persisted lexical index lifecycle — build the BM25 artifact on
+# the even-doc_id half, APPEND the odd half, load, probe. BM25's
+# corpus state (df / n_docs / Σdl) is additive over disjoint doc
+# sets, so the loader's sum-of-partials equals the single-shot
+# aggregate; the oracle recomputes single-shot BM25 over the WHOLE
+# table, so a green verdict proves build ∪ append ≡ single-shot and
+# that the parquet round trip preserved every integer the scores
+# divide. The probe reads a vocabulary-sized slice of the
+# term-clustered posting relation (IN-list pushed to the scan).
+# ---------------------------------------------------------------------------
+_LEX_Q_MOD = 79
+
+
+@query(
+    "t12_bm25_persisted_index",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_LEX_Q_MOD, _BM25_K)}
+    SELECT query_id, rank, doc_id, score, n_hit
+    FROM lex ORDER BY query_id, rank
+    """,
+)
+def t12_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    path = os.path.join(tempfile.mkdtemp(prefix="w2e_t12_"), "lexidx")
+    RET.save_lexical_index(
+        corpus_tokens.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+    )
+    RET.append_lexical_index(
+        corpus_tokens.filter(F.col("doc_id") % 2 == 1), path
+    )
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    return RET.probe_lexical_index(
+        tf, df, stats, meta, _query_terms(docs, _LEX_Q_MOD), k=_BM25_K
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # v15: hybrid retrieval — BM25 lexical arm over `documents` fused
 # with an exact-cosine vector arm over `embeddings` (doc_id ≡ vec_id
 # by the testdata contract) via reciprocal-rank fusion (Cormack et
