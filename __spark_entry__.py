@@ -31,98 +31,69 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # keep it exact. The window composes from tools/staleness_report.py
 # (latest green per CORRECTNESS_r*.json + last kernel-touching commit
 # round from git), ordered never-verified > kernel-changed > oldest
-# green; the r08 window below follows the r08-head report output and
-# the r07 verdict's ask #1 verbatim (rotate the entire 44-query
-# r04-latest cohort — the whole remaining staleness tail).
-# Round-9 window composition (exactly 50 — net: 5 never-verified
-# v9/v10/v11/v12/st13 + 3 kernel-changed v8/m10/f6 + the entire
-# 42-query r05 cohort; details below):
-# (a) 3 never-driver-verified queries: v9_topk_lsh_persisted_index
-#     (NEW this round — the persisted ANN index lifecycle: BLAS-sign
-#     → save parquet+metadata → load with drift guards → probe the
-#     loaded relation; r08 verdict ask #4),
-#     v10_topk_ivf_persisted_index (NEW this round — the persisted
-#     IVF-POSTINGS lifecycle including the incremental half: build on
-#     the even-id corpus, append the odd-id half under the artifact's
-#     own stored quantizer, load, probe at nprobe=2; the oracle
-#     recomputes single-shot IVF over the whole table, so green
-#     proves build ∪ append ≡ single-shot), and
-#     v11_ivf_index_health (NEW this round — the observability half:
-#     build → append → load → ivf_index_stats one-row skew report;
-#     the oracle recomputes the cell populations from single-shot SQL
-#     assignment, so green also re-proves build ∪ append lost no
-#     rows);
-# (b) 3 queries whose kernel changed THIS round, so their old greens
-#     pre-date the code under them: v8 (topk_cosine_lsh_multitable's
-#     probe now routes through the extracted _multitable_probe shared
-#     with the index store), m10 (JPEG entropy scan skips T.81 FF
-#     fill bytes, the decode tier is pinned via allow_pil=False, and
-#     the feature memo keys on md5 digests — r08 ADVICE #2/#3/#4),
-#     f6 (the offset path gained the TIMESTAMP_NTZ domain
-#     guard the r09 adversarial pass found — year-0/year-10000
-#     instants now coerce to NULL instead of crashing at
-#     materialization). m8 (png truncated-IHDR guard + the same memo
-#     change) yielded its slot to the never-verified v12 — its two
-#     kernel changes are pinned by tests (codec fuzz battery, m10's
-#     oracle exercising the same memo/decode path) and it holds a
-#     fresh local green in VERIFYLOCAL_r09.jsonl;
-# (c) ALL 42 r05-latest greens — the entire staleness tail, report
-#     order: a12, a13, a14, d1, d2, d8, dq1, dq2, dq3, e3, e7, e8,
-#     e9, j10, j11, j7, k1, k2, s6, st10, t10, t1, t2, t4, t5, t6,
-#     t7, u2, u5, v2, v4, v5, w4, w5, w6, x10, x11, x4, x6, z1, q3,
-#     q9 (the r08 verdict's ask #1 verbatim). The v2/v4/v5 rows
-#     double as similarity.py kernel-changed re-verification.
-#     After this round no latest green is older than r06 anywhere
-#     (the r08 verdict's stated done-condition);
-# (d) 1 more never-verified: st13_streaming_index_ingest (NEW this
-#     round — streaming maintenance of the persisted IVF index:
-#     three availableNow micro-batches ingested exactly-once via the
-#     ledger/staging/rename protocol, then probed from the loaded
-#     postings; the oracle recomputes single-shot IVF, so green
-#     proves the streamed epochs reconstruct the batch index).
-#     a4 (dedupe.py r08, the previous fill), d9 (suite/similarity.py)
-#     and dq5 (quality.py r07) all yielded their slots to
-#     never-verified queries; each stays archived green in
-#     VERIFYLOCAL_r09.jsonl and rotates in r10.
-# Displaced (every r08-window entry not re-listed above): m10/m8/m9/
-# v8 ARE re-listed; the rest — f6, dq4, v1, and the full 44-query
-# r04 tail — all hold fresh r08 driver greens (50/50 sweep), and the
-# full strict verify_local sweep re-ran green this round AFTER the
-# r09 kernel changes, archived as VERIFYLOCAL_r09.jsonl (r08 verdict
-# ask #2 — the out-of-window greens are now a committed artifact,
-# not an assertion).
-# Not in this window: v13_topk_ivf_pq (IVF-PQ search, landed at the
-# very end of r09 with the window already composed at its exactly-50
-# spec above) — it holds a fresh local oracle green in
-# VERIFYLOCAL_r09.jsonl and, as the only never-driver-verified query,
-# is the r10 window HEAD by the maintained ordering (never-verified >
-# kernel-changed > oldest green).
-# Deferred to a same-kernel in-window sibling: v1/v6 → v8+v9
-# (same similarity.py; their functions are untouched by the r09
-# probe refactor, and v8 exercises the extracted probe directly),
-# v7 → v5+v10 (topk_cosine_ivf's body became the shared _ivf_probe;
-# v5 drives it in-session and v10 drives it from the loaded
-# postings, both at the same centroid construction — v7's nprobe=2
-# path is v10's exact probe configuration),
-# m1–m5/m7/m9 → m8+m10 (same imagecodec/multimodal kernels; their
-# entry points — meta probe, resize, GIF walk, and m9's pipeline
-# composition of m8+m10's exact feature kernel — are untouched
-# functions, and the codec fuzz pytest covers all three container
-# walkers; m9 yielded its r09 slot to the never-verified v11 and
-# holds a fresh local green in VERIFYLOCAL_r09.jsonl), plus the
-# r06/r07/r08 cohorts whose greens are ≤3 rounds old and archived
-# in VERIFYLOCAL_r09.jsonl.
+# green.
+# ROUND-10 NOTE: no CORRECTNESS_r09.json was recorded (the driver's
+# round-9 correctness pass never landed in the repo), so the r09
+# window's rotation did not produce driver greens — the entire
+# 42-query r05 cohort is STILL the staleness tail, and the r09
+# additions remain never-driver-verified. Every registry query holds
+# committed local sweep greens (VERIFYLOCAL_r09.jsonl at the r09 head,
+# VERIFYLOCAL_r10.jsonl at this round's head) in the interim.
+# Round-10 window composition (exactly 50):
+# (a) 10 never-driver-verified: the four NEW round-10 queries —
+#     t11_bm25_topk (Okapi BM25 lexical retrieval, deterministic
+#     per-term fold), t12_bm25_persisted_index (the persisted lexical
+#     index lifecycle: build on even doc_ids → append odds → load →
+#     IN-list-pruned probe; the oracle recomputes single-shot BM25,
+#     so green proves the additive df/n_docs/Σdl partials reconcile
+#     exactly), v14_topk_ivf_pq_refine (PQ candidates + exact rescore
+#     — FAISS IVFPQR), v15_hybrid_rrf (BM25 arm + cosine arm fused by
+#     reciprocal-rank, k_rrf=60) — plus the six r09 additions that
+#     never got a driver verdict: v9/v10/v11/v12/v13/st13 (persisted
+#     ANN index lifecycles and their streaming ingest).
+# (b) 2 kernel-changed with greens older than their kernels:
+#     v8_topk_cosine_lsh_multitable (green r08; _multitable_probe
+#     extracted r09, cosine guard r10) and f6_timestamp_coerce
+#     (green r08; NTZ domain guard r09).
+# (c) 38 of the 42-query r05-latest cohort, staleness-report order:
+#     a12, a13, a14, d1, d2, d8, dq1, dq2, dq3, e3, e8, e9, j10, j11,
+#     j7, k1, k2, s6, st10, t10, t1, t2, t4, t5, t6, t7, u2, u5, v2,
+#     v4, v5, w4, w6, x10, x11, x4, x6, z1. The v2/v4/v5 rows double
+#     as re-verification of the round-10 cosine-guard kernel change
+#     (non-finite vectors now excluded from rankings).
+# Deferred, each with the displacing rationale:
+# - q3_shipping_priority / q9_product_profit (r05 cohort): greens
+#   POSTDATE their kernels (r01/r03 — untouched for 7+ rounds), both
+#   run in every round's bench HEADLINE, and both hold archived local
+#   sweep greens (VERIFYLOCAL_r09/r10).
+# - w5_gapfill_days (r05 cohort): same windows kernel family as the
+#   in-window w4/w6 siblings; archived sweep greens.
+# - e7_cohort_month (r05 cohort): same cohort-derivation kernel as
+#   the in-window e3 sibling; archived sweep greens.
+# - m10_real_jpeg_features (kernel r09, green r08): its r09 codec
+#   changes are pinned by the decode fuzz battery + the PIL-branch
+#   pytest twins (the m8 precedent from the r09 spec), and it holds
+#   archived sweep greens at both the r09 and r10 heads.
+# - v1/v6/v7/d9 (cosine-guard kernel change r10, greens r06-r08):
+#   the changed kernel is exercised in-window by v2/v4/v5 (expression
+#   cosine through LSH/near-dup/IVF shapes) and by v9-v15/st13 (every
+#   probe shape from loaded artifacts); the change itself is pinned
+#   by the tests/test_retrieval.py non-finite battery (dirty corpora
+#   through brute/IVF/LSH/int8 paths); archived sweep greens at this
+#   head.
 _PRIORITY = [
-    # (a) never driver-verified
+    "t11_bm25_topk",
+    "t12_bm25_persisted_index",
+    "v14_topk_ivf_pq_refine",
+    "v15_hybrid_rrf",
     "v9_topk_lsh_persisted_index",
     "v10_topk_ivf_persisted_index",
     "v11_ivf_index_health",
-    # (b) kernel changed this round
-    "v8_topk_cosine_lsh_multitable",
-    "m10_real_jpeg_features",
     "v12_topk_ivf_int8_index",
+    "v13_topk_ivf_pq",
+    "st13_streaming_index_ingest",
+    "v8_topk_cosine_lsh_multitable",
     "f6_timestamp_coerce",
-    # (c) the full r05-latest tail, staleness-report order
     "a12_weighted_median",
     "a13_profile_stats",
     "a14_equidepth_deciles",
@@ -133,7 +104,6 @@ _PRIORITY = [
     "dq2_rolling_outliers",
     "dq3_mad_outliers",
     "e3_cohort_retention",
-    "e7_cohort_month",
     "e8_scd2_lookup",
     "e9_attribution",
     "j10_asof_forward_tolerance",
@@ -156,18 +126,12 @@ _PRIORITY = [
     "v4_embedding_near_dup",
     "v5_topk_cosine_ivf",
     "w4_ohlc_resample",
-    "w5_gapfill_days",
     "w6_ewma",
     "x10_group_sample",
     "x11_cdc_chunks",
     "x4_stratified_split",
     "x6_sequence_pack",
     "z1_zorder_key",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    # (a, continued) never driver-verified — landed after the list
-    # above was first composed
-    "st13_streaming_index_ingest",
 ]
 
 

@@ -116,6 +116,15 @@ HEADLINE = [
     "v12_topk_ivf_int8_index",
     "v13_topk_ivf_pq",
     "st13_streaming_index_ingest",
+    # round-10: lexical + hybrid retrieval. t11 prices the corpus tf/df
+    # build + broadcast scoring; t12 the persisted-lexical lifecycle
+    # (build → append → load → IN-list-pruned probe); v14 the PQ
+    # candidate stage + exact rescore; v15 the two-arm fusion (regresses
+    # if either arm stops broadcasting its query side)
+    "t11_bm25_topk",
+    "t12_bm25_persisted_index",
+    "v14_topk_ivf_pq_refine",
+    "v15_hybrid_rrf",
 ]
 
 
