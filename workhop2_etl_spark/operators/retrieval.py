@@ -150,6 +150,10 @@ def _bm25_rank(
     shared verbatim by ``bm25_topk`` (in-session) and
     ``probe_lexical_index`` (loaded artifact), so a persisted index
     probes row-identically to an in-session ranking."""
+    # defensive distinct: a duplicate (query_id, term) input row would
+    # double-count that term's contribution — the query relation is
+    # tiny by contract, so the dedup is free
+    query_terms = query_terms.select("query_id", "term").distinct()
     qvocab = query_terms.select("term").distinct()
     df_q = df_all.join(F.broadcast(qvocab), "term")
     scored = (
