@@ -488,3 +488,41 @@ def test_persisted_ivf_probe_plan_shape(spark):
     assert schemas, "no ReadSchema in plan"
     for col in ("id:", "vec:", "norm:", "centroid_id:"):
         assert col in schemas, (col, schemas)
+
+
+def test_persisted_lexical_probe_plan_shape(spark):
+    """The loaded-BM25 probe must push the query vocabulary as an
+    In(term, ...) filter into BOTH the term-clustered tf scan and the
+    df-partials scan (the probe reads a vocabulary-sized slice of a
+    corpus-sized artifact), and every scoring join must broadcast the
+    query-sized side — never a shuffle of the posting relation."""
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+    qt = (
+        corpus_tokens.filter(F.col("doc_id") % 89 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"workhop2_idx_{os.getpid()}", "lex_planshape"
+    )
+    RET.save_lexical_index(corpus_tokens, path, mode="overwrite")
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    probe = RET.probe_lexical_index(tf, df, stats, meta, qt, k=10)
+    plan = plan_of(probe)
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

@@ -54,10 +54,13 @@ def main() -> None:
     )
     from workhop2_etl_spark.session import get_spark
 
-    args = [a for a in sys.argv[1:] if a not in ("--ivf", "--pq")]
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    args = [a for a in sys.argv[1:] if a not in ("--ivf", "--pq", "--lex")]
     family = (
         "ivf" if "--ivf" in sys.argv[1:]
         else "pq" if "--pq" in sys.argv[1:]
+        else "lex" if "--lex" in sys.argv[1:]
         else "lsh"
     )
     sizes = [int(a) for a in args] or [100_000]
@@ -65,9 +68,61 @@ def main() -> None:
     spark.range(1000).count()  # absorb JVM start
 
     for n in sizes:
+        path = os.path.join(tempfile.gettempdir(), f"idx_study_{os.getpid()}_{n}")
+
+        if family == "lex":
+            # lexical BM25: the build cost is the corpus-wide
+            # (doc, term) tf aggregation + clustered write; the probe
+            # reads a vocabulary-sized slice via the IN-list pushed
+            # into the term-clustered scan
+            docs = spark.read.parquet(FX.ensure_documents_lex(n))
+            toks = F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+            corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+            query_terms = (
+                corpus_tokens.filter(F.col("doc_id") < N_QUERIES)
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.explode(F.slice("toks", 1, 8)).alias("term"),
+                )
+                .distinct()
+            )
+            rec = {"family": family, "n": n, "k": K, "n_queries": N_QUERIES}
+
+            t0 = time.time()
+            RET.save_lexical_index(corpus_tokens, path, mode="overwrite")
+            build_save = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            tf, df, stats, meta = RET.load_lexical_index(spark, path)
+            rows_loaded = RET.probe_lexical_index(
+                tf, df, stats, meta, query_terms, k=K
+            ).collect()
+            load_probe = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            rows_insession = RET.bm25_topk(
+                corpus_tokens, query_terms, k=K
+            ).collect()
+            insession = round(time.time() - t0, 2)
+
+            assert sorted(map(tuple, rows_loaded)) == sorted(
+                map(tuple, rows_insession)
+            )
+            shutil.rmtree(path, ignore_errors=True)
+            rec.update(
+                build_save_sec=build_save,
+                load_probe_sec=load_probe,
+                insession_sec=insession,
+                probe_speedup_vs_insession=round(insession / load_probe, 2),
+            )
+            print(json.dumps(rec))
+            continue
+
         emb = spark.read.parquet(FX.ensure_embeddings(n, DIM))
         queries = emb.filter(F.col("vec_id") < N_QUERIES)
-        path = os.path.join(tempfile.gettempdir(), f"idx_study_{os.getpid()}_{n}")
         rec = {"family": family, "n": n, "dim": DIM, "k": K,
                "n_queries": N_QUERIES}
 

@@ -79,6 +79,56 @@ def ensure_embeddings(n: int, dim: int = 64) -> str:
     return path
 
 
+def documents_lex_path(n: int) -> str:
+    return os.path.join(SCALE_DIR, f"docs_lex_{n}.parquet")
+
+
+def ensure_documents_lex(n: int, vocab_size: int = 50_000) -> str:
+    """n synthetic documents over a ``vocab_size``-term ZIPFIAN
+    vocabulary — the lexical-retrieval fixture. ``ensure_documents``'
+    220-word vocabulary is right for the shingle/MinHash studies but
+    wrong for BM25 probes: with 220 words every query term occurs in
+    nearly every document, so term-IN-list scan pruning has nothing
+    to skip and candidate sets are corpus-sized. A realistic corpus
+    has a heavy-tailed vocabulary orders of magnitude larger than any
+    query — Zipf(1.3) over 50k terms reproduces that selectivity
+    (most terms are rare; a probe's IN-list prunes hard). Idempotent,
+    seeded, vectorized generation (one draw for all tokens)."""
+    path = documents_lex_path(n)
+    if os.path.exists(path):
+        return path
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    rng = np.random.default_rng(20_240_300 + n)
+    lengths = rng.integers(60, 160, size=n)
+    total = int(lengths.sum())
+    # heavy-tailed ranks via the inverse-CDF of a power law (pmf ∝
+    # rank^(1/a - 1); a=4 → ∝ rank^-0.75, Zipf-like head + long
+    # tail), clipped to the vocabulary; rank 0 is the most common
+    u = rng.random(total)
+    ranks = np.minimum(
+        (vocab_size * u ** 4.0).astype(np.int64), vocab_size - 1
+    )
+    words = np.char.add("t", ranks.astype("U7"))
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    texts = [
+        " ".join(words[offsets[i]:offsets[i + 1]]) for i in range(n)
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n),
+            "source": pa.array([f"src{i % 5}" for i in range(n)]),
+            "n_chars": pa.array(
+                np.array([len(t) for t in texts], dtype=np.int64)
+            ),
+        }
+    )
+    pq.write_table(tbl, path + ".tmp", compression="zstd")
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def ensure_documents(n: int, near_dup_frac: float = 0.1) -> str:
     """n synthetic documents of 60–160 words; ``near_dup_frac`` of
     them are near-duplicates of an earlier doc (≈5% of words swapped)
