@@ -50,15 +50,20 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     — FAISS IVFPQR), v15_hybrid_rrf (BM25 arm + cosine arm fused by
 #     reciprocal-rank, k_rrf=60) — plus the six r09 additions that
 #     never got a driver verdict: v9/v10/v11/v12/v13/st13 (persisted
-#     ANN index lifecycles and their streaming ingest).
+#     ANN index lifecycles and their streaming ingest) — plus
+#     st14_streaming_lexical_ingest (NEW, landed after the first
+#     window composition: the BM25 face of st13 — three tokenized
+#     micro-batches ingested exactly-once across the artifact's
+#     three dirs, additive df/stats partials; the oracle recomputes
+#     single-shot BM25, so green proves stream ≡ batch). 11 total.
 # (b) 2 kernel-changed with greens older than their kernels:
 #     v8_topk_cosine_lsh_multitable (green r08; _multitable_probe
 #     extracted r09, cosine guard r10) and f6_timestamp_coerce
 #     (green r08; NTZ domain guard r09).
-# (c) 38 of the 42-query r05-latest cohort, staleness-report order:
+# (c) 37 of the 42-query r05-latest cohort, staleness-report order:
 #     a12, a13, a14, d1, d2, d8, dq1, dq2, dq3, e3, e8, e9, j10, j11,
 #     j7, k1, k2, s6, st10, t10, t1, t2, t4, t5, t6, t7, u2, u5, v2,
-#     v4, v5, w4, w6, x10, x11, x4, x6, z1. The v2/v4/v5 rows double
+#     v4, v5, w4, x10, x11, x4, x6, z1. The v2/v4/v5 rows double
 #     as re-verification of the round-10 cosine-guard kernel change
 #     (non-finite vectors now excluded from rankings).
 # Deferred, each with the displacing rationale:
@@ -66,8 +71,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   POSTDATE their kernels (r01/r03 — untouched for 7+ rounds), both
 #   run in every round's bench HEADLINE, and both hold archived local
 #   sweep greens (VERIFYLOCAL_r09/r10).
-# - w5_gapfill_days (r05 cohort): same windows kernel family as the
-#   in-window w4/w6 siblings; archived sweep greens.
+# - w5_gapfill_days / w6_ewma (r05 cohort): same windows kernel
+#   family as the in-window w4 sibling; archived sweep greens (w6
+#   yielded its slot to the never-verified st14).
 # - e7_cohort_month (r05 cohort): same cohort-derivation kernel as
 #   the in-window e3 sibling; archived sweep greens.
 # - m10_real_jpeg_features (kernel r09, green r08): its r09 codec
@@ -92,6 +98,7 @@ _PRIORITY = [
     "v12_topk_ivf_int8_index",
     "v13_topk_ivf_pq",
     "st13_streaming_index_ingest",
+    "st14_streaming_lexical_ingest",
     "v8_topk_cosine_lsh_multitable",
     "f6_timestamp_coerce",
     "a12_weighted_median",
@@ -126,7 +133,6 @@ _PRIORITY = [
     "v4_embedding_near_dup",
     "v5_topk_cosine_ivf",
     "w4_ohlc_resample",
-    "w6_ewma",
     "x10_group_sample",
     "x11_cdc_chunks",
     "x4_stratified_split",

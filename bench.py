@@ -123,6 +123,7 @@ HEADLINE = [
     # if either arm stops broadcasting its query side)
     "t11_bm25_topk",
     "t12_bm25_persisted_index",
+    "st14_streaming_lexical_ingest",
     "v14_topk_ivf_pq_refine",
     "v15_hybrid_rrf",
 ]

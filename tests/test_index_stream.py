@@ -168,3 +168,72 @@ def test_ingest_epoch_replay_converges(spark):
     assert stats["files_after"] <= 2
     assert not os.path.exists(f"{path}/ingest.epoch-{2:012d}")
     assert _probe(spark, path, queries, "ivf") == want
+
+
+def test_lexical_stream_ingest_and_replay_converges(spark):
+    """The lexical artifact's THREE-dir epoch protocol: streamed
+    ingest (via the prepare tokenizer hook) probes identically to a
+    single-shot build, and a marker-deleted replay of an epoch
+    rebuilds its tf rows AND its df/stats partials whole — a
+    duplicated partial would silently inflate df/n_docs and shift
+    every BM25 score, so convergence is checked by exact probe
+    equality, not just row counts."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tokenize = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    qt = (
+        tokenize(docs)
+        .filter(F.col("doc_id") % 89 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+
+    def probe(path):
+        tf, df, stats, meta = RET.load_lexical_index(spark, path)
+        return sorted(
+            map(tuple, RET.probe_lexical_index(tf, df, stats, meta, qt, k=5).collect())
+        )
+
+    full = _tmp("lex_full")
+    RET.save_lexical_index(tokenize(docs), full, mode="overwrite")
+    want = probe(full)
+
+    streamed = _tmp("lex_streamed")
+    RET.save_lexical_index(tokenize(docs).limit(0), streamed, mode="overwrite")
+    src, ckpt = _tmp("lex_src"), _tmp("lex_ckpt")
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    IS.stream_index_ingest(
+        spark, src, docs.schema, streamed, ckpt,
+        vec_col="toks", partitions_per_epoch=2, prepare=tokenize,
+    )
+    assert probe(streamed) == want
+
+    # committed replay short-circuits; marker-deleted replay rebuilds
+    # the epoch's live files in ALL THREE dirs (stale partial planted
+    # in stats — the additive-partials dir where a duplicate corrupts)
+    batch1 = tokenize(docs.filter(F.col("doc_id") % 3 == 1))
+    assert IS.ingest_epoch(spark, batch1, 1, streamed, vec_col="toks") == "skipped"
+    os.remove(f"{streamed}/ledger/epoch-{1:012d}")
+    stale = f"{streamed}/stats/stream-{1:012d}-99999.parquet"
+    with open(stale, "wb") as f:
+        f.write(b"stale partial")
+    assert IS.ingest_epoch(spark, batch1, 1, streamed, vec_col="toks") == "committed"
+    assert not os.path.exists(stale)
+    assert probe(streamed) == want
+
+    # compaction refuses the lexical kind (layout maintenance for it
+    # is not implemented; the error names what compacts)
+    with pytest.raises(ValueError, match="indexes compact"):
+        IDX.compact_index(spark, streamed)

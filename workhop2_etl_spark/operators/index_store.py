@@ -992,16 +992,23 @@ def compact_index(
     )
 
 
-def _read_meta_any_kind(spark: SparkSession, path: str) -> dict:
-    """Metadata of whichever index kind lives at ``path`` (compaction
-    is layout-only, so it serves both); refuses non-postings kinds —
-    a centroids-only artifact is one file and has nothing to
+def _read_meta_any_kind(
+    spark: SparkSession,
+    path: str,
+    kinds: tuple[str, ...] = (_LSH_KIND, _IVF_POSTINGS_KIND),
+    verb: str = "compact",
+) -> dict:
+    """Metadata of whichever index kind lives at ``path``, restricted
+    to ``kinds`` (compaction serves the two postings kinds; streaming
+    ingest additionally accepts the lexical kind); refuses others —
+    e.g. a centroids-only artifact is one file and has nothing to
     compact."""
     meta = _read_meta(spark, path, expect_kind="*")
-    if meta["kind"] not in (_LSH_KIND, _IVF_POSTINGS_KIND):
+    if meta["kind"] not in kinds:
+        allowed = " and ".join(repr(k) for k in kinds)
         raise ValueError(
             f"artifact at {path} is kind={meta['kind']!r} — only "
-            f"{_LSH_KIND!r} and {_IVF_POSTINGS_KIND!r} indexes compact"
+            f"{allowed} indexes {verb}"
         )
     return meta
 

@@ -251,12 +251,20 @@ def save_lexical_index(
 
 
 def _write_lexical_epoch(
-    corpus_tokens: DataFrame, path: str, id_col: str, tok_col: str, mode: str
+    corpus_tokens: DataFrame,
+    path: str,
+    id_col: str,
+    tok_col: str,
+    mode: str,
+    num_partitions: int | None = None,
 ) -> None:
     tf = _tf_relation(corpus_tokens, id_col, tok_col)
+    reparted = (
+        tf.repartition(num_partitions, "term") if num_partitions
+        else tf.repartition("term")
+    )
     (
-        tf.repartition("term")
-        .sortWithinPartitions("term")
+        reparted.sortWithinPartitions("term")
         .write.mode(mode)
         .parquet(f"{path}/tf")
     )

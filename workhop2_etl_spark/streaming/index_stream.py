@@ -62,6 +62,9 @@ from workhop2_etl_spark.operators.index_store import (
     _write_meta,
     _write_signed,
 )
+from workhop2_etl_spark.operators.retrieval import _LEXICAL_KIND
+
+_INGEST_KINDS = (_LSH_KIND, _IVF_POSTINGS_KIND, _LEXICAL_KIND)
 
 
 def ingest_epoch(
@@ -77,7 +80,16 @@ def ingest_epoch(
     under the exactly-once protocol (module docstring). Returns
     ``'committed'`` or ``'skipped'`` (epoch already in the ledger).
     Exposed separately from the stream driver so tests (and manual
-    backfills) can drive replay semantics directly."""
+    backfills) can drive replay semantics directly.
+
+    Artifact kinds: the ANN kinds stage into one flat dir that
+    renames into ``index/``; the lexical (BM25) kind stages the
+    epoch's tf rows PLUS its df/stats partials and renames each into
+    its own dir (``tf/`` / ``df/`` / ``stats/``) — the partials are
+    additive over disjoint epochs, so the loader's sum-of-partials
+    stays the single-shot aggregate (operators/retrieval.py). For a
+    lexical artifact the batch must already carry the tokenized
+    column (``vec_col`` names it; default contract 'toks')."""
     fs, marker = _hadoop_fs(spark, f"{index_path}/ledger/epoch-{epoch_id:012d}")
     staging = f"{index_path}/ingest.epoch-{epoch_id:012d}"
     _, staging_p = _hadoop_fs(spark, staging)
@@ -86,7 +98,10 @@ def ingest_epoch(
             fs.delete(staging_p, True)
         return "skipped"
 
-    meta = _read_meta_any_kind(spark, index_path)
+    meta = _read_meta_any_kind(
+        spark, index_path, kinds=_INGEST_KINDS, verb="stream-ingest"
+    )
+    # (staging subpath, live dir) pairs to rename after the stage
     if meta["kind"] == _LSH_KIND:
         _write_signed(
             batch,
@@ -102,6 +117,21 @@ def ingest_epoch(
             num_partitions=partitions_per_epoch,
             store_dtype=meta.get("store_dtype", "float64"),
         )
+        moves = [(staging, f"{index_path}/index")]
+    elif meta["kind"] == _LEXICAL_KIND:
+        from workhop2_etl_spark.operators.retrieval import (
+            _write_lexical_epoch,
+        )
+
+        tok_col = vec_col if vec_col != "embedding" else "toks"
+        _write_lexical_epoch(
+            batch, staging, id_col or meta["id_col"], tok_col, "overwrite",
+            num_partitions=partitions_per_epoch,
+        )
+        moves = [
+            (f"{staging}/{sub}", f"{index_path}/{sub}")
+            for sub in ("tf", "df", "stats")
+        ]
     else:  # _IVF_POSTINGS_KIND (guaranteed by _read_meta_any_kind)
         from workhop2_etl_spark.operators.index_store import _read_codebook_rows
 
@@ -125,34 +155,37 @@ def ingest_epoch(
             ),
             dim=int(meta["dim"]),
         )
+        moves = [(staging, f"{index_path}/index")]
 
-    staged = sorted(
-        (
-            st.getPath()
-            for st in fs.listStatus(staging_p)
-            if st.isFile()
-            and not st.getPath().getName().startswith((".", "_"))
-        ),
-        key=lambda p: p.getName(),
-    )
     # a previous attempt of this epoch may have moved files in before
     # crashing; remove them so the live set is rebuilt whole from the
     # fresh staging (epoch id in the name scopes the delete to this
     # epoch's own files)
     prefix = f"stream-{epoch_id:012d}-"
-    _, index_p = _hadoop_fs(spark, f"{index_path}/index")
-    for st in fs.listStatus(index_p):
-        if st.getPath().getName().startswith(prefix):
-            fs.delete(st.getPath(), False)
-    for i, src in enumerate(staged):
-        _, dst = _hadoop_fs(
-            spark, f"{index_path}/index/{prefix}{i:05d}.parquet"
+    for src_dir, dst_dir in moves:
+        _, src_dir_p = _hadoop_fs(spark, src_dir)
+        staged = sorted(
+            (
+                st.getPath()
+                for st in fs.listStatus(src_dir_p)
+                if st.isFile()
+                and not st.getPath().getName().startswith((".", "_"))
+            ),
+            key=lambda p: p.getName(),
         )
-        if not fs.rename(src, dst):
-            raise IOError(
-                f"rename {src} -> {dst} failed during epoch "
-                f"{epoch_id} index ingest"
+        _, dst_dir_p = _hadoop_fs(spark, dst_dir)
+        for st in fs.listStatus(dst_dir_p):
+            if st.getPath().getName().startswith(prefix):
+                fs.delete(st.getPath(), False)
+        for i, src in enumerate(staged):
+            _, dst = _hadoop_fs(
+                spark, f"{dst_dir}/{prefix}{i:05d}.parquet"
             )
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"rename {src} -> {dst} failed during epoch "
+                    f"{epoch_id} index ingest"
+                )
 
     # commit point: marker first (replays now short-circuit), then
     # sweep staging and bump the advisory epoch counter
@@ -175,6 +208,7 @@ def stream_index_ingest(
     partitions_per_epoch: int = 4,
     max_files_per_trigger: int = 1,
     adopt_ledger: bool = False,
+    prepare=None,
 ) -> None:
     """Drain every file currently in ``stream_dir`` (availableNow)
     into the index artifact at ``index_path``, one exactly-once
@@ -194,8 +228,15 @@ def stream_index_ingest(
     non-empty ledger raises before any batch runs. Pass
     ``adopt_ledger=True`` only for deliberate migrations (new
     checkpoint whose sources are known not to replay indexed data) —
-    it re-binds the ledger to the new checkpoint."""
-    _read_meta_any_kind(spark, index_path)  # fail fast before starting
+    it re-binds the ledger to the new checkpoint.
+
+    ``prepare`` (optional ``DataFrame -> DataFrame``) transforms each
+    micro-batch before indexing — e.g. tokenizing raw document text
+    into the ``toks`` column a lexical artifact ingests. It must be
+    deterministic (a replayed epoch re-prepares the same rows)."""
+    _read_meta_any_kind(  # fail fast before starting
+        spark, index_path, kinds=_INGEST_KINDS, verb="stream-ingest"
+    )
 
     import hashlib
 
@@ -244,6 +285,8 @@ def stream_index_ingest(
     )
 
     def _apply(batch_df: DataFrame, epoch_id: int) -> None:
+        if prepare is not None:
+            batch_df = prepare(batch_df)
         ingest_epoch(
             batch_df.sparkSession,
             batch_df,

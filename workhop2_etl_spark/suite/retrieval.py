@@ -170,6 +170,55 @@ def t12_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# st14: streaming maintenance of the persisted lexical index — the
+# BM25 face of st13: three availableNow micro-batches of raw
+# documents are tokenized by the stream's `prepare` hook and ingested
+# exactly-once (ledger/staging/rename across the artifact's THREE
+# dirs — tf rows plus the epoch's additive df/stats partials), then
+# the loaded artifact is probed. The oracle recomputes single-shot
+# BM25 over the whole table, so green proves the streamed epochs'
+# partials reconcile to the batch index exactly.
+# ---------------------------------------------------------------------------
+_ST14_Q_MOD = 73
+
+
+@query(
+    "st14_streaming_lexical_ingest",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_ST14_Q_MOD, _BM25_K)}
+    SELECT query_id, rank, doc_id, score, n_hit
+    FROM lex ORDER BY query_id, rank
+    """,
+)
+def st14_streaming_lexical_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="w2e_st14_")
+    src, path, ckpt = (os.path.join(base, d) for d in ("src", "idx", "ckpt"))
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    tokenize = lambda df: df.select("doc_id", _toks().alias("toks"))  # noqa: E731
+    RET.save_lexical_index(
+        tokenize(docs).limit(0), path, mode="overwrite"
+    )
+    IS.stream_index_ingest(
+        spark, src, docs.schema, path, ckpt,
+        vec_col="toks", partitions_per_epoch=2, prepare=tokenize,
+    )
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    return RET.probe_lexical_index(
+        tf, df, stats, meta, _query_terms(docs, _ST14_Q_MOD), k=_BM25_K
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # v15: hybrid retrieval — BM25 lexical arm over `documents` fused
 # with an exact-cosine vector arm over `embeddings` (doc_id ≡ vec_id
 # by the testdata contract) via reciprocal-rank fusion (Cormack et
