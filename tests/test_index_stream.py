@@ -233,7 +233,29 @@ def test_lexical_stream_ingest_and_replay_converges(spark):
     assert not os.path.exists(stale)
     assert probe(streamed) == want
 
-    # compaction refuses the lexical kind (layout maintenance for it
-    # is not implemented; the error names what compacts)
+    # compaction folds the per-epoch df/stats partials into one and
+    # re-clusters tf by term; probes are row-identical and a LATER
+    # append still reconciles (fold + fresh partials sum correctly)
+    stats = IDX.compact_index(spark, streamed, num_partitions=2)
+    assert stats["files_after"] < stats["files_before"]
+    assert len(spark.read.parquet(f"{streamed}/stats").collect()) == 1
+    assert probe(streamed) == want
+    extra = tokenize(
+        docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+    )
+    RET.append_lexical_index(extra, streamed)
+    tf2, df2, stats2, meta2 = RET.load_lexical_index(spark, streamed)
+    n_docs = stats2.collect()[0].n_docs
+    assert n_docs == 2 * tokenize(docs).filter(F.size("toks") > 0).count()
+
+    # a centroids-only artifact still has nothing to compact
+    from workhop2_etl_spark.operators.similarity import fit_centroids
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cpath = _tmp("cent_only")
+    IDX.save_centroids(
+        spark, fit_centroids(emb, n_centroids=4, seed=7, max_iter=3),
+        cpath, dim=DIM, mode="overwrite",
+    )
     with pytest.raises(ValueError, match="indexes compact"):
-        IDX.compact_index(spark, streamed)
+        IDX.compact_index(spark, cpath)

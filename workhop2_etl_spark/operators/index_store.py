@@ -922,14 +922,27 @@ def compact_index(
     the metadata plus ``files_before`` / ``files_after`` so callers
     and tests can see the layout actually collapsed.
     """
-    meta = _read_meta_any_kind(spark, path)
-    keys = (
-        ["table_id", "sig"] if meta["kind"] == _LSH_KIND else ["centroid_id"]
+    from workhop2_etl_spark.operators.retrieval import (
+        _LEXICAL_KIND,
+        _lexical_compact_specs,
     )
-    data, staging = f"{path}/index", f"{path}/index.compacting"
-    fs, data_p = _hadoop_fs(spark, data)
-    _, staging_p = _hadoop_fs(spark, staging)
-    _, staged_ok = _hadoop_fs(spark, f"{staging}/_SUCCESS")
+
+    meta = _read_meta_any_kind(
+        spark,
+        path,
+        kinds=(_LSH_KIND, _IVF_POSTINGS_KIND, _LEXICAL_KIND),
+        verb="compact",
+    )
+    if meta["kind"] == _LSH_KIND:
+        specs = [("index", ["table_id", "sig"], None)]
+    elif meta["kind"] == _IVF_POSTINGS_KIND:
+        specs = [("index", ["centroid_id"], None)]
+    else:  # lexical: tf re-clusters; df/stats partials FOLD (the
+        # fold changes rows but not what the loader aggregates — a
+        # thousand per-epoch partials become one, load-equivalent)
+        specs = _lexical_compact_specs()
+
+    fs, root_p = _hadoop_fs(spark, path)
 
     # an UNCOMMITTED stream epoch (streaming/index_stream.py) always
     # leaves its ingest.epoch-* staging dir behind; compacting now
@@ -937,7 +950,6 @@ def compact_index(
     # epoch's replay would re-add them — duplicates. A COMMITTED
     # epoch's leftover staging (crash between marker and sweep) is
     # just swept.
-    _, root_p = _hadoop_fs(spark, path)
     for st in fs.listStatus(root_p):
         name = st.getPath().getName()
         if name.startswith("ingest.epoch-"):
@@ -954,25 +966,70 @@ def compact_index(
                     "compacting, else the epoch's replay would duplicate rows"
                 )
 
-    if fs.exists(staging_p):
-        if not fs.exists(staged_ok):
-            # uncommitted leftover from a crash mid-stage: the live
-            # data dir is intact — discard and compact normally
-            fs.delete(staging_p, True)
-        # a COMMITTED staging dir means a prior run crashed inside
-        # the swap; fall through — the swap below completes it
-        # idempotently without touching the (possibly half-deleted)
-        # data dir's content
+    # each data dir stages and swaps independently; every dir's
+    # content is load-equivalent before and after its own swap, so a
+    # crash between dirs leaves a correct (part-compacted) artifact
+    # and the next run completes the rest
+    before_total: int | None = 0
+    after_total = 0
+    for sub, keys, transform in specs:
+        fb, fa = _compact_dir(
+            spark, f"{path}/{sub}", keys, num_partitions, transform
+        )
+        before_total = (
+            None if (fb is None or before_total is None) else before_total + fb
+        )
+        after_total += fa
+
+    meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
+    _write_meta(spark, path, meta, "overwrite")
+    return dict(meta, files_before=before_total, files_after=after_total)
+
+
+def _compact_dir(
+    spark: SparkSession,
+    data: str,
+    keys: list[str],
+    num_partitions: int | None,
+    transform=None,
+) -> tuple[int | None, int]:
+    """Stage-and-swap one data dir (the crash-safe core of
+    ``compact_index``): stage into ``<dir>.compacting`` (one full
+    write), then swap in with metadata-only delete+rename. A crash
+    before the staged ``_SUCCESS`` leaves the live dir untouched
+    (dead staging discarded next run); a crash inside the swap window
+    is detected (staging committed) and the swap completes WITHOUT
+    re-reading the possibly half-deleted data dir. ``transform``
+    (optional) rewrites the relation during the stage — used by the
+    lexical kind to fold additive partials; it must be
+    load-equivalent. Returns (files_before | None on crash-recovery,
+    files_after)."""
+    staging = f"{data}.compacting"
+    fs, data_p = _hadoop_fs(spark, data)
+    _, staging_p = _hadoop_fs(spark, staging)
+    _, staged_ok = _hadoop_fs(spark, f"{staging}/_SUCCESS")
+
+    if fs.exists(staging_p) and not fs.exists(staged_ok):
+        # uncommitted leftover from a crash mid-stage: the live data
+        # dir is intact — discard and compact normally
+        fs.delete(staging_p, True)
     if not fs.exists(staged_ok):
         files_before = _count_part_files(spark, data)
         df = spark.read.parquet(data)
-        reparted = (
-            df.repartition(num_partitions, *keys) if num_partitions
-            else df.repartition(*keys)
-        )
-        reparted.sortWithinPartitions(*keys).write.mode("overwrite").parquet(
-            staging
-        )
+        if transform is not None:
+            # folded partials are dimension-sized — one file
+            df = transform(df)
+            reparted = (
+                df.repartition(1).sortWithinPartitions(*keys)
+                if keys
+                else df.repartition(1)
+            )
+        else:
+            reparted = (
+                df.repartition(num_partitions, *keys) if num_partitions
+                else df.repartition(*keys)
+            ).sortWithinPartitions(*keys)
+        reparted.write.mode("overwrite").parquet(staging)
     else:
         files_before = None  # crash recovery: old layout already gone
 
@@ -982,14 +1039,7 @@ def compact_index(
         fs.delete(data_p, True)
     if not fs.rename(staging_p, data_p):
         raise IOError(f"rename {staging} -> {data} failed during compaction")
-
-    meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
-    _write_meta(spark, path, meta, "overwrite")
-    return dict(
-        meta,
-        files_before=files_before,
-        files_after=_count_part_files(spark, data),
-    )
+    return files_before, _count_part_files(spark, data)
 
 
 def _read_meta_any_kind(

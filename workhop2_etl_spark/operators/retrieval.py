@@ -336,6 +336,29 @@ def load_lexical_index(
     return tf, df, stats, meta
 
 
+def _lexical_compact_specs():
+    """Per-dir compaction specs for ``index_store.compact_index``:
+    (subdir, cluster keys, optional fold). tf is layout-only
+    (re-cluster by term so IN-list min/max pruning skips whole files
+    again); df and stats FOLD their per-epoch additive partials into
+    one — the loader aggregates either way, so the fold is
+    load-equivalent while collapsing thousands of epoch files."""
+    def fold_df(d: DataFrame) -> DataFrame:
+        return d.groupBy("term").agg(F.sum("df").alias("df"))
+
+    def fold_stats(d: DataFrame) -> DataFrame:
+        return d.agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+        )
+
+    return [
+        ("tf", ["term"], None),
+        ("df", ["term"], fold_df),
+        ("stats", [], fold_stats),
+    ]
+
+
 def probe_lexical_index(
     tf: DataFrame,
     df: DataFrame,
