@@ -55,15 +55,19 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     window composition: the BM25 face of st13 — three tokenized
 #     micro-batches ingested exactly-once across the artifact's
 #     three dirs, additive df/stats partials; the oracle recomputes
-#     single-shot BM25, so green proves stream ≡ batch). 11 total.
+#     single-shot BM25, so green proves stream ≡ batch) and
+#     v16_hybrid_persisted_rrf (NEW — the capstone: BOTH index
+#     artifacts built, saved, loaded, probed top-20 and RRF-fused;
+#     the oracle recomputes both arms single-shot, so one verdict
+#     covers the two round trips and the fusion). 12 total.
 # (b) 2 kernel-changed with greens older than their kernels:
 #     v8_topk_cosine_lsh_multitable (green r08; _multitable_probe
 #     extracted r09, cosine guard r10) and f6_timestamp_coerce
 #     (green r08; NTZ domain guard r09).
-# (c) 37 of the 42-query r05-latest cohort, staleness-report order:
+# (c) 36 of the 42-query r05-latest cohort, staleness-report order:
 #     a12, a13, a14, d1, d2, d8, dq1, dq2, dq3, e3, e8, e9, j10, j11,
 #     j7, k1, k2, s6, st10, t10, t1, t2, t4, t5, t6, t7, u2, u5, v2,
-#     v4, v5, w4, x10, x11, x4, x6, z1. The v2/v4/v5 rows double
+#     v4, v5, w4, x11, x4, x6, z1. The v2/v4/v5 rows double
 #     as re-verification of the round-10 cosine-guard kernel change
 #     (non-finite vectors now excluded from rankings).
 # Deferred, each with the displacing rationale:
@@ -76,6 +80,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   yielded its slot to the never-verified st14).
 # - e7_cohort_month (r05 cohort): same cohort-derivation kernel as
 #   the in-window e3 sibling; archived sweep greens.
+# - x10_group_sample (r05 cohort): same md5-keyspace deterministic
+#   hash-sampling kernel family as the in-window x4 sibling; archived
+#   sweep greens (yielded its slot to the never-verified v16).
 # - m10_real_jpeg_features (kernel r09, green r08): its r09 codec
 #   changes are pinned by the decode fuzz battery + the PIL-branch
 #   pytest twins (the m8 precedent from the r09 spec), and it holds
@@ -99,6 +106,7 @@ _PRIORITY = [
     "v13_topk_ivf_pq",
     "st13_streaming_index_ingest",
     "st14_streaming_lexical_ingest",
+    "v16_hybrid_persisted_rrf",
     "v8_topk_cosine_lsh_multitable",
     "f6_timestamp_coerce",
     "a12_weighted_median",
@@ -133,7 +141,6 @@ _PRIORITY = [
     "v4_embedding_near_dup",
     "v5_topk_cosine_ivf",
     "w4_ohlc_resample",
-    "x10_group_sample",
     "x11_cdc_chunks",
     "x4_stratified_split",
     "x6_sequence_pack",

@@ -126,6 +126,7 @@ HEADLINE = [
     "st14_streaming_lexical_ingest",
     "v14_topk_ivf_pq_refine",
     "v15_hybrid_rrf",
+    "v16_hybrid_persisted_rrf",
 ]
 
 

@@ -23,7 +23,11 @@ from workhop2_etl_spark.operators import similarity as SIM
 from workhop2_etl_spark.session import load_table
 from workhop2_etl_spark.suite import query
 from workhop2_etl_spark.suite.pipeline2 import _NORM, _toks
-from workhop2_etl_spark.suite.similarity import _pair_cos_sql
+from workhop2_etl_spark.suite.similarity import (
+    N_CENTROIDS,
+    NPROBE,
+    _pair_cos_sql,
+)
 
 _QT = 8  # query vocabulary = distinct terms among the doc's first 8 tokens
 _BM25_Q_MOD = 89  # t11 query sample: doc_id % 89 == 0
@@ -292,6 +296,128 @@ def v15_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec.select(
             "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
         ),
+        k=_RRF_FINAL_K,
+    )
+    return fused.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "rrf_score",
+        F.col("rank_a").alias("rank_lex"),
+        F.col("rank_b").alias("rank_vec"),
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# v16: hybrid retrieval FROM DISK — the whole search stack as
+# persisted artifacts: the BM25 lexical index and the IVF postings
+# index are built, saved, loaded, probed (top-20 each), and fused by
+# reciprocal rank. This is the production steady state (indexes are
+# on disk; a query session only loads + probes + fuses) and the
+# capstone over t12/v10/v15: the oracle recomputes BOTH arms
+# single-shot in SQL, so green proves the two artifact round trips
+# AND the fusion in one verdict. Scale: each arm reads an
+# artifact slice (vocabulary IN-list / probed cells), the fusion
+# touches |Q|·20-row relations only.
+# ---------------------------------------------------------------------------
+_V16_Q_MOD = 71
+
+
+@query(
+    "v16_hybrid_persisted_rrf",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_V16_Q_MOD, _ARM_K)},
+    cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cid FROM scored_c WHERE rn = 1),
+    vq AS (SELECT vec_id AS query_id, v AS qv, cid
+           FROM scored_c WHERE rn <= {NPROBE} AND vec_id % {_V16_Q_MOD} = 0),
+    vc2 AS (SELECT vec_id AS doc_id, v AS cv, cid FROM cells),
+    vs AS (
+      SELECT query_id, doc_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM vq JOIN vc2 USING (cid)
+      WHERE query_id <> doc_id
+    ),
+    vec AS (
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM vs
+      ) WHERE rank <= {_ARM_K}
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, v.query_id) AS query_id,
+             coalesce(l.doc_id, v.doc_id) AS doc_id,
+             l.rank AS rank_lex, v.rank AS rank_vec
+      FROM lex l FULL OUTER JOIN vec v
+        ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+    ),
+    rrf AS (
+      SELECT query_id, doc_id, rank_lex, rank_vec,
+             round(coalesce(CAST(1.0 AS DOUBLE) / ({RET.RRF_K} + rank_lex), 0.0)
+                 + coalesce(CAST(1.0 AS DOUBLE) / ({RET.RRF_K} + rank_vec), 0.0),
+                   6) AS rrf_score
+      FROM fused
+    )
+    SELECT query_id, rank, doc_id, rrf_score, rank_lex, rank_vec FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rrf_score DESC, doc_id)
+                     AS INTEGER) AS rank
+      FROM rrf
+    ) WHERE rank <= {_RRF_FINAL_K}
+    ORDER BY query_id, rank
+    """,
+)
+def v16_hybrid_persisted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = tempfile.mkdtemp(prefix="w2e_v16_")
+    lex_path = os.path.join(base, "lex")
+    ivf_path = os.path.join(base, "ivf")
+
+    # build + save both artifacts (the one-off half of the lifecycle)
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    RET.save_lexical_index(corpus_tokens, lex_path, mode="overwrite")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    IDX.save_ivf_index(emb, ivf_path, centroids, dim=64, mode="overwrite")
+
+    # the steady state: load + probe + fuse
+    tf, df, stats, lmeta = RET.load_lexical_index(spark, lex_path)
+    lex = RET.probe_lexical_index(
+        tf, df, stats, lmeta,
+        _query_terms(docs, _V16_Q_MOD), k=_ARM_K,
+    )
+    postings, cents, imeta = IDX.load_ivf_index(spark, ivf_path)
+    vec = IDX.probe_ivf_index(
+        postings, cents, imeta,
+        emb.filter(F.col("vec_id") % _V16_Q_MOD == 0),
+        k=_ARM_K, nprobe=NPROBE,
+    )
+    fused = RET.rrf_fuse(
+        lex.select("query_id", "doc_id", "rank"),
+        vec.select("query_id", F.col("neighbor_id").alias("doc_id"), "rank"),
         k=_RRF_FINAL_K,
     )
     return fused.select(
