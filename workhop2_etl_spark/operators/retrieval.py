@@ -223,6 +223,7 @@ def save_lexical_index(
     tok_col: str = "toks",
     tokenizer: str = "ws-lower",
     mode: str = "error",
+    num_partitions: int | None = None,
 ) -> dict:
     """Build the BM25 posting relation and persist the index at
     ``path``: ``tf`` (doc_id, term, tf, dl — repartitioned and sorted
@@ -238,7 +239,10 @@ def save_lexical_index(
         _write_meta,
     )
 
-    _write_lexical_epoch(corpus_tokens, path, id_col, tok_col, mode)
+    _write_lexical_epoch(
+        corpus_tokens, path, id_col, tok_col, mode,
+        num_partitions=num_partitions,
+    )
     meta = {
         "kind": _LEXICAL_KIND,
         "version": FORMAT_VERSION,
@@ -285,6 +289,7 @@ def append_lexical_index(
     path: str,
     id_col: str | None = None,
     tok_col: str = "toks",
+    num_partitions: int | None = None,
 ) -> dict:
     """Grow the lexical index with newly-arrived documents. The new
     docs' tf rows append to the posting relation and their df/stats
@@ -299,7 +304,8 @@ def append_lexical_index(
     spark = corpus_tokens.sparkSession
     meta = _read_meta(spark, path, _LEXICAL_KIND)
     _write_lexical_epoch(
-        corpus_tokens, path, id_col or meta["id_col"], tok_col, "append"
+        corpus_tokens, path, id_col or meta["id_col"], tok_col, "append",
+        num_partitions=num_partitions,
     )
     meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
     _write_meta(spark, path, meta, "overwrite")

@@ -161,11 +161,15 @@ def t12_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
     path = os.path.join(tempfile.mkdtemp(prefix="w2e_t12_"), "lexidx")
+    # num_partitions sized to the fixture (a 100 TB build omits it and
+    # takes the session's shuffle parallelism)
     RET.save_lexical_index(
-        corpus_tokens.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite"
+        corpus_tokens.filter(F.col("doc_id") % 2 == 0), path,
+        mode="overwrite", num_partitions=8,
     )
     RET.append_lexical_index(
-        corpus_tokens.filter(F.col("doc_id") % 2 == 1), path
+        corpus_tokens.filter(F.col("doc_id") % 2 == 1), path,
+        num_partitions=8,
     )
     tf, df, stats, meta = RET.load_lexical_index(spark, path)
     return RET.probe_lexical_index(
@@ -210,7 +214,7 @@ def st14_streaming_lexical_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
 
     tokenize = lambda df: df.select("doc_id", _toks().alias("toks"))  # noqa: E731
     RET.save_lexical_index(
-        tokenize(docs).limit(0), path, mode="overwrite"
+        tokenize(docs).limit(0), path, mode="overwrite", num_partitions=2
     )
     IS.stream_index_ingest(
         spark, src, docs.schema, path, ckpt,
@@ -392,7 +396,9 @@ def v16_hybrid_persisted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # build + save both artifacts (the one-off half of the lifecycle)
     corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
-    RET.save_lexical_index(corpus_tokens, lex_path, mode="overwrite")
+    RET.save_lexical_index(
+        corpus_tokens, lex_path, mode="overwrite", num_partitions=8
+    )
     rows = (
         emb.filter(F.col("vec_id") % 37 == 0)
         .orderBy("vec_id")
