@@ -59,13 +59,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     v16_hybrid_persisted_rrf (NEW — the capstone: BOTH index
 #     artifacts built, saved, loaded, probed top-20 and RRF-fused;
 #     the oracle recomputes both arms single-shot, so one verdict
-#     covers the two round trips and the fusion). 12 total.
+#     covers the two round trips and the fusion) and
+#     v17_topk_truncated_refine (NEW — Matryoshka-style 16-of-64
+#     prefix prefilter + exact full-dimension refine; both stages
+#     rank on rounded scores with id tiebreaks). 13 total.
 # (b) 2 kernel-changed with greens older than their kernels:
 #     v8_topk_cosine_lsh_multitable (green r08; _multitable_probe
 #     extracted r09, cosine guard r10) and f6_timestamp_coerce
 #     (green r08; NTZ domain guard r09).
-# (c) 36 of the 42-query r05-latest cohort, staleness-report order:
-#     a12, a13, a14, d1, d2, d8, dq1, dq2, dq3, e3, e8, e9, j10, j11,
+# (c) 35 of the 42-query r05-latest cohort, staleness-report order:
+#     a12, a13, a14, d1, d2, d8, dq1, dq3, e3, e8, e9, j10, j11,
 #     j7, k1, k2, s6, st10, t10, t1, t2, t4, t5, t6, t7, u2, u5, v2,
 #     v4, v5, w4, x11, x4, x6, z1. The v2/v4/v5 rows double
 #     as re-verification of the round-10 cosine-guard kernel change
@@ -80,6 +83,10 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   yielded its slot to the never-verified st14).
 # - e7_cohort_month (r05 cohort): same cohort-derivation kernel as
 #   the in-window e3 sibling; archived sweep greens.
+# - dq2_rolling_outliers (r05 cohort): same quality.py rolling
+#   outlier-monitor kernel family as the in-window dq3 sibling;
+#   archived sweep greens (yielded its slot to the never-verified
+#   v17).
 # - x10_group_sample (r05 cohort): same md5-keyspace deterministic
 #   hash-sampling kernel family as the in-window x4 sibling; archived
 #   sweep greens (yielded its slot to the never-verified v16).
@@ -107,6 +114,7 @@ _PRIORITY = [
     "st13_streaming_index_ingest",
     "st14_streaming_lexical_ingest",
     "v16_hybrid_persisted_rrf",
+    "v17_topk_truncated_refine",
     "v8_topk_cosine_lsh_multitable",
     "f6_timestamp_coerce",
     "a12_weighted_median",
@@ -116,7 +124,6 @@ _PRIORITY = [
     "d2_minhash_lsh_pairs",
     "d8_chunk_dup_ratio",
     "dq1_constraints",
-    "dq2_rolling_outliers",
     "dq3_mad_outliers",
     "e3_cohort_retention",
     "e8_scd2_lookup",

@@ -127,6 +127,7 @@ HEADLINE = [
     "v14_topk_ivf_pq_refine",
     "v15_hybrid_rrf",
     "v16_hybrid_persisted_rrf",
+    "v17_topk_truncated_refine",
 ]
 
 

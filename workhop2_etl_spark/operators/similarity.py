@@ -1407,6 +1407,26 @@ def topk_cosine_ivf_pq_refine(
         assign_kernel=assign_kernel,
         score_mode=score_mode,
     ).select("query_id", "neighbor_id")
+    return _exact_rescore_candidates(
+        corpus, queries, cand, k, id_col, vec_col, round_digits
+    )
+
+
+def _exact_rescore_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cand: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    round_digits: int,
+) -> DataFrame:
+    """The refine stage shared by every candidate-then-rescore search
+    (IVF-PQ refine, truncated-prefix refine): the tiny (query_id,
+    neighbor_id) candidate relation broadcasts against the float
+    corpus — one broadcast-hash join and a |Q|·C-row window, so the
+    full-precision vectors are touched for candidates only and never
+    shuffle. Reported scores are exact cosines."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
@@ -1440,4 +1460,53 @@ def topk_cosine_ivf_pq_refine(
         exact.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "score", F.col("__rn").alias("rank"))
+    )
+
+
+def topk_cosine_truncated_refine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 5,
+    n_candidates: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Truncated-prefix prefilter + exact refine — the Matryoshka
+    (MRL, Kusupati et al. 2022) serving pattern: embeddings trained
+    front-loaded carry most signal in a short prefix, so the
+    candidate scan scores only the first ``prefix_dim`` dimensions
+    (a prefix_dim/dim fraction of the arithmetic and, with columnar
+    layouts, of the bytes read), then ONLY the top ``n_candidates``
+    per query rescore at full dimension for the exact final ranking.
+
+    Scale shape: stage 1 is a brute-force scan over sliced vectors
+    (queries broadcast, corpus in place — linear, no shuffle); stage
+    2 is the shared refine (broadcast candidate ids, |Q|·C window).
+    On non-MRL embeddings the prefix is still an unbiased random
+    projection-ish signal, but recall at fixed C is lower — the
+    pytest gate measures it on the fixture. Reported scores are
+    exact full-dimension cosines either way.
+    """
+    if prefix_dim < 1:
+        raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
+    if n_candidates < k:
+        raise ValueError(f"n_candidates ({n_candidates}) must be >= k ({k})")
+    sliced_c = corpus.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dim).alias(vec_col)
+    )
+    sliced_q = queries.select(
+        F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dim).alias(vec_col)
+    )
+    cand = topk_cosine_bruteforce(
+        sliced_c,
+        sliced_q,
+        k=n_candidates,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    ).select("query_id", "neighbor_id")
+    return _exact_rescore_candidates(
+        corpus, queries, cand, k, id_col, vec_col, round_digits
     )

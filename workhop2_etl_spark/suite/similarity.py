@@ -188,20 +188,28 @@ def v4_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_CENTROIDS = 8
 
 
-def _pair_cos_sql(a: str, b: str) -> str:
+def _pair_cos_dim_sql(a: str, b: str, d: int) -> str:
+    """Cosine over the FIRST ``d`` elements — the dim-parameterized
+    twin of Spark's sliced-vector cosine (same sequential fold over
+    the same elements → identical doubles). ``_pair_cos_sql`` is the
+    full-dimension instance."""
     dot = (
-        f"list_reduce([{a}[i]::DOUBLE * {b}[i]::DOUBLE FOR i IN range(1, {DIM} + 1)],"
+        f"list_reduce([{a}[i]::DOUBLE * {b}[i]::DOUBLE FOR i IN range(1, {d} + 1)],"
         " (x, y) -> x + y)"
     )
     na = (
-        f"sqrt(list_reduce([{a}[i]::DOUBLE * {a}[i]::DOUBLE FOR i IN range(1, {DIM} + 1)],"
+        f"sqrt(list_reduce([{a}[i]::DOUBLE * {a}[i]::DOUBLE FOR i IN range(1, {d} + 1)],"
         " (x, y) -> x + y))"
     )
     nb = (
-        f"sqrt(list_reduce([{b}[i]::DOUBLE * {b}[i]::DOUBLE FOR i IN range(1, {DIM} + 1)],"
+        f"sqrt(list_reduce([{b}[i]::DOUBLE * {b}[i]::DOUBLE FOR i IN range(1, {d} + 1)],"
         " (x, y) -> x + y))"
     )
     return f"(CASE WHEN {na} * {nb} > 0 THEN {dot} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+def _pair_cos_sql(a: str, b: str) -> str:
+    return _pair_cos_dim_sql(a, b, DIM)
 
 
 @query(
@@ -1007,3 +1015,62 @@ def d9_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid", "vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# v17: truncated-prefix prefilter + exact refine — the Matryoshka
+# (MRL) serving pattern: candidates come from a cosine scan over the
+# FIRST 16 of 64 dimensions (a quarter of the arithmetic — and of the
+# bytes read, when prefixes are stored columnar), then only the top-C
+# per query rescore at full dimension. Both stages rank on rounded
+# scores with id tiebreaks, so the candidate set and the final exact
+# ranking are cross-engine identical. The fixture embeddings are not
+# MRL-trained, so the prefix is just a projection — the pytest recall
+# gate measures what that costs; scores in the result are exact
+# full-dimension cosines regardless.
+# ---------------------------------------------------------------------------
+_TRUNC_DIM = 16
+_TRUNC_C = 3 * K
+
+
+@query(
+    "v17_topk_truncated_refine",
+    oracle=f"""
+    WITH q0 AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 59 = 0
+    ),
+    c0 AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    s1 AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_dim_sql('qv', 'cv', _TRUNC_DIM)}, 6) AS score
+      FROM q0, c0 WHERE query_id <> neighbor_id
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, neighbor_id) AS rank
+        FROM s1
+      ) WHERE rank <= {_TRUNC_C}
+    ),
+    exact AS (
+      SELECT c.query_id, c.neighbor_id,
+             round({_pair_cos_sql('qe.embedding', 'ne.embedding')}, 6) AS score
+      FROM cand c
+      JOIN embeddings qe ON qe.vec_id = c.query_id
+      JOIN embeddings ne ON ne.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM exact
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v17_topk_truncated_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 59 == 0)
+    return SIM.topk_cosine_truncated_refine(
+        emb, queries, prefix_dim=_TRUNC_DIM, k=K, n_candidates=_TRUNC_C
+    ).orderBy("query_id", "rank")
