@@ -382,3 +382,24 @@ def test_truncated_refine_exhaustive_equals_bruteforce(spark):
         SIM.topk_cosine_truncated_refine(
             emb, queries, prefix_dim=16, k=5, n_candidates=2
         )
+
+
+def test_truncated_refine_blas_kernel_identical(spark):
+    """The BLAS prefix scan must produce the IDENTICAL final result
+    as the expression twin (both stages rank on rounded scores with
+    id tiebreaks), and the kernel knob rejects unknown values."""
+    from tests.conftest import SF_DIR as _SF
+
+    emb = load_table(spark, _SF, "embeddings").filter(F.col("vec_id") < 200)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)
+    a = SIM.topk_cosine_truncated_refine(
+        emb, queries, prefix_dim=16, k=5, n_candidates=15, kernel="expr"
+    ).collect()
+    b = SIM.topk_cosine_truncated_refine(
+        emb, queries, prefix_dim=16, k=5, n_candidates=15, kernel="blas"
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+    with pytest.raises(ValueError, match="kernel"):
+        SIM.topk_cosine_truncated_refine(
+            emb, queries, prefix_dim=16, kernel="numpy"
+        )

@@ -1472,6 +1472,7 @@ def topk_cosine_truncated_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Truncated-prefix prefilter + exact refine — the Matryoshka
     (MRL, Kusupati et al. 2022) serving pattern: embeddings trained
@@ -1488,18 +1489,31 @@ def topk_cosine_truncated_refine(
     projection-ish signal, but recall at fixed C is lower — the
     pytest gate measures it on the fixture. Reported scores are
     exact full-dimension cosines either way.
+
+    ``kernel``: 'expr' is the oracle-reproducible expression scan;
+    'blas' routes the prefix scan through the Arrow matmul
+    brute-force kernel — the at-scale path (the expression fold is
+    interpreted; PERF.md's crossover tables put it ~35× behind BLAS
+    at 400k) — candidate-identical because both rank on the same
+    rounded scores with id tiebreaks.
     """
     if prefix_dim < 1:
         raise ValueError(f"prefix_dim must be >= 1, got {prefix_dim}")
     if n_candidates < k:
         raise ValueError(f"n_candidates ({n_candidates}) must be >= k ({k})")
+    if kernel not in ("expr", "blas"):
+        raise ValueError(f"kernel must be 'expr' or 'blas', got {kernel!r}")
     sliced_c = corpus.select(
         F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dim).alias(vec_col)
     )
     sliced_q = queries.select(
         F.col(id_col), F.slice(F.col(vec_col), 1, prefix_dim).alias(vec_col)
     )
-    cand = topk_cosine_bruteforce(
+    stage1 = (
+        topk_cosine_bruteforce if kernel == "expr"
+        else topk_cosine_bruteforce_blas
+    )
+    cand = stage1(
         sliced_c,
         sliced_q,
         k=n_candidates,
