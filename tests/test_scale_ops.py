@@ -1799,3 +1799,35 @@ def test_pq_encode_blas_identical_to_expression(spark):
     b = SIM.topk_cosine_ivf_pq(emb, queries, cents, cb, dim=DIM, k=3,
                                nprobe=2, assign_kernel="blas").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b)) and a
+
+
+def test_incremental_rollup_null_day_partition_survives(spark):
+    """NULL-ts events roll into the NULL-day partition. isin() never
+    matches NULL, so before the null-safe day filter a second
+    NULL-day delta REPLACED the partition without merging the base —
+    silently losing every previously-accumulated NULL-day count."""
+    from workhop2_etl_spark.operators.incremental import (
+        refresh_daily_rollup,
+    )
+
+    import datetime
+
+    schema = "ts timestamp, event_type string, value double, user_id long"
+    d1 = spark.createDataFrame(
+        [
+            (None, "click", 1.0, 1),
+            (datetime.datetime(2024, 1, 1, 10, 0), "click", 2.0, 2),
+        ],
+        schema,
+    )
+    d2 = spark.createDataFrame([(None, "click", 5.0, 3)], schema)
+    table = os.path.join(tempfile.mkdtemp(prefix="w2e_rollup_"), "nullday")
+    refresh_daily_rollup(spark, table, d1)
+    refresh_daily_rollup(spark, table, d2)
+    rows = {
+        (r.day, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(table).collect()
+    }
+    # the NULL-day cell accumulated across BOTH refreshes
+    assert rows[(None, "click")] == (2, 6.0), rows
+    assert rows[(datetime.date(2024, 1, 1), "click")] == (1, 2.0)

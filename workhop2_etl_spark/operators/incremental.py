@@ -153,7 +153,15 @@ def refresh_daily_rollup(
     days = [r["day"] for r in d.select("day").distinct().collect()]
 
     if fs.has_data(spark, table_dir):
-        base = spark.read.parquet(table_dir).filter(F.col("day").isin(days))
+        # NULL-safe day match: a NULL-ts delta rolls into the NULL-day
+        # partition, but isin() never matches NULL (ternary logic) —
+        # without the isNull arm the base NULL-day partial would be
+        # skipped by the merge yet REPLACED by the dynamic overwrite:
+        # silent loss of every previously-accumulated NULL-day count
+        affected = F.col("day").isin([x for x in days if x is not None])
+        if any(x is None for x in days):
+            affected = affected | F.col("day").isNull()
+        base = spark.read.parquet(table_dir).filter(affected)
         merged = combine_rollups(base, d).localCheckpoint(eager=True)
     else:
         merged = d
