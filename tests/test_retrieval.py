@@ -403,3 +403,43 @@ def test_truncated_refine_blas_kernel_identical(spark):
         SIM.topk_cosine_truncated_refine(
             emb, queries, prefix_dim=16, kernel="numpy"
         )
+
+
+def test_lexical_index_stats(spark, tmp_path):
+    """One-row health report: values must equal an independent Python
+    recompute over DOCS, and an EMPTY artifact reports zeros (not
+    NULLs) — the same contract as the ANN index stats."""
+    from workhop2_etl_spark.operators import retrieval as RETOP
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.trim("text") == "", F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim("text"), " "))
+        .alias("toks"),
+    )
+    path = str(tmp_path / "lexstats")
+    RETOP.save_lexical_index(corpus, path, mode="overwrite")
+    tf, df, stats, meta = RETOP.load_lexical_index(spark, path)
+    row = RETOP.lexical_index_stats(tf, df, stats).collect()[0]
+
+    toks = {i: t.split() for i, t in DOCS if t}
+    postings = [(d, w) for d, ts in toks.items() for w in set(ts)]
+    from collections import Counter
+
+    dfc = Counter(w for _, w in postings)
+    assert row.n_docs == len(toks)
+    assert row.avgdl == round(sum(map(len, toks.values())) / len(toks), 2)
+    assert row.vocab_size == len(dfc)
+    assert row.n_postings == len(postings)
+    assert row.max_df == max(dfc.values())
+    top = sum(c for _, c in dfc.most_common(10))
+    assert row.stopword_share == round(top / len(postings), 4)
+    assert row.postings_per_doc == round(len(postings) / len(toks), 2)
+
+    empty = str(tmp_path / "lexempty")
+    RETOP.save_lexical_index(corpus.limit(0), empty, mode="overwrite")
+    tf0, df0, st0, _ = RETOP.load_lexical_index(spark, empty)
+    r0 = RETOP.lexical_index_stats(tf0, df0, st0).collect()[0]
+    assert (r0.n_docs, r0.vocab_size, r0.n_postings, r0.max_df) == (0, 0, 0, 0)
+    assert r0.stopword_share == 0.0 and r0.postings_per_doc == 0.0

@@ -128,10 +128,16 @@ def _stats_from_counts(counts: DataFrame) -> DataFrame:
     """(n_docs, avgdl) from a (n_docs, sum_dl) relation. avgdl is the
     ONE division both engines (and the save/load round trip) perform
     on the same exact integers — never avg(), whose accumulation
-    order could differ."""
+    order could differ. An EMPTY corpus (n_docs = 0 — e.g. a freshly
+    seeded artifact health-checked before its first ingest) yields
+    NULL avgdl instead of an ANSI divide-by-zero error; scoring never
+    reaches avgdl then (no tf rows exist)."""
     return counts.select(
         "n_docs",
-        (F.col("sum_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        F.when(
+            F.col("n_docs") > 0,
+            F.col("sum_dl").cast("double") / F.col("n_docs"),
+        ).alias("avgdl"),
     )
 
 
@@ -340,6 +346,64 @@ def load_lexical_index(
         )
     )
     return tf, df, stats, meta
+
+
+def lexical_index_stats(
+    tf: DataFrame, df: DataFrame, stats: DataFrame
+) -> DataFrame:
+    """One-row health report over a loaded lexical index — the
+    observability face (the ivf/lsh_index_stats twin). ``max_df`` /
+    ``stopword_share`` rising across epochs flags a vocabulary
+    skewing toward stopwords (probe candidate volume is Σ df over the
+    query vocabulary, so head-heavy df distributions price probes);
+    ``postings_per_doc`` drifting signals tokenization changes in the
+    ingest. Aggregates are dimension-sized; one shuffle each.
+
+    Columns: n_docs, avgdl (2dp), vocab_size, n_postings, max_df,
+    stopword_share (share of postings owned by the 10 most frequent
+    terms, 4dp), postings_per_doc (2dp)."""
+    top10 = (
+        df.orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+        .agg(F.coalesce(F.sum("df"), F.lit(0)).alias("__top"))
+    )
+    dfa = df.agg(
+        F.count(F.lit(1)).cast("long").alias("vocab_size"),
+        F.coalesce(F.sum("df"), F.lit(0)).cast("long").alias("n_postings"),
+        F.coalesce(F.max("df"), F.lit(0)).cast("long").alias("max_df"),
+    )
+    base = stats.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round("avgdl", 2).alias("avgdl"),
+    )
+    return (
+        base.crossJoin(F.broadcast(dfa))
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_docs",
+            "avgdl",
+            "vocab_size",
+            "n_postings",
+            "max_df",
+            # explicit double casts: ANSI resolves long/long '/' as a
+            # decimal division that raises on zero divisors even when
+            # the zero branch is unreachable at runtime
+            F.round(
+                F.when(
+                    F.col("n_postings") > 0,
+                    F.col("__top").cast("double") / F.col("n_postings"),
+                ).otherwise(F.lit(0.0)),
+                4,
+            ).alias("stopword_share"),
+            F.round(
+                F.when(
+                    F.col("n_docs") > 0,
+                    F.col("n_postings").cast("double") / F.col("n_docs"),
+                ).otherwise(F.lit(0.0)),
+                2,
+            ).alias("postings_per_doc"),
+        )
+    )
 
 
 def _lexical_compact_specs():
