@@ -40,7 +40,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # committed local sweep greens (VERIFYLOCAL_r09.jsonl at the r09 head,
 # VERIFYLOCAL_r10.jsonl at this round's head) in the interim.
 # Round-10 window composition (exactly 50):
-# (a) 10 never-driver-verified: the four NEW round-10 queries —
+# (a) 13 never-driver-verified: the seven NEW round-10 queries —
 #     t11_bm25_topk (Okapi BM25 lexical retrieval, deterministic
 #     per-term fold), t12_bm25_persisted_index (the persisted lexical
 #     index lifecycle: build on even doc_ids → append odds → load →
