@@ -1831,3 +1831,47 @@ def test_incremental_rollup_null_day_partition_survives(spark):
     # the NULL-day cell accumulated across BOTH refreshes
     assert rows[(None, "click")] == (2, 6.0), rows
     assert rows[(datetime.date(2024, 1, 1), "click")] == (1, 2.0)
+
+
+def test_salt_spreads_identical_duplicate_rows(spark):
+    """The round-10 skew fix: a hot key's rows are typically IDENTICAL
+    duplicates, and the original row-content-hash salt mapped them all
+    to ONE salt value — the hot group landed on a single reducer
+    again. The positional salt must spread identical rows across the
+    full salt domain, and results must stay equal to the unsalted
+    computation."""
+    from workhop2_etl_spark.operators.skew import (
+        _row_salt,
+        salted_aggregate,
+        salted_shuffle_join,
+    )
+
+    # 4000 IDENTICAL rows of one hot key + a long tail
+    hot = spark.range(4000).select(
+        F.lit("Unknown").alias("k"), F.lit(1.0).alias("v")
+    )
+    tail = spark.range(100).select(
+        F.concat(F.lit("a"), F.col("id")).alias("k"), F.lit(2.0).alias("v")
+    )
+    df = hot.unionByName(tail)
+
+    n_salts = df.select(_row_salt(16).alias("s")).distinct().count()
+    assert n_salts == 16, f"identical rows spread over {n_salts}/16 salts"
+
+    got = {
+        r.k: (r.n, r.sum_v)
+        for r in salted_aggregate(
+            df, ["k"],
+            {"n": ("sum", F.count(F.lit(1))), "sum_v": ("sum", F.sum("v"))},
+        ).collect()
+    }
+    assert got["Unknown"] == (4000, 4000.0)
+    assert len(got) == 101
+
+    dim = spark.createDataFrame(
+        [("Unknown", "x")] + [(f"a{i}", "y") for i in range(100)],
+        "k string, tag string",
+    )
+    joined = salted_shuffle_join(df, dim, on=["k"], num_salts=4)
+    assert joined.count() == df.count()
+    assert joined.filter(F.col("tag") == "x").count() == 4000

@@ -27,6 +27,25 @@ from pyspark.sql import functions as F
 _SALT = "__w2e_salt"
 
 
+def _row_salt(num_salts: int) -> Column:
+    """Round-robin positional salt: monotonically_increasing_id
+    increments by 1 within a partition, so ``pmod(id, n)`` cycles
+    through every salt value — PERFECTLY even spreading regardless of
+    row content. The first formulation hashed the row's columns,
+    which silently defeated the whole mechanism for the most common
+    hot keys: a skewed key's rows are typically IDENTICAL duplicates
+    (the reference's 'Unknown' artist, null-ish user ids with empty
+    payloads), and identical rows hash to ONE salt — the hot group
+    landed on a single reducer again.
+
+    The positional id is not stable across task retries, which is
+    safe here by algebra: any salt assignment merges to the same
+    aggregate and joins the same rows (the replicated side carries
+    every salt value), and a retry recomputes its whole partition, so
+    no row is ever counted under two salts."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
+
+
 def salted_aggregate(
     df: DataFrame,
     keys: list[str],
@@ -46,10 +65,13 @@ def salted_aggregate(
 
     Phase 1 groups by (keys, salt) — the hot key's rows spread over
     ``num_salts`` reducers; phase 2 groups by keys alone over
-    ``num_salts`` rows per key. The salt is a deterministic-per-row
-    spread (pmod of a row hash), so results are reproducible.
+    ``num_salts`` rows per key. The salt is positional (round-robin
+    within each partition — see ``_row_salt``), so identical
+    duplicate rows still spread; results are reproducible because
+    algebraic partials merge to the same total under ANY salt
+    assignment.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(num_salts))
+    salt = _row_salt(num_salts)
     phase1 = (
         df.withColumn(_SALT, salt)
         .groupBy(*keys, _SALT)
@@ -75,11 +97,12 @@ def salted_shuffle_join(
     """Skew-safe shuffle equi-join: salt the fact side, replicate the
     other side across the salt domain.
 
-    The fact side gets a deterministic per-row salt (pmod of a row
-    hash — reproducible, no rand()); the other side is exploded once
-    per salt value, so every (key, salt) bucket can satisfy the join.
-    Joining on ``on + [salt]`` spreads a hot key's rows over
-    ``num_salts`` shuffle partitions instead of one reducer.
+    The fact side gets a positional round-robin salt (``_row_salt``
+    — identical duplicate rows still spread, unlike a row-content
+    hash); the other side is exploded once per salt value, so every
+    (key, salt) bucket can satisfy the join. Joining on
+    ``on + [salt]`` spreads a hot key's rows over ``num_salts``
+    shuffle partitions instead of one reducer.
 
     ``how`` ∈ {'inner', 'left'}: with 'left' the unmatched fact rows
     survive exactly once (each fact row carries ONE salt, so no
@@ -94,8 +117,7 @@ def salted_shuffle_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_shuffle_join supports inner/left, got {how!r}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(num_salts))
-    f = fact.withColumn(_SALT, salt)
+    f = fact.withColumn(_SALT, _row_salt(num_salts))
     o = other.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
