@@ -1875,3 +1875,34 @@ def test_salt_spreads_identical_duplicate_rows(spark):
     joined = salted_shuffle_join(df, dim, on=["k"], num_salts=4)
     assert joined.count() == df.count()
     assert joined.filter(F.col("tag") == "x").count() == 4000
+
+
+def test_merge_null_key_fails_loudly(spark):
+    """A NULL merge key never equality-matches: before the guard a
+    NULL-key upsert silently DUPLICATED (anti join kept the base row,
+    the union added the update) and a NULL-key delete silently
+    no-opped. All three merge entry points must now fail the job with
+    a descriptive error instead."""
+    import pytest
+
+    from workhop2_etl_spark.operators.upsert import (
+        merge_apply_changes,
+        merge_upsert,
+        merge_upsert_large,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    bad = spark.createDataFrame([(None, "z")], "k long, v string")
+    for fn in (merge_upsert, merge_upsert_large):
+        with pytest.raises(Exception, match="NULL merge key"):
+            fn(base, bad, ["k"]).collect()
+    bad_cdc = spark.createDataFrame(
+        [(None, "z", "d")], "k long, v string, op string"
+    )
+    with pytest.raises(Exception, match="NULL merge key"):
+        merge_apply_changes(base, bad_cdc, ["k"]).collect()
+
+    # clean feeds still merge exactly as before
+    upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    got = {r.k: r.v for r in merge_upsert(base, upd, ["k"]).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}

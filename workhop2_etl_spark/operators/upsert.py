@@ -21,12 +21,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _keys_checked_not_null(df: DataFrame, keys: list[str], ctx: str) -> DataFrame:
+    """Execution-time NULL-key guard (no extra validation pass, same
+    raise_error-in-plan pattern as the op-code check): a NULL merge
+    key never equality-matches, so without the guard a NULL-key
+    upsert would silently DUPLICATE (the anti join keeps the base
+    row, the union adds the update) and a NULL-key delete would
+    silently no-op — the feed corrupts the table without a sound."""
+    out = df
+    for k in keys:
+        out = out.withColumn(
+            k,
+            F.when(F.col(k).isNotNull(), F.col(k)).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"{ctx}: NULL merge key {k!r} — NULL never "
+                        "equality-matches, so the change row would "
+                        "silently duplicate or no-op instead of "
+                        "upserting/deleting; clean the feed's keys"
+                    )
+                )
+            ),
+        )
+    return out
+
+
 def merge_upsert(base: DataFrame, updates: DataFrame, keys: list[str]) -> DataFrame:
     """Last-writer-wins merge: rows in ``updates`` replace base rows
     with the same key; unmatched update rows are inserts. Schemas
-    must agree by name (``unionByName`` enforces it)."""
+    must agree by name (``unionByName`` enforces it). NULL keys in
+    ``updates`` fail the job loudly (see ``_keys_checked_not_null``)."""
     if not keys:
         raise ValueError("merge_upsert requires at least one key column")
+    updates = _keys_checked_not_null(updates, keys, "merge_upsert")
     cond = [base[k] == updates[k] for k in keys]
     kept = base.join(F.broadcast(updates.select(*keys)), cond, "left_anti")
     return kept.unionByName(updates)
@@ -37,6 +64,9 @@ def merge_upsert_large(base: DataFrame, updates: DataFrame, keys: list[str]) -> 
     sides shuffle by key once (sort-merge anti join). Prefer writing
     base AND updates bucketed by the key (sources/bucketing.py) so
     even this shuffle disappears."""
+    if not keys:
+        raise ValueError("merge_upsert_large requires at least one key column")
+    updates = _keys_checked_not_null(updates, keys, "merge_upsert_large")
     cond = [base[k] == updates[k] for k in keys]
     return base.join(updates.select(*keys), cond, "left_anti").unionByName(updates)
 
@@ -65,6 +95,7 @@ def merge_apply_changes(
     """
     if not keys:
         raise ValueError("merge_apply_changes requires at least one key column")
+    changes = _keys_checked_not_null(changes, keys, "merge_apply_changes")
     checked_op = F.when(F.col(op_col).isin("u", "d"), F.col(op_col)).otherwise(
         F.raise_error(
             F.concat(
