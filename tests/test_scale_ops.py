@@ -1877,6 +1877,58 @@ def test_salt_spreads_identical_duplicate_rows(spark):
     assert joined.filter(F.col("tag") == "x").count() == 4000
 
 
+def test_salt_on_unique_column_is_deterministic_and_spreads(spark):
+    """The round-11 SPARK-23207 hardening: with ``salt_on`` naming a
+    row-unique column the salt is a PURE function of row content —
+    a partial shuffle-retry replays every row under its original salt
+    (the positional fallback cannot promise that). Uniqueness keeps
+    the hot key spreading: hot rows share the key but differ in the
+    unique column, so the hash still fans them out."""
+    from workhop2_etl_spark.operators.skew import (
+        _row_salt,
+        salted_aggregate,
+        salted_shuffle_join,
+    )
+
+    # hot key with IDENTICAL payloads but a unique event id
+    df = spark.range(4000).select(
+        F.col("id").alias("eid"), F.lit("Unknown").alias("k"), F.lit(1.0).alias("v")
+    ).unionByName(
+        spark.range(100).select(
+            (F.col("id") + 10_000).alias("eid"),
+            F.concat(F.lit("a"), F.col("id")).alias("k"),
+            F.lit(2.0).alias("v"),
+        )
+    )
+
+    # deterministic: two independent evaluations agree row-for-row
+    m1 = {r.eid: r.s for r in df.select("eid", _row_salt(16, "eid").alias("s")).collect()}
+    m2 = {r.eid: r.s for r in df.select("eid", _row_salt(16, "eid").alias("s")).collect()}
+    assert m1 == m2
+    # ...and the hot key still spreads over the full salt domain
+    hot_salts = {m1[i] for i in range(4000)}
+    assert len(hot_salts) == 16, f"hot rows spread over {len(hot_salts)}/16 salts"
+
+    got = {
+        r.k: (r.n, r.sum_v)
+        for r in salted_aggregate(
+            df, ["k"],
+            {"n": ("sum", F.count(F.lit(1))), "sum_v": ("sum", F.sum("v"))},
+            salt_on="eid",
+        ).collect()
+    }
+    assert got["Unknown"] == (4000, 4000.0)
+    assert len(got) == 101
+
+    dim = spark.createDataFrame(
+        [("Unknown", "x")] + [(f"a{i}", "y") for i in range(100)],
+        "k string, tag string",
+    )
+    joined = salted_shuffle_join(df, dim, on=["k"], num_salts=4, salt_on="eid")
+    assert joined.count() == df.count()
+    assert joined.filter(F.col("tag") == "x").count() == 4000
+
+
 def test_merge_null_key_fails_loudly(spark):
     """A NULL merge key never equality-matches: before the guard a
     NULL-key upsert silently DUPLICATED (anti join kept the base row,

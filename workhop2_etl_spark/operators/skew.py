@@ -27,22 +27,34 @@ from pyspark.sql import functions as F
 _SALT = "__w2e_salt"
 
 
-def _row_salt(num_salts: int) -> Column:
-    """Round-robin positional salt: monotonically_increasing_id
-    increments by 1 within a partition, so ``pmod(id, n)`` cycles
-    through every salt value — PERFECTLY even spreading regardless of
-    row content. The first formulation hashed the row's columns,
-    which silently defeated the whole mechanism for the most common
-    hot keys: a skewed key's rows are typically IDENTICAL duplicates
-    (the reference's 'Unknown' artist, null-ish user ids with empty
-    payloads), and identical rows hash to ONE salt — the hot group
-    landed on a single reducer again.
+def _row_salt(num_salts: int, salt_on: str | list[str] | None = None) -> Column:
+    """Per-row salt in ``[0, num_salts)``.
 
-    The positional id is not stable across task retries, which is
-    safe here by algebra: any salt assignment merges to the same
-    aggregate and joins the same rows (the replicated side carries
-    every salt value), and a retry recomputes its whole partition, so
-    no row is ever counted under two salts."""
+    ``salt_on`` (PREFERRED at cluster scale) names a row-unique
+    column (or columns) — an event id, a surrogate key — and the salt
+    is ``pmod(xxhash64(cols), n)``: a DETERMINISTIC pure function of
+    row content, so a shuffle-fetch failure that reruns only the lost
+    map tasks reassigns every replayed row its ORIGINAL salt.
+    Uniqueness is what makes hashing spread hot keys: a hot key's
+    rows share the key but differ in the unique column, so they still
+    fan out over the salt domain. (Hashing the WHOLE row does not —
+    hot rows are typically identical duplicates, the round-10 find.)
+
+    Without ``salt_on`` the salt falls back to round-robin
+    ``pmod(monotonically_increasing_id(), n)`` — perfectly even
+    spreading with no uniqueness requirement, but NONDETERMINISTIC
+    across task retries. On a single stage attempt every row carries
+    exactly one salt and the algebra below is exact; on a multi-node
+    cluster a shuffle-fetch failure can rerun a subset of map tasks
+    whose replayed rows draw DIFFERENT salts while reducers keep
+    already-fetched output (the SPARK-23207 indeterminate-shuffle
+    class), so a row could be double-counted or dropped. Callers at
+    scale should therefore name ``salt_on`` whenever any unique-ish
+    column exists; the positional fallback is for ad-hoc relations
+    with no such column, accepted with this documented caveat."""
+    if salt_on is not None:
+        cols = [salt_on] if isinstance(salt_on, str) else list(salt_on)
+        return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(num_salts))
     return F.pmod(F.monotonically_increasing_id(), F.lit(num_salts))
 
 
@@ -51,6 +63,7 @@ def salted_aggregate(
     keys: list[str],
     aggs: dict[str, tuple[str, Column]],
     num_salts: int = 16,
+    salt_on: str | list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
@@ -65,13 +78,16 @@ def salted_aggregate(
 
     Phase 1 groups by (keys, salt) — the hot key's rows spread over
     ``num_salts`` reducers; phase 2 groups by keys alone over
-    ``num_salts`` rows per key. The salt is positional (round-robin
-    within each partition — see ``_row_salt``), so identical
-    duplicate rows still spread; results are reproducible because
-    algebraic partials merge to the same total under ANY salt
-    assignment.
+    ``num_salts`` rows per key. ``salt_on`` names a row-unique
+    column for a DETERMINISTIC, retry-stable salt (the cluster-scale
+    default — see ``_row_salt``); omitted, the salt is positional
+    round-robin (identical duplicate rows still spread, but the
+    assignment is not stable under partial shuffle-retry — the
+    documented ``_row_salt`` caveat). Results are reproducible
+    either way on a healthy run because algebraic partials merge to
+    the same total under ANY salt assignment.
     """
-    salt = _row_salt(num_salts)
+    salt = _row_salt(num_salts, salt_on)
     phase1 = (
         df.withColumn(_SALT, salt)
         .groupBy(*keys, _SALT)
@@ -93,15 +109,19 @@ def salted_shuffle_join(
     on: list[str],
     num_salts: int = 8,
     how: str = "inner",
+    salt_on: str | list[str] | None = None,
 ) -> DataFrame:
     """Skew-safe shuffle equi-join: salt the fact side, replicate the
     other side across the salt domain.
 
-    The fact side gets a positional round-robin salt (``_row_salt``
-    — identical duplicate rows still spread, unlike a row-content
-    hash); the other side is exploded once per salt value, so every
-    (key, salt) bucket can satisfy the join. Joining on
-    ``on + [salt]`` spreads a hot key's rows over ``num_salts``
+    The fact side's salt comes from ``salt_on`` (a row-unique fact
+    column → deterministic, retry-stable — the cluster-scale default)
+    or falls back to positional round-robin (identical duplicate rows
+    still spread, unlike a row-content hash, but the assignment is
+    not stable under partial shuffle-retry — the documented
+    ``_row_salt`` caveat); the other side is exploded once per salt
+    value, so every (key, salt) bucket can satisfy the join. Joining
+    on ``on + [salt]`` spreads a hot key's rows over ``num_salts``
     shuffle partitions instead of one reducer.
 
     ``how`` ∈ {'inner', 'left'}: with 'left' the unmatched fact rows
@@ -117,7 +137,7 @@ def salted_shuffle_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_shuffle_join supports inner/left, got {how!r}")
-    f = fact.withColumn(_SALT, _row_salt(num_salts))
+    f = fact.withColumn(_SALT, _row_salt(num_salts, salt_on))
     o = other.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )

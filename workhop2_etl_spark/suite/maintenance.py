@@ -196,6 +196,10 @@ def k1_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value": ("sum", F.sum("value")),
                 "max_value": ("max", F.max("value")),
             },
+            # event_id is row-unique → deterministic retry-stable salt
+            # (the r11 SPARK-23207 hardening; positional fallback only
+            # when no unique column exists)
+            salt_on="event_id",
         )
         .withColumn("sum_value", F.round("sum_value", 4))
         .orderBy("event_type")
@@ -292,7 +296,13 @@ def k2_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     stats = ev.groupBy("event_type").agg(F.avg("value").alias("ty_avg"))
     joined = salted_shuffle_join(
-        ev.select("event_type", "value"), stats, on=["event_type"], num_salts=8
+        # event_id rides along only as the deterministic salt source
+        # (row-unique → retry-stable assignment, the r11 hardening)
+        ev.select("event_id", "event_type", "value"),
+        stats,
+        on=["event_type"],
+        num_salts=8,
+        salt_on="event_id",
     )
     return (
         joined.groupBy("event_type")
