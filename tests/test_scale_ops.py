@@ -1958,3 +1958,44 @@ def test_merge_null_key_fails_loudly(spark):
     upd = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
     got = {r.k: r.v for r in merge_upsert(base, upd, ["k"]).collect()}
     assert got == {1: "a", 2: "B", 3: "c"}
+
+
+def test_merge_on_null_key_insert_opts_into_ansi_merge(spark):
+    """The r11 escape hatch: feeds that legitimately carry NULL keys
+    opt into ANSI MERGE semantics with on_null_key='insert' — a NULL
+    key matches nothing, so a NULL-key update is a plain insert, a
+    NULL-key delete a no-op, and non-NULL rows merge exactly as under
+    the default. Unknown modes are rejected."""
+    import pytest
+
+    from workhop2_etl_spark.operators.upsert import (
+        merge_apply_changes,
+        merge_upsert,
+        merge_upsert_large,
+    )
+
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    upd = spark.createDataFrame(
+        [(None, "z"), (2, "B"), (3, "c")], "k long, v string"
+    )
+    for fn in (merge_upsert, merge_upsert_large):
+        rows = sorted(
+            ((r.k, r.v) for r in fn(base, upd, ["k"], on_null_key="insert").collect()),
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        assert rows == [(1, "a"), (2, "B"), (3, "c"), (None, "z")]
+
+    cdc = spark.createDataFrame(
+        [(None, "z", "u"), (None, None, "d"), (1, "A", "u"), (2, None, "d")],
+        "k long, v string, op string",
+    )
+    rows = sorted(
+        ((r.k, r.v) for r in
+         merge_apply_changes(base, cdc, ["k"], on_null_key="insert").collect()),
+        key=lambda t: (t[0] is None, t[0]),
+    )
+    # NULL-key 'u' inserted, NULL-key 'd' no-opped, 1 updated, 2 deleted
+    assert rows == [(1, "A"), (None, "z")]
+
+    with pytest.raises(ValueError, match="on_null_key"):
+        merge_upsert(base, upd, ["k"], on_null_key="ignore")
