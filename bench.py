@@ -1,7 +1,19 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints JSONL — one SHORT line per query as it completes:
+  {"q": "<name>", "sec": N}
+then three calibration-normalized canary lines:
+  {"canary": "<name>", "raw_sec": N, "norm_sec": N, "cal_ratio": R}
+and LAST a compact summary line:
+  {"metric": "headline_suite_total", "value": N, "unit": "sec",
+   "sf": ..., "n_queries": N, "load_context": {...}}
+
+The r10 driver artifact proved why: a single giant JSON line was
+tail-truncated in capture, losing the headline total and the first
+~13 per-query entries. Short lines with the summary LAST mean a
+tail-limited capture always keeps the total + the most recent
+entries, and every number is additionally recoverable from the
+committed BENCHLOCAL_r{N}.jsonl artifact.
 
 Per-query time = full action latency (plan + execute + collect) after
 a warm-up action that absorbs one-time session/JVM costs. The metric
@@ -313,6 +325,13 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     times: dict[str, float] = {}
+
+    def emit(obj: dict) -> None:
+        # one short line per record, flushed immediately: a
+        # tail-limited capture keeps the most recent lines and the
+        # summary (printed last) instead of truncating one giant line
+        print(json.dumps(obj), flush=True)
+
     missing = [n for n in HEADLINE if n not in suite.QUERIES]
     if missing:
         # a silently skipped entry deflates the total and reads as a
@@ -324,33 +343,46 @@ def main() -> None:
         rows = fn(spark, SF_DIR).collect()
         times[name] = round(time.time() - t0, 3)
         assert rows is not None
-    times.update(bench_reference_pipeline(spark))
-    times.update(bench_scale_guards(spark))
+        emit({"q": name, "sec": times[name]})
+    for name, sec in bench_reference_pipeline(spark).items():
+        times[name] = sec
+        emit({"q": name, "sec": sec})
+    canaries = bench_scale_guards(spark)
+    for name, sec in canaries.items():
+        times[name] = sec
+        emit({"q": name, "sec": sec})
     # calibration entry: timed at the START of the measured section
     # (right after warm-up) and again here at the END; the bench
     # entry is the start sample, the end sample and the mean ratio
-    # land in load_context for PERF.md's normalization
+    # land in the summary's load_context for PERF.md's normalization
     cal_end = bench_calibration(spark)
     times["xcal_cpu_probe"] = cal_start
+    emit({"q": "xcal_cpu_probe", "sec": cal_start})
     total = round(sum(times.values()), 3)
     load_ctx["loadavg_1m_end"] = _load_context().get("loadavg_1m")
     load_ctx["calibration_sec_start"] = cal_start
     load_ctx["calibration_sec_end"] = cal_end
     load_ctx["calibration_ref_sec"] = CALIBRATION_REF_SEC
-    load_ctx["calibration_ratio"] = round(
-        (cal_start + cal_end) / 2 / CALIBRATION_REF_SEC, 3
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "load_context": load_ctx,
-            }
-        )
+    cal_ratio = round((cal_start + cal_end) / 2 / CALIBRATION_REF_SEC, 3)
+    load_ctx["calibration_ratio"] = cal_ratio
+    # canary attribution rows (r10 verdict ask #6): raw + ratio-
+    # normalized, so a loaded run's canary moves are self-attributing
+    for name, sec in canaries.items():
+        emit({
+            "canary": name,
+            "raw_sec": sec,
+            "norm_sec": round(sec / cal_ratio, 3) if cal_ratio > 0 else sec,
+            "cal_ratio": cal_ratio,
+        })
+    emit(
+        {
+            "metric": "headline_suite_total",
+            "value": total,
+            "unit": "sec",
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_queries": len(times),
+            "load_context": load_ctx,
+        }
     )
 
 

@@ -288,6 +288,59 @@ def test_compact_index_crash_recovery(spark):
     assert not os.path.exists(f"{path3}/index.compacting")
 
 
+def test_lexical_compact_crash_between_dirs_stays_loadable(spark):
+    """r11 adversarial scenario: the lexical artifact compacts THREE
+    dirs in sequence (tf, df, stats) — a crash BETWEEN dirs leaves tf
+    re-clustered while df still holds per-epoch partials. Every dir's
+    content is load-equivalent before and after its own swap, so the
+    part-compacted artifact must (a) probe row-identically in that
+    intermediate state and (b) finish compacting on re-entry."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    qt = (
+        corpus.filter((F.col("doc_id") % 89 == 0) & (F.size("toks") > 0))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+
+    def probe(path):
+        tf, df, stats, meta = RET.load_lexical_index(spark, path)
+        return sorted(map(tuple, RET.probe_lexical_index(
+            tf, df, stats, meta, qt, k=5).collect()))
+
+    path = _tmp("lex_crash_between")
+    RET.save_lexical_index(
+        corpus.filter(F.col("doc_id") % 2 == 0), path, mode="overwrite",
+        num_partitions=4,
+    )
+    RET.append_lexical_index(
+        corpus.filter(F.col("doc_id") % 2 == 1), path, num_partitions=4
+    )
+    want = probe(path)
+
+    # simulate the crash window: tf's stage+swap completed, then the
+    # process died before df/stats compacted (df still: 2 partials)
+    IDX._compact_dir(spark, f"{path}/tf", ["term"], 2, None)
+    assert len(os.listdir(f"{path}/df")) > 0
+    assert probe(path) == want, "part-compacted artifact must stay exact"
+
+    # re-entry completes the remaining dirs; df/stats fold to one
+    stats2 = IDX.compact_index(spark, path, num_partitions=2)
+    assert stats2["files_after"] >= 1
+    assert len(spark.read.parquet(f"{path}/df").groupBy().count().collect()) == 1
+    assert probe(path) == want
+
+
 def test_ivf_index_int8_quantized(spark):
     """store_dtype='int8': the artifact stores symmetric per-vector
     quantized postings (array<tinyint> + scale) — measured ~3× less

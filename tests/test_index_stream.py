@@ -259,3 +259,79 @@ def test_lexical_stream_ingest_and_replay_converges(spark):
     )
     with pytest.raises(ValueError, match="indexes compact"):
         IDX.compact_index(spark, cpath)
+
+
+def test_checkpoint_binding_canonicalizes_path_identity(spark):
+    """The r11 advice fix: the ledger-to-checkpoint binding digests
+    the CANONICAL checkpoint path, so the same checkpoint referenced
+    with a trailing slash or through a relative prefix resumes
+    cleanly instead of raising a false 'different checkpoint' error
+    (which pushed users toward adopt_ledger=True and weakened the
+    guard). A genuinely different checkpoint still refuses."""
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    path = _tmp("canon_idx")
+    IDX.save_lsh_index(emb.limit(0), path, dim=DIM, num_planes=4,
+                       num_tables=2, mode="overwrite")
+    src, ckpt = _tmp("canon_src"), _tmp("canon_ckpt")
+    emb.repartition(1).write.mode("append").parquet(src)
+    IS.stream_index_ingest(spark, src, emb.schema, path, ckpt,
+                           partitions_per_epoch=1)
+
+    # trailing slash and a ./-relative spelling are the SAME checkpoint
+    IS.stream_index_ingest(spark, src, emb.schema, path, ckpt + "/",
+                           partitions_per_epoch=1)
+    rel = os.path.relpath(ckpt)
+    IS.stream_index_ingest(spark, src, emb.schema, path, rel,
+                           partitions_per_epoch=1)
+    # a different checkpoint still refuses, and the error names the
+    # canonicalization so users don't reach for adopt_ledger blindly
+    with pytest.raises(ValueError, match="canonicalized"):
+        IS.stream_index_ingest(spark, src, emb.schema, path,
+                               _tmp("canon_ckpt2"), partitions_per_epoch=1)
+
+
+def test_lexical_ingest_reads_tok_col_from_metadata(spark):
+    """The r11 advice fix: the lexical artifact records its token
+    column at save time and stream ingest reads it from metadata —
+    no silent embedding→toks remap. A prepare hook that fails to
+    produce the recorded column raises an error naming it, and a
+    vec_col override that CONTRADICTS the metadata is refused."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 200)
+    tokenize = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("body_toks"),
+    )
+
+    path = _tmp("tokcol_idx")
+    meta = RET.save_lexical_index(
+        tokenize(docs).limit(0), path, tok_col="body_toks", mode="overwrite"
+    )
+    assert meta["tok_col"] == "body_toks"
+
+    src, ckpt = _tmp("tokcol_src"), _tmp("tokcol_ckpt")
+    docs.repartition(1).write.mode("append").parquet(src)
+
+    # wrong prepare (default 'toks' convention) → loud contract error
+    bad = lambda df: df.select(  # noqa: E731
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    )
+    with pytest.raises(Exception, match="body_toks"):
+        IS.stream_index_ingest(spark, src, docs.schema, path, ckpt,
+                               prepare=bad, partitions_per_epoch=1)
+    # contradicting vec_col override → refused, metadata wins
+    with pytest.raises(Exception, match="recorded token column|tok_col"):
+        IS.stream_index_ingest(spark, src, docs.schema, path, _tmp("tc2"),
+                               vec_col="toks", prepare=tokenize,
+                               partitions_per_epoch=1)
+
+    # correct prepare needs NO vec_col hint — metadata names the column
+    IS.stream_index_ingest(spark, src, docs.schema, path, _tmp("tc3"),
+                           adopt_ledger=True, prepare=tokenize,
+                           partitions_per_epoch=1)
+    tf, df, stats, meta2 = RET.load_lexical_index(spark, path)
+    want = tokenize(docs).filter(F.size("body_toks") > 0).count()
+    assert stats.collect()[0].n_docs == want

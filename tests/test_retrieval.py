@@ -443,3 +443,110 @@ def test_lexical_index_stats(spark, tmp_path):
     r0 = RETOP.lexical_index_stats(tf0, df0, st0).collect()[0]
     assert (r0.n_docs, r0.vocab_size, r0.n_postings, r0.max_df) == (0, 0, 0, 0)
     assert r0.stopword_share == 0.0 and r0.postings_per_doc == 0.0
+
+
+# ---------------------------------------------------------------------------
+# round-11 second adversarial pass over the round-10 retrieval family
+# (the r10 verdict's ask #5): malformed rrf arms, exact cross-arm
+# ties, _seq_sum duplicate keys, zero-prefix truncated refine.
+# ---------------------------------------------------------------------------
+
+
+def test_rrf_fuse_duplicate_doc_in_one_arm_collapses_to_best_rank(spark):
+    """An arm that did NOT come from a row_number window can carry the
+    same (query_id, doc_id) at two ranks. Unhardened, the full-outer
+    join fanned that out and the SAME document surfaced at several
+    fused ranks; the r11 fix collapses each arm to its best (minimum)
+    rank first — identity for well-formed arms."""
+    arm_a = spark.createDataFrame(
+        [(1, 10, 1), (1, 10, 3), (1, 11, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    arm_b = spark.createDataFrame(
+        [(1, 10, 2), (1, 12, 1)], "query_id long, doc_id long, rank int"
+    )
+    out = RET.rrf_fuse(arm_a, arm_b, k=10).collect()
+    by_doc = {}
+    for r in out:
+        assert r.doc_id not in by_doc, f"doc {r.doc_id} fused twice"
+        by_doc[r.doc_id] = r
+    # doc 10 fuses under its BEST arm_a rank (1), not rank 3
+    assert by_doc[10].rank_a == 1 and by_doc[10].rank_b == 2
+    assert by_doc[10].rrf_score == round(1.0 / 61 + 1.0 / 62, 6)
+    # ranks stay a contiguous 1..n permutation
+    assert sorted(r.rank for r in out) == [1, 2, 3]
+
+
+def test_rrf_fuse_exact_cross_arm_tie_breaks_on_doc_id(spark):
+    """Two documents can earn the SAME rrf_score from different arms
+    (rank r in A only vs rank r in B only). The fused order must
+    break the exact tie on doc_id ascending — deterministically, on
+    any engine."""
+    arm_a = spark.createDataFrame(
+        [(1, 20, 1), (1, 5, 2)], "query_id long, doc_id long, rank int"
+    )
+    arm_b = spark.createDataFrame(
+        [(1, 7, 1), (1, 30, 2)], "query_id long, doc_id long, rank int"
+    )
+    out = sorted(RET.rrf_fuse(arm_a, arm_b, k=10).collect(), key=lambda r: r.rank)
+    # scores tie pairwise: {20, 7} at 1/61 and {5, 30} at 1/62
+    assert [r.doc_id for r in out] == [7, 20, 5, 30]
+    assert out[0].rrf_score == out[1].rrf_score
+    assert out[2].rrf_score == out[3].rrf_score
+
+
+def test_seq_sum_duplicate_keys_fold_deterministically(spark):
+    """_seq_sum sorts the WHOLE struct — (key, then v) — so repeated
+    keys still fold in one fixed order. The three values below are
+    chosen so float addition order is observable ((a+b)+c differs
+    from (c+b)+a in the last ulp); two independent evaluations and a
+    reversed-input evaluation must produce the bit-identical sum."""
+    vals = [0.1, 0.2, 0.30000000000000004]
+    rows = [("k", v) for v in vals]
+
+    def fold(pairs):
+        df = spark.createDataFrame(pairs, "key string, v double")
+        arr = df.agg(
+            F.collect_list(F.struct("key", "v")).alias("c")
+        ).select(RET._seq_sum(F.col("c")).alias("s"))
+        return arr.collect()[0].s
+
+    expect = (vals[0] + vals[1]) + vals[2]  # sorted-by-(key, v) order
+    assert fold(rows) == expect
+    assert fold(list(reversed(rows))) == expect
+
+
+def test_truncated_refine_zero_prefix_does_not_poison_ranking(spark):
+    """A vector whose first prefix_dim dims are all zero but whose
+    full vector is not (legal on non-MRL embeddings): the prefix
+    cosine's zero-norm guard maps it to 0.0 — NOT NULL/NaN — so a
+    zero-prefix QUERY still returns k rows (candidates tie at 0.0,
+    id-tiebroken, then rescore exactly at full dimension) and a
+    zero-prefix CORPUS row neither crashes the scan nor surfaces
+    NULL scores. Verified outcome of the r11 adversarial pass."""
+    rows = [
+        # corpus: doc 1 has a ZERO 2-dim prefix but big tail overlap
+        (1, [0.0, 0.0, 1.0, 1.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),
+        (3, [0.9, 0.1, 0.5, 0.5]),
+        # query 100: zero prefix, nonzero tail
+        (100, [0.0, 0.0, 1.0, 1.0]),
+        # query 101: healthy
+        (101, [1.0, 0.0, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") < 100)
+    queries = df.filter(F.col("vec_id") >= 100)
+    out = SIM.topk_cosine_truncated_refine(
+        corpus, queries, prefix_dim=2, k=3, n_candidates=3
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert r.score is not None and not math.isnan(r.score)
+    # the zero-prefix query still returns all 3 corpus rows, ranked
+    # by EXACT full-dimension cosine (doc 1 is its true best match)
+    got_100 = sorted(by_q[100], key=lambda r: r.rank)
+    assert len(got_100) == 3
+    assert got_100[0].neighbor_id == 1
+    assert len(by_q[101]) == 3

@@ -80,7 +80,7 @@ _META_SCHEMA = (
     "kind string, version int, dim int, num_planes int, num_tables int,"
     " sig_kernel string, assign_kernel string, id_col string, seed long,"
     " n_centroids int, plane_scheme string, epoch int, store_dtype string,"
-    " pq_m int, pq_k int, tokenizer string"
+    " pq_m int, pq_k int, tokenizer string, tok_col string"
 )
 
 

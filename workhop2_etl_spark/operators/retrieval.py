@@ -41,7 +41,17 @@ def _seq_sum(contribs_by_key: Column) -> Column:
     """Sequential double fold over an array of (key, value) structs
     sorted by key — the deterministic alternative to SUM(), whose
     hash-aggregate addition order is engine- and partitioning-
-    dependent. DuckDB twin: list_reduce(list(v ORDER BY key), +)."""
+    dependent. DuckDB twin: list_reduce(list(v ORDER BY key), +).
+
+    Duplicate keys (r11 adversarial note): ``sort_array`` orders by
+    the WHOLE struct — (key, then v) — so the fold stays
+    deterministic even when keys repeat. The BM25 pipeline never
+    feeds duplicates (tf is unique per (doc_id, term) and the query
+    relation is distinct-ed defensively in ``_bm25_rank``), but a
+    direct caller with repeated keys must mirror that tiebreak on the
+    oracle side: ``list(v ORDER BY key, v)``, because DuckDB's
+    ``ORDER BY key`` alone leaves the order of equal keys unspecified
+    (tests/test_retrieval.py pins the Spark-side determinism)."""
     return F.aggregate(
         F.transform(F.sort_array(contribs_by_key), lambda s: s["v"]),
         F.lit(0.0),
@@ -253,6 +263,10 @@ def save_lexical_index(
         "kind": _LEXICAL_KIND,
         "version": FORMAT_VERSION,
         "id_col": id_col,
+        # recorded so stream ingest reads the artifact's OWN token
+        # column instead of inferring one from caller arguments
+        # (streaming/index_stream.py, r11)
+        "tok_col": tok_col,
         "tokenizer": tokenizer,
         "epoch": 0,
     }
@@ -528,12 +542,30 @@ def rrf_fuse(
     top-k-per-query relations (|Q|·k rows, query-bounded by
     contract), so the full-outer join and the final window are over
     tiny, query-keyed data regardless of corpus size.
+
+    Malformed arms (r11 adversarial hardening): a duplicate
+    (query_id, doc_id) within one arm — a caller fusing a relation
+    that did not come from a row_number window — would fan out the
+    full-outer join and surface the SAME document at several fused
+    ranks. Each arm is therefore collapsed to its BEST (minimum) rank
+    per (query_id, doc_id) first — the standard RRF treatment of
+    duplicate candidates, and a no-op (identity aggregation) for
+    well-formed window-ranked arms. The extra shuffle is over the
+    |Q|·k arm relation, never corpus-sized.
     """
-    a = arm_a.select(
-        "query_id", "doc_id", F.col("rank").cast("int").alias("rank_a")
+    a = (
+        arm_a.select(
+            "query_id", "doc_id", F.col("rank").cast("int").alias("rank_a")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank_a").alias("rank_a"))
     )
-    bdf = arm_b.select(
-        "query_id", "doc_id", F.col("rank").cast("int").alias("rank_b")
+    bdf = (
+        arm_b.select(
+            "query_id", "doc_id", F.col("rank").cast("int").alias("rank_b")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank_b").alias("rank_b"))
     )
     fused = a.join(bdf, ["query_id", "doc_id"], "full_outer")
     rscore = F.round(

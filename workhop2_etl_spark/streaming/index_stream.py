@@ -123,7 +123,30 @@ def ingest_epoch(
             _write_lexical_epoch,
         )
 
-        tok_col = vec_col if vec_col != "embedding" else "toks"
+        # the artifact's own metadata names its token column (recorded
+        # at save time, r11) — caller arguments can confirm but never
+        # silently remap it; pre-r11 artifacts without the field fall
+        # back to the old convention (vec_col unless it still holds
+        # the ANN default, then 'toks')
+        tok_col = meta.get("tok_col")
+        if tok_col is None:
+            tok_col = vec_col if vec_col != "embedding" else "toks"
+        elif vec_col not in ("embedding", tok_col):
+            raise ValueError(
+                f"lexical index at {index_path} records "
+                f"tok_col={tok_col!r} in its metadata, but the stream "
+                f"was started with vec_col={vec_col!r} — the artifact's "
+                "recorded token column wins; drop the vec_col override "
+                "or rebuild the artifact under the new column name"
+            )
+        if tok_col not in batch.columns:
+            raise ValueError(
+                f"lexical ingest into {index_path} expects token column "
+                f"{tok_col!r} (recorded in the artifact metadata at save "
+                f"time), but the prepared micro-batch has columns "
+                f"{list(batch.columns)} — fix the stream's prepare hook "
+                "to produce that column"
+            )
         _write_lexical_epoch(
             batch, staging, id_col or meta["id_col"], tok_col, "overwrite",
             num_partitions=partitions_per_epoch,
@@ -197,6 +220,25 @@ def ingest_epoch(
     return "committed"
 
 
+def _canon_checkpoint(checkpoint_dir: str) -> str:
+    """Canonical identity of a checkpoint path for the ledger binding
+    digest. The binding guards against a DIFFERENT checkpoint (whose
+    batch ids restart at 0 and collide with committed ledger epochs);
+    the SAME checkpoint referenced through an equivalent-but-unequal
+    string (trailing slash, relative vs absolute, a symlinked parent)
+    must therefore digest identically, or the resume raises a false
+    'bound to a different checkpoint' error that pushes users toward
+    adopt_ledger=True and weakens the guard. URIs (hdfs://, s3a://)
+    only lose trailing slashes — resolving them needs the remote
+    filesystem; local paths resolve symlinks and relativity via
+    realpath."""
+    import os
+
+    if "://" in checkpoint_dir:
+        return checkpoint_dir.rstrip("/") or checkpoint_dir
+    return os.path.realpath(checkpoint_dir)
+
+
 def stream_index_ingest(
     spark: SparkSession,
     stream_dir: str,
@@ -240,7 +282,7 @@ def stream_index_ingest(
 
     import hashlib
 
-    digest = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]
+    digest = hashlib.md5(_canon_checkpoint(checkpoint_dir).encode()).hexdigest()[:12]
     fs, ledger_p = _hadoop_fs(spark, f"{index_path}/ledger")
     _, bind_p = _hadoop_fs(spark, f"{index_path}/ledger/_stream-{digest}")
     if fs.exists(ledger_p):
@@ -260,7 +302,10 @@ def stream_index_ingest(
                     f"A new checkpoint restarts batch ids at 0, so its "
                     f"batches would collide with committed ledger epochs "
                     f"and be silently skipped. Resume with the original "
-                    f"checkpoint, or pass adopt_ledger=True to re-bind "
+                    f"checkpoint (path identity is canonicalized — "
+                    f"trailing slashes, relative prefixes and symlinks "
+                    f"are already ignored, so this really is a different "
+                    f"checkpoint), or pass adopt_ledger=True to re-bind "
                     f"after verifying the new source does not replay "
                     f"already-indexed data"
                 )
