@@ -135,6 +135,11 @@ HEADLINE = [
     # if either arm stops broadcasting its query side)
     "t11_bm25_topk",
     "t12_bm25_persisted_index",
+    # round-11: the max_df-pruned probe (bigram index build + WAND-
+    # style candidate-bounded scoring — regresses if the candidate
+    # semi-join stops broadcasting or the rare-slice IN-list stops
+    # pruning the posting scan)
+    "t13_bm25_pruned_probe",
     "st14_streaming_lexical_ingest",
     "v14_topk_ivf_pq_refine",
     "v15_hybrid_rrf",

@@ -550,3 +550,168 @@ def test_truncated_refine_zero_prefix_does_not_poison_ranking(spark):
     assert len(got_100) == 3
     assert got_100[0].neighbor_id == 1
     assert len(by_q[101]) == 3
+
+
+# ---------------------------------------------------------------------------
+# round-11: max_df impact-ordered probe pruning (the WAND-flavored
+# bounded serving path; default probes stay unpruned + oracle-exact).
+# ---------------------------------------------------------------------------
+
+
+def _lex_fixture(spark, tmp_path):
+    """Persisted BIGRAM index over the documents fixture + one mixed
+    query per sampled doc (first 8 bigrams: mixes rare and
+    head-frequency shingles — the unigram fixture vocabulary is 31
+    words, ALL head-frequency, so unigrams cannot exercise pruning)."""
+    from workhop2_etl_spark.operators import retrieval as RETOP
+    from workhop2_etl_spark.suite.retrieval import _bigrams
+
+    docs = load_table(spark, SF_DIR, "documents")
+    words = F.split(
+        F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+    )
+    corpus = docs.select("doc_id", _bigrams(words).alias("toks"))
+    qt = (
+        corpus.filter((F.col("doc_id") % 89 == 0) & (F.size("toks") > 0))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+    path = str(tmp_path / "lexprune")
+    RETOP.save_lexical_index(
+        corpus, path, tokenizer="bigram-ws-lower",
+        mode="overwrite", num_partitions=4,
+    )
+    return RETOP.load_lexical_index(spark, path), qt
+
+
+def test_pruned_probe_exact_flag_is_honest(spark, tmp_path):
+    """The WAND certificate on a corpus built to exercise BOTH
+    outcomes: a true stopword ('common', df = 150/200 → tiny idf,
+    tiny head bound HB) plus genuinely rare terms. A query whose
+    k-th candidate clears HB must flag exact=true AND equal the
+    unpruned top-k row-for-row; a query with fewer than k candidates
+    must flag exact=false and return only its candidates — never a
+    silent wrong-but-confident answer either way."""
+    from workhop2_etl_spark.operators import retrieval as RETOP
+
+    rows = []
+    for d in range(200):
+        toks = ["common"] if d < 150 else ["filler"]
+        if d % 67 == 1:          # 3 docs: rare_a (+ stopword context)
+            toks = ["rare_a", "common", "pad"]
+        if d % 71 == 2:          # ~3 docs: rare_b
+            toks = ["rare_b", "common"]
+        if d == 190:             # exactly ONE doc: rare_solo
+            toks = ["rare_solo", "common"]
+        rows.append((d, toks))
+    corpus = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    path = str(tmp_path / "synth")
+    RETOP.save_lexical_index(corpus, path, mode="overwrite", num_partitions=2)
+    tf, df, stats, meta = RETOP.load_lexical_index(spark, path)
+
+    qt = spark.createDataFrame(
+        [(1000, "rare_a"), (1000, "rare_b"), (1000, "common"),
+         (2000, "rare_solo"), (2000, "common")],
+        "query_id long, term string",
+    )
+    k = 3
+    max_df = 10  # rare_a/rare_b/rare_solo ≤ 3 docs; 'common' df=~156
+    unpruned = RETOP.probe_lexical_index(
+        tf, df, stats, meta, qt, k=k
+    ).collect()
+    pruned = RETOP.probe_lexical_index(
+        tf, df, stats, meta, qt, k=k, max_df=max_df
+    ).collect()
+
+    p1 = sorted([r for r in pruned if r.query_id == 1000], key=lambda r: r.rank)
+    u1 = sorted([r for r in unpruned if r.query_id == 1000], key=lambda r: r.rank)
+    # query 1000: ≥6 candidates each scoring a rare idf (~4) while
+    # HB = idf('common')·(k1+1) ≈ 0.64 — certificate fires, and the
+    # pruned rows equal the unpruned top-k exactly
+    assert all(r.exact for r in p1), [r.exact for r in p1]
+    assert [(r.rank, r.doc_id, r.score, r.n_hit) for r in p1] == [
+        (r.rank, r.doc_id, r.score, r.n_hit) for r in u1
+    ]
+
+    # query 2000: ONE candidate < k → certificate must refuse
+    p2 = [r for r in pruned if r.query_id == 2000]
+    assert len(p2) == 1 and p2[0].doc_id == 190
+    assert not p2[0].exact
+    # ...and indeed the unpruned ranking has common-only docs at the
+    # tail that pruning cut — the false flag is truthful
+    u2 = [r for r in unpruned if r.query_id == 2000]
+    assert len(u2) == k
+
+
+def test_pruned_probe_recall_on_bigram_fixture(spark, tmp_path):
+    """Measured recall gate on the documents fixture (bigram index).
+    The fixture's text is UNIFORM-random over a tiny vocabulary, so
+    bigram df is narrow-band (25..47 over 500 docs) — no Zipf head
+    at all, the maximally hostile shape for df-threshold pruning (on
+    a real corpus the head is stopwords with near-zero idf, which is
+    why pruning them barely moves top-k). Measured on this fixture:
+    recall 0.63 at max_df=⌊n/20⌋, 0.93 at ⌊n/15⌋, 1.0 at ⌊n/12⌋ —
+    gate at the ⌊n/15⌋ operating point ≥ 0.85 for regression signal.
+    Scores of surviving pairs must be EXACT (full BM25 over all the
+    query's terms, not just the rare ones)."""
+    (tf, df, stats, meta), qt = _lex_fixture(spark, tmp_path)
+    n_docs = stats.collect()[0].n_docs
+    max_df = max(1, n_docs // 15)
+    want = RET.probe_lexical_index(tf, df, stats, meta, qt, k=5).collect()
+    got = RET.probe_lexical_index(
+        tf, df, stats, meta, qt, k=5, max_df=max_df
+    ).collect()
+    assert got, "pruned probe returned nothing"
+    want_pairs = {(r.query_id, r.doc_id) for r in want}
+    got_pairs = {(r.query_id, r.doc_id) for r in got}
+    recall = len(got_pairs & want_pairs) / len(want_pairs)
+    assert recall >= 0.85, f"pruned top-5 recall {recall:.3f} < 0.85"
+    # scores of surviving pairs are EXACT (full BM25 over all terms)
+    want_scores = {(r.query_id, r.doc_id): r.score for r in want}
+    for r in got:
+        if (r.query_id, r.doc_id) in want_scores:
+            assert r.score == want_scores[(r.query_id, r.doc_id)]
+
+
+def test_pruned_probe_certifies_rare_only_queries(spark, tmp_path):
+    """A query with NO head terms is exact by construction (HB absent
+    → candidates cover every matching doc): the flag must say so and
+    the rows must equal the unpruned ranking bit-for-bit."""
+    (tf, df, stats, meta), _ = _lex_fixture(spark, tmp_path)
+    n_docs = stats.collect()[0].n_docs
+    max_df = max(1, n_docs // 20)
+    # build a rare-only query from the df relation itself
+    rare_terms = [
+        r.term
+        for r in df.filter(F.col("df").between(2, max_df))
+        .orderBy("term").limit(4).collect()
+    ]
+    assert rare_terms, "fixture has no rare terms?"
+    qt = spark.createDataFrame(
+        [(999999, t) for t in rare_terms], "query_id long, term string"
+    )
+    unpruned = sorted(map(tuple, RET.probe_lexical_index(
+        tf, df, stats, meta, qt, k=5).collect()))
+    pruned = RET.probe_lexical_index(
+        tf, df, stats, meta, qt, k=5, max_df=max_df
+    ).collect()
+    assert all(r.exact for r in pruned)
+    assert sorted((r.query_id, r.rank, r.doc_id, r.score, r.n_hit)
+                  for r in pruned) == unpruned
+
+    # and a stopword-only query (every term head) returns NO rows —
+    # the documented contract, not a crash
+    head_terms = [
+        r.term for r in df.filter(F.col("df") > max_df)
+        .orderBy(F.desc("df")).limit(2).collect()
+    ]
+    if head_terms:
+        qt_head = spark.createDataFrame(
+            [(888888, t) for t in head_terms], "query_id long, term string"
+        )
+        assert RET.probe_lexical_index(
+            tf, df, stats, meta, qt_head, k=5, max_df=max_df
+        ).count() == 0

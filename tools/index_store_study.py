@@ -15,9 +15,21 @@ argument:
                  probe every run — what a session without the
                  artifact pays)
 
-Usage: python tools/index_store_study.py [--ivf | --pq] [n_rows ...]
+Usage: python tools/index_store_study.py [--ivf | --pq | --lex |
+       --lexprune | --hybrid] [n_rows ...]
        (default: LSH family, 100000 rows)
 Prints one JSON line per corpus size.
+
+--lexprune (r11): head-term probe cost with and without the max_df
+  pruning knob (probe_lexical_index) on the Zipfian lexical fixture —
+  unpruned head-term probes pay Σ df candidate volume; the pruned
+  path bounds it at |vocab|·max_df. Reports both times, the recall
+  of the pruned top-k vs unpruned, and the share of queries whose
+  WAND exactness certificate fired.
+--hybrid (r11): the v16 production pattern priced end to end — build
+  BOTH artifacts (BM25 lexical + IVF postings) once, then the steady
+  state (load both → probe top-20 each → RRF-fuse → collect) vs
+  recomputing both arms in-session every run.
 """
 
 from __future__ import annotations
@@ -56,12 +68,10 @@ def main() -> None:
 
     from workhop2_etl_spark.operators import retrieval as RET
 
-    args = [a for a in sys.argv[1:] if a not in ("--ivf", "--pq", "--lex")]
-    family = (
-        "ivf" if "--ivf" in sys.argv[1:]
-        else "pq" if "--pq" in sys.argv[1:]
-        else "lex" if "--lex" in sys.argv[1:]
-        else "lsh"
+    flags = ("--ivf", "--pq", "--lex", "--lexprune", "--hybrid")
+    args = [a for a in sys.argv[1:] if a not in flags]
+    family = next(
+        (f.lstrip("-") for f in flags if f in sys.argv[1:]), "lsh"
     )
     sizes = [int(a) for a in args] or [100_000]
     spark = get_spark("index_store_study")
@@ -118,6 +128,131 @@ def main() -> None:
                 insession_sec=insession,
                 probe_speedup_vs_insession=round(insession / load_probe, 2),
             )
+            print(json.dumps(rec))
+            continue
+
+        if family == "lexprune":
+            # head-term probe cost: Zipfian corpus, queries sampled
+            # from document heads (Zipf head terms dominate) — the
+            # shape whose unpruned candidate volume is Σ df
+            docs = spark.read.parquet(FX.ensure_documents_lex(n))
+            toks = F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+            corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+            query_terms = (
+                corpus_tokens.filter(F.col("doc_id") < N_QUERIES)
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.explode(F.slice("toks", 1, 8)).alias("term"),
+                )
+                .distinct()
+            )
+            max_df = max(1, n // 100)  # head = terms in >1% of docs
+            rec = {"family": family, "n": n, "k": K,
+                   "n_queries": N_QUERIES, "max_df": max_df}
+            RET.save_lexical_index(corpus_tokens, path, mode="overwrite")
+            tf, df, stats, meta = RET.load_lexical_index(spark, path)
+
+            t0 = time.time()
+            rows_full = RET.probe_lexical_index(
+                tf, df, stats, meta, query_terms, k=K
+            ).collect()
+            rec["probe_unpruned_sec"] = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            rows_pruned = RET.probe_lexical_index(
+                tf, df, stats, meta, query_terms, k=K, max_df=max_df
+            ).collect()
+            rec["probe_pruned_sec"] = round(time.time() - t0, 2)
+
+            want = {(r.query_id, r.doc_id) for r in rows_full}
+            got = {(r.query_id, r.doc_id) for r in rows_pruned}
+            rec["recall_vs_unpruned"] = round(
+                len(got & want) / len(want), 4
+            ) if want else None
+            nq = len({r.query_id for r in rows_pruned})
+            rec["exact_certified_share"] = round(
+                len({r.query_id for r in rows_pruned if r.exact}) / nq, 4
+            ) if nq else None
+            rec["probe_speedup_pruned"] = round(
+                rec["probe_unpruned_sec"] / rec["probe_pruned_sec"], 2
+            )
+            shutil.rmtree(path, ignore_errors=True)
+            print(json.dumps(rec))
+            continue
+
+        if family == "hybrid":
+            # the v16 steady state at scale: both artifacts on disk,
+            # a query session loads + probes + fuses
+            docs = spark.read.parquet(FX.ensure_documents_lex(n))
+            emb = spark.read.parquet(FX.ensure_embeddings(n, DIM))
+            toks = F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+            corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+            query_terms = (
+                corpus_tokens.filter(F.col("doc_id") < N_QUERIES)
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.explode(F.slice("toks", 1, 8)).alias("term"),
+                )
+                .distinct()
+            )
+            vqueries = emb.filter(F.col("vec_id") < N_QUERIES)
+            lex_path, ivf_path = path + "_lex", path + "_ivf"
+            rec = {"family": family, "n": n, "dim": DIM, "arm_k": 20,
+                   "k": K, "n_queries": N_QUERIES}
+            cents = fit_centroids(emb, n_centroids=N_CENTROIDS, seed=7)
+
+            t0 = time.time()
+            RET.save_lexical_index(corpus_tokens, lex_path, mode="overwrite")
+            IDX.save_ivf_index(emb, ivf_path, cents, dim=DIM, mode="overwrite")
+            rec["build_save_both_sec"] = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            tf, df, stats, lmeta = RET.load_lexical_index(spark, lex_path)
+            lex = RET.probe_lexical_index(
+                tf, df, stats, lmeta, query_terms, k=20
+            )
+            postings, cs, imeta = IDX.load_ivf_index(spark, ivf_path)
+            vec = IDX.probe_ivf_index(
+                postings, cs, imeta, vqueries, k=20, nprobe=NPROBE
+            )
+            fused_loaded = RET.rrf_fuse(
+                lex.select("query_id", "doc_id", "rank"),
+                vec.select(
+                    "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+                ),
+                k=K,
+            ).collect()
+            rec["load_probe_fuse_sec"] = round(time.time() - t0, 2)
+
+            t0 = time.time()
+            lex2 = RET.bm25_topk(corpus_tokens, query_terms, k=20)
+            vec2 = topk_cosine_ivf(
+                emb, vqueries, cents, k=20, nprobe=NPROBE,
+                assign_kernel="blas",
+            )
+            fused_insession = RET.rrf_fuse(
+                lex2.select("query_id", "doc_id", "rank"),
+                vec2.select(
+                    "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+                ),
+                k=K,
+            ).collect()
+            rec["insession_both_sec"] = round(time.time() - t0, 2)
+
+            assert sorted(map(tuple, fused_loaded)) == sorted(
+                map(tuple, fused_insession)
+            )
+            rec["fuse_speedup_vs_insession"] = round(
+                rec["insession_both_sec"] / rec["load_probe_fuse_sec"], 2
+            )
+            shutil.rmtree(lex_path, ignore_errors=True)
+            shutil.rmtree(ivf_path, ignore_errors=True)
             print(json.dumps(rec))
             continue
 

@@ -166,6 +166,33 @@ def _bm25_rank(
     shared verbatim by ``bm25_topk`` (in-session) and
     ``probe_lexical_index`` (loaded artifact), so a persisted index
     probes row-identically to an in-session ranking."""
+    agg = _bm25_score(
+        tf, df_all, stats, query_terms,
+        k1=k1, b=b, round_digits=round_digits, exclude_self=exclude_self,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "n_hit")
+    )
+
+
+def _bm25_score(
+    tf: DataFrame,
+    df_all: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    k1: float,
+    b: float,
+    round_digits: int,
+    exclude_self: bool,
+) -> DataFrame:
+    """(query_id, doc_id, score, n_hit) — the un-ranked scoring half
+    of ``_bm25_rank``, split out (r11) so the ``max_df``-pruned path
+    can apply its per-query candidate restriction BEFORE the top-k
+    window (reusing the ranked core would let the interim top-k cut
+    candidates that belong in the final k)."""
     # defensive distinct: a duplicate (query_id, term) input row would
     # double-count that term's contribution — the query relation is
     # tiny by contract, so the dedup is free
@@ -205,15 +232,9 @@ def _bm25_rank(
             "__c"
         ),
     )
-    agg = contrib.groupBy("query_id", "doc_id").agg(
+    return contrib.groupBy("query_id", "doc_id").agg(
         F.round(_seq_sum(F.collect_list("__c")), round_digits).alias("score"),
         F.count(F.lit(1)).alias("n_hit"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "doc_id", "score", "n_hit")
     )
 
 
@@ -455,6 +476,7 @@ def probe_lexical_index(
     round_digits: int = 6,
     exclude_self: bool = True,
     max_terms: int = 4096,
+    max_df: int | None = None,
 ) -> DataFrame:
     """BM25 top-k from a LOADED lexical index — row-identical to
     ``bm25_topk`` over the original corpus (the scoring core is
@@ -465,7 +487,34 @@ def probe_lexical_index(
     becomes an IN-list filter on the posting scan: the tf relation is
     term-clustered on disk, so parquet min/max stats skip every file
     holding no query term — the probe reads a vocabulary-sized slice
-    of a corpus-sized artifact."""
+    of a corpus-sized artifact.
+
+    ``max_df`` (r11, OFF by default — the default path stays
+    oracle-exact and unpruned) bounds the probe's candidate volume
+    for head-term-heavy queries, the 100 TB serving posture: an
+    unpruned probe pays Σ df candidate rows, which for a stopword-ish
+    term is corpus-sized. With ``max_df`` set, terms are split into
+    RARE (df ≤ max_df) and HEAD (df > max_df); candidate documents
+    are those matching ≥ 1 rare query term, and only candidates are
+    scored — over ALL the query's terms, so candidate scores are
+    exact BM25. The candidate volume is bounded by Σ_rare df ≤
+    |vocab|·max_df regardless of corpus size (the WAND / impact-
+    ordered pruning family: Broder et al. CIKM'03, Anh & Moffat).
+
+    Pruned-path guarantee (WAND-style, reported per query in the
+    extra boolean ``exact`` column): every non-candidate document
+    matches only head terms, and one term's contribution is < idf(t)
+    · (k1+1) (the tf saturation bound), so a non-candidate's score is
+    < HB(q) = Σ_{t ∈ head(q)} idf(t)·(k1+1). ``exact = true`` —
+    the returned rows ARE the unpruned top-k — whenever the query has
+    no head terms, or k candidates exist and the k-th candidate score
+    clears HB(q) (checked with a half-ulp rounding margin, so the
+    flag never over-claims). ``exact = false`` means head-only
+    documents could outrank the tail of the returned list — rerun
+    unpruned or raise max_df for those queries. A query whose EVERY
+    term is head-frequency has no candidates and returns no rows
+    (the same contract as a query matching nothing); raise max_df
+    for such stopword-only probes."""
     vocab_rows = (
         query_terms.select("term").distinct().limit(max_terms + 1).collect()
     )
@@ -477,16 +526,113 @@ def probe_lexical_index(
             "is intentional"
         )
     vocab = [r.term for r in vocab_rows]
-    return _bm25_rank(
-        tf.filter(F.col("term").isin(vocab)),
-        df.filter(F.col("term").isin(vocab)),
+    tf_v = tf.filter(F.col("term").isin(vocab))
+    df_v = df.filter(F.col("term").isin(vocab))
+    if max_df is None:
+        return _bm25_rank(
+            tf_v, df_v, stats, query_terms,
+            k=k, k1=k1, b=b, round_digits=round_digits,
+            exclude_self=exclude_self,
+        )
+    return _bm25_rank_pruned(
+        tf_v, df_v, stats, query_terms,
+        k=k, k1=k1, b=b, round_digits=round_digits,
+        exclude_self=exclude_self, max_df=int(max_df),
+    )
+
+
+def _bm25_rank_pruned(
+    tf: DataFrame,
+    df_all: DataFrame,
+    stats: DataFrame,
+    query_terms: DataFrame,
+    k: int,
+    k1: float,
+    b: float,
+    round_digits: int,
+    exclude_self: bool,
+    max_df: int,
+) -> DataFrame:
+    """The ``max_df`` candidate-pruned ranking (see
+    ``probe_lexical_index``). Deterministic semantics, independent of
+    whether the exactness condition holds: candidates = documents
+    matching ≥ 1 rare (df ≤ max_df) query term, scored exactly over
+    all query terms, ranked per query with the usual (rounded score
+    desc, doc_id) order; the ``exact`` column reports the per-query
+    WAND-style guarantee. Plan shape: the rare-term posting slice is
+    vocabulary-pruned like the probe itself; the candidate doc-id set
+    (≤ Σ_rare df ≤ |vocab|·max_df rows by construction) broadcasts
+    into a semi-join on the scored slice, so the corpus-sized side
+    still never shuffles."""
+    query_terms = query_terms.select("query_id", "term").distinct()
+    rare_q = query_terms.join(
+        F.broadcast(df_all.filter(F.col("df") <= max_df).select("term")),
+        "term",
+    )
+    head_q = query_terms.join(
+        F.broadcast(df_all.filter(F.col("df") > max_df)), "term"
+    )
+    # candidate (query_id, doc_id): matches ≥1 rare term of the query
+    cand = (
+        tf.join(F.broadcast(rare_q), "term")
+        .select("query_id", "doc_id")
+        .distinct()
+    )
+    # exact scoring restricted to candidate docs: the tf slice keeps
+    # every vocabulary term for those docs, so scores are full BM25.
+    # A doc can match ONLY head terms of query q yet sit in cand_docs
+    # via another query — scored for q it is NOT a q-candidate, so the
+    # per-(query, doc) semi-join drops it BEFORE the top-k window
+    # (ranking first would let such rows displace true candidates).
+    cand_docs = cand.select("doc_id").distinct()
+    scored = _bm25_score(
+        tf.join(F.broadcast(cand_docs), "doc_id"),
+        df_all,
         stats,
         query_terms,
-        k=k,
         k1=k1,
         b=b,
         round_digits=round_digits,
         exclude_self=exclude_self,
+    ).join(cand, ["query_id", "doc_id"], "left_semi")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    # per-query head-term score upper bound HB(q) = Σ idf·(k1+1)
+    k1 = float(k1)
+    k1p1 = k1 + 1.0
+    idf_ub = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    ) * F.lit(k1p1)
+    hb = (
+        head_q.crossJoin(F.broadcast(stats))
+        .groupBy("query_id")
+        .agg(F.sum(idf_ub).alias("__hb"))
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        F.max("rank").alias("__n_ret"), F.min("score").alias("__kth")
+    )
+    # rounding margin: score is rounded to round_digits, so the raw
+    # k-th is within half an ulp of it — claim exactness only when
+    # the rounded k-th clears HB by that margin
+    margin = 0.5 * (10.0 ** -round_digits)
+    flags = per_q.join(hb, "query_id", "left").select(
+        "query_id",
+        (
+            F.col("__hb").isNull()  # no head terms → candidates cover all
+            | (
+                (F.col("__n_ret") >= k)
+                & (F.col("__kth") - F.lit(margin) >= F.col("__hb"))
+            )
+        ).alias("exact"),
+    )
+    return (
+        ranked.join(F.broadcast(flags), "query_id")
+        .select("query_id", "rank", "doc_id", "score", "n_hit", "exact")
     )
 
 

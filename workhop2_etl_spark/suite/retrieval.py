@@ -178,6 +178,144 @@ def t12_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t13: max_df-pruned probe of the persisted lexical index — the
+# bounded 100 TB serving path (WAND / impact-ordered family). The
+# corpus is tokenized into BIGRAMS (the unigram fixture vocabulary is
+# 31 words, all stopword-frequency — bigrams give a realistic df
+# spread of 1..~10% of docs), the index persisted, and the probe run
+# with max_df = ⌊n_docs/20⌋: candidates are documents matching ≥1
+# rare (df ≤ max_df) query term, scored EXACTLY over all query
+# terms. The oracle recomputes the same candidate-pruned semantics
+# in SQL, so the verdict is exact regardless of whether a given
+# query also satisfies the WAND exactness certificate (that per-
+# query `exact` flag is pinned by tests/test_retrieval.py; the flag
+# column is projected out here because its HB threshold compare
+# sits on a float sum with engine-dependent addition order).
+# ---------------------------------------------------------------------------
+_T13_Q_MOD = 67
+_T13_DF_DIV = 20  # max_df = floor(n_docs / 20)
+
+
+def _bigrams(w):
+    """Adjacent-pair shingles of a token array (Spark side). DuckDB
+    twin: [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]."""
+    n = F.greatest(F.size(w) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(w, 1, n), F.slice(w, 2, n),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def _bm25_pruned_cte_sql(q_mod: int, top_k: int, df_div: int) -> str:
+    """DuckDB CTEs for the candidate-pruned BIGRAM probe, ending in
+    ``lex``. Mirrors _bm25_cte_sql with two changes: the corpus is
+    bigram-tokenized, and contributions are restricted to candidate
+    (query, doc) pairs — documents matching at least one rare
+    (df ≤ ⌊n_docs/df_div⌋) term of the query."""
+    contrib = RET.bm25_contrib_sql(
+        tf="tf.tf", df="df.df", dl="tf.dl", n_docs="s.n_docs", avgdl="s.avgdl"
+    )
+    return f"""
+    words AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w
+      FROM documents WHERE {_NORM} <> ''
+    ),
+    toks AS (
+      SELECT doc_id, [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS t
+      FROM words WHERE len(w) > 1
+    ),
+    stats AS (
+      SELECT count(*) AS n_docs,
+             CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl
+      FROM toks
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks)
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    mdf AS (SELECT CAST(floor(n_docs / {df_div}) AS BIGINT) AS max_df FROM stats),
+    qt AS (
+      SELECT DISTINCT doc_id AS query_id,
+             unnest(list_slice(t, 1, {_QT})) AS term
+      FROM toks WHERE doc_id % {q_mod} = 0
+    ),
+    cand AS (
+      SELECT DISTINCT qt.query_id, tf.doc_id
+      FROM qt JOIN df USING (term) JOIN tf USING (term) CROSS JOIN mdf
+      WHERE df.df <= mdf.max_df
+    ),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id, qt.term, {contrib} AS c
+      FROM qt
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      CROSS JOIN stats s
+      JOIN cand ON cand.query_id = qt.query_id AND cand.doc_id = tf.doc_id
+      WHERE tf.doc_id <> qt.query_id
+    ),
+    bm AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 6)
+               AS score,
+             count(*) AS n_hit
+      FROM contrib GROUP BY query_id, doc_id
+    ),
+    lex AS (
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score, n_hit
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM bm
+      ) WHERE rank <= {top_k}
+    )"""
+
+
+@query(
+    "t13_bm25_pruned_probe",
+    oracle=f"""
+    WITH {_bm25_pruned_cte_sql(_T13_Q_MOD, _BM25_K, _T13_DF_DIV)}
+    SELECT query_id, rank, doc_id, score, n_hit
+    FROM lex ORDER BY query_id, rank
+    """,
+)
+def t13_bm25_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_tokens = docs.select(
+        "doc_id", _bigrams(_toks()).alias("toks")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="w2e_t13_"), "lexidx")
+    RET.save_lexical_index(
+        corpus_tokens, path, tokenizer="bigram-ws-lower",
+        mode="overwrite", num_partitions=8,
+    )
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    n_docs = stats.collect()[0].n_docs
+    qt = (
+        corpus_tokens.filter(
+            (F.col("doc_id") % _T13_Q_MOD == 0) & (F.size("toks") > 0)
+        )
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, _QT)).alias("term"),
+        )
+        .distinct()
+    )
+    return (
+        RET.probe_lexical_index(
+            tf, df, stats, meta, qt, k=_BM25_K,
+            max_df=n_docs // _T13_DF_DIV,
+        )
+        .select("query_id", "rank", "doc_id", "score", "n_hit")
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # st14: streaming maintenance of the persisted lexical index — the
 # BM25 face of st13: three availableNow micro-batches of raw
 # documents are tokenized by the stream's `prepare` hook and ingested
