@@ -187,12 +187,17 @@ def _bm25_score(
     b: float,
     round_digits: int,
     exclude_self: bool,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, score, n_hit) — the un-ranked scoring half
     of ``_bm25_rank``, split out (r11) so the ``max_df``-pruned path
     can apply its per-query candidate restriction BEFORE the top-k
     window (reusing the ranked core would let the interim top-k cut
-    candidates that belong in the final k)."""
+    candidates that belong in the final k). ``candidates`` (optional,
+    the pruned path's (query_id, doc_id) relation — bounded by
+    contract, broadcast) restricts scoring per (query, doc) BEFORE
+    the contribution aggregation, so the collect_list/fold volume is
+    candidate-sized even when the posting slice is head-term-heavy."""
     # defensive distinct: a duplicate (query_id, term) input row would
     # double-count that term's contribution — the query relation is
     # tiny by contract, so the dedup is free
@@ -204,6 +209,10 @@ def _bm25_score(
         .join(F.broadcast(df_q), "term")
         .crossJoin(F.broadcast(stats))
     )
+    if candidates is not None:
+        scored = scored.join(
+            F.broadcast(candidates), ["query_id", "doc_id"], "left_semi"
+        )
     if exclude_self:
         scored = scored.filter(F.col("doc_id") != F.col("query_id"))
     # Constants are folded in PYTHON and injected as double literals
@@ -580,10 +589,11 @@ def _bm25_rank_pruned(
     )
     # exact scoring restricted to candidate docs: the tf slice keeps
     # every vocabulary term for those docs, so scores are full BM25.
-    # A doc can match ONLY head terms of query q yet sit in cand_docs
-    # via another query — scored for q it is NOT a q-candidate, so the
-    # per-(query, doc) semi-join drops it BEFORE the top-k window
-    # (ranking first would let such rows displace true candidates).
+    # The per-(query, doc) candidate semi-join lands INSIDE the
+    # scoring core, before the contribution aggregation — a doc that
+    # matches only head terms of query q (candidate via another
+    # query) never reaches q's fold, and the collect_list volume is
+    # candidate-sized even for stopword-heavy posting slices.
     cand_docs = cand.select("doc_id").distinct()
     scored = _bm25_score(
         tf.join(F.broadcast(cand_docs), "doc_id"),
@@ -594,7 +604,8 @@ def _bm25_rank_pruned(
         b=b,
         round_digits=round_digits,
         exclude_self=exclude_self,
-    ).join(cand, ["query_id", "doc_id"], "left_semi")
+        candidates=cand,
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = (
         scored.withColumn("rank", F.row_number().over(w))
