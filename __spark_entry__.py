@@ -76,6 +76,14 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   sets the new field) and v16 (IVF kind through save/load/probe);
 #   pinned by the full test_index_store/test_index_stream batteries;
 #   VERIFYLOCAL_r11 green at this head.
+# QUEUED FOR THE R12 WINDOW (added late in r11, after the rotation
+# was composed — this round's 50 slots deliberately went to the
+# 51-query staleness tail per the r10 verdict's ask #1):
+# t14_bm25_index_delete and v18_topk_ivf_index_delete (the r11
+# deletion lifecycle: tombstones + signed lexical partials). Both
+# hold VERIFYLOCAL_r11 greens and full pytest batteries
+# (test_index_store.py::test_delete_*); they take never-verified
+# priority at the head of the r12 window.
 _PRIORITY = [
     "t13_bm25_pruned_probe",
     "k1_salted_agg",

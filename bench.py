@@ -138,8 +138,12 @@ HEADLINE = [
     # round-11: the max_df-pruned probe (bigram index build + WAND-
     # style candidate-bounded scoring — regresses if the candidate
     # semi-join stops broadcasting or the rare-slice IN-list stops
-    # pruning the posting scan)
+    # pruning the posting scan), and the deletion lifecycles (signed
+    # lexical partials / postings tombstones — regress if the
+    # tombstone anti-join stops broadcasting)
     "t13_bm25_pruned_probe",
+    "t14_bm25_index_delete",
+    "v18_topk_ivf_index_delete",
     "st14_streaming_lexical_ingest",
     "v14_topk_ivf_pq_refine",
     "v15_hybrid_rrf",

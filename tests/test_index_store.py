@@ -669,3 +669,188 @@ def test_ivf_index_drift_guard(spark):
     with pytest.raises(ValueError, match="wrong length"):
         IDX.save_ivf_index(emb, _tmp("ivf_bad"), [(0, [1.0])], dim=DIM,
                            mode="overwrite")
+
+
+# ---------------------------------------------------------------------------
+# round-11: the deletion lifecycle — tombstones for the postings
+# kinds, SIGNED partials for the lexical kind, physical purge at
+# compaction. Invariant everywhere: delete ≡ rebuild on survivors.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("kind", ["lsh", "ivf"])
+def test_delete_from_index_matches_rebuild(spark, kind):
+    """Deleting ids from a persisted ANN index must probe identically
+    to an index BUILT on the surviving vectors; double-deletes and
+    deletes of absent ids are no-ops; compaction purges the rows
+    physically, clears the tombstones, and stays probe-identical;
+    the purged id can then be re-ingested."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 3)  # survivors only
+    survivors = emb.filter(F.col("vec_id") % 7 != 0)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+
+    full, ref = _tmp(f"{kind}_del"), _tmp(f"{kind}_del_ref")
+    if kind == "lsh":
+        IDX.save_lsh_index(emb, full, dim=DIM, num_planes=6, num_tables=8,
+                           mode="overwrite")
+        IDX.save_lsh_index(survivors, ref, dim=DIM, num_planes=6,
+                           num_tables=8, mode="overwrite")
+    else:
+        IDX.save_ivf_index(emb, full, cents, dim=DIM, mode="overwrite")
+        IDX.save_ivf_index(survivors, ref, cents, dim=DIM, mode="overwrite")
+
+    def probe(path):
+        if kind == "lsh":
+            idx, meta = IDX.load_lsh_index(spark, path)
+            got = IDX.probe_lsh_index(idx, meta, queries, k=3)
+        else:
+            p, c, meta = IDX.load_ivf_index(spark, path)
+            got = IDX.probe_ivf_index(p, c, meta, queries, k=3, nprobe=2)
+        return sorted(map(tuple, got.collect()))
+
+    victims = emb.filter(F.col("vec_id") % 7 == 0).select("vec_id")
+    assert IDX.delete_from_index(spark, full, victims) == "committed"
+    want = probe(ref)
+    assert probe(full) == want
+
+    # double-delete with the same batch label short-circuits; a fresh
+    # batch over the same (now absent) ids is an empty no-op
+    assert IDX.delete_from_index(spark, full, victims, batch="000000") == "skipped"
+    assert IDX.delete_from_index(spark, full, victims) == "committed"
+    assert probe(full) == want
+    # absent ids: no-op
+    ghost = spark.createDataFrame([(99_999_991,), (99_999_992,)], ["vec_id"])
+    IDX.delete_from_index(spark, full, ghost)
+    assert probe(full) == want
+
+    # compaction purges physically and clears tombstones
+    live_rows = spark.read.parquet(f"{full}/index").count()
+    stats = IDX.compact_index(spark, full, num_partitions=2)
+    assert stats["files_after"] >= 1
+    assert not os.path.exists(f"{full}/tombstones")
+    purged = spark.read.parquet(f"{full}/index").count()
+    assert purged < live_rows  # victims physically gone
+    assert probe(full) == want
+
+    # a purged id can be re-ingested (the tombstone no longer exists)
+    back = emb.filter(F.col("vec_id") == 0)
+    if kind == "lsh":
+        IDX.append_lsh_index(back, full)
+    else:
+        IDX.append_ivf_index(back, full)
+    assert spark.read.parquet(f"{full}/index").count() > purged
+
+
+def test_delete_from_lexical_index_matches_rebuild(spark):
+    """Lexical deletion via SIGNED partials: the loader's
+    sum-of-partials (positive from build/append, negative from the
+    delete) must equal the single-shot aggregates over the surviving
+    documents BIT-EXACTLY — same integers reach the same divisions,
+    so BM25 probes are row-identical to a rebuild. Compaction folds
+    the signed partials to one net record (terms fully deleted
+    disappear), purges tf, clears tombstones."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    survivors = corpus.filter(F.col("doc_id") % 5 != 0)
+    qt = (
+        survivors.filter((F.col("doc_id") % 89 == 0) & (F.size("toks") > 0))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+
+    def probe(path):
+        tf, df, stats, meta = RET.load_lexical_index(spark, path)
+        return sorted(map(tuple, RET.probe_lexical_index(
+            tf, df, stats, meta, qt, k=5).collect()))
+
+    full, ref = _tmp("lex_del"), _tmp("lex_del_ref")
+    # two-epoch build so the delete nets against MULTIPLE partials
+    RET.save_lexical_index(corpus.filter(F.col("doc_id") % 2 == 0), full,
+                           mode="overwrite", num_partitions=4)
+    RET.append_lexical_index(corpus.filter(F.col("doc_id") % 2 == 1), full,
+                             num_partitions=4)
+    RET.save_lexical_index(survivors, ref, mode="overwrite",
+                           num_partitions=4)
+
+    victims = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, full, victims) == "committed"
+    want = probe(ref)
+    assert probe(full) == want
+
+    # net corpus state equals the survivor aggregates exactly
+    _, df_full, stats_full, _ = RET.load_lexical_index(spark, full)
+    _, df_ref, stats_ref, _ = RET.load_lexical_index(spark, ref)
+    assert sorted(map(tuple, df_full.collect())) == sorted(
+        map(tuple, df_ref.collect())
+    )
+    assert stats_full.collect() == stats_ref.collect()
+
+    # compact: signed partials fold to one net record; no df ≤ 0 rows
+    IDX.compact_index(spark, full, num_partitions=2)
+    assert not os.path.exists(f"{full}/tombstones")
+    df_files = spark.read.parquet(f"{full}/df")
+    assert df_files.filter(F.col("df") <= 0).count() == 0
+    assert probe(full) == want
+
+    # a later append still reconciles (net + fresh positives)
+    extra = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "toks"
+    )
+    RET.append_lexical_index(extra, full, num_partitions=4)
+    _, _, stats2, _ = RET.load_lexical_index(spark, full)
+    n_ref = stats_ref.collect()[0].n_docs
+    n_extra = extra.filter(F.size("toks") > 0).count()
+    assert stats2.collect()[0].n_docs == n_ref + n_extra
+
+
+def test_delete_replay_converges_after_partial_rename(spark):
+    """The delete batch's crash window: some of the batch's files
+    (tombstones, negative partials) renamed in, then the process
+    died BEFORE the ledger marker. A replay must first sweep this
+    batch's own partial files, restage from the true live state, and
+    commit — never understate the negative partials because its own
+    half-landed tombstones shrank the victim set."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 300)
+    corpus = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    path = _tmp("lex_del_crash")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=2)
+    victims = corpus.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+
+    # first attempt: commit normally, then simulate the crash by
+    # deleting the marker AND one of the batch's renamed pieces —
+    # i.e. the state "tombstones landed, stats partial did not"
+    assert IDX.delete_from_index(spark, path, victims, batch="crash1") == "committed"
+    os.remove(f"{path}/ledger/delete-crash1")
+    for f in os.listdir(f"{path}/stats"):
+        if f.startswith("delete-crash1-"):
+            os.remove(f"{path}/stats/{f}")
+
+    # replay: converges to the same committed state
+    assert IDX.delete_from_index(spark, path, victims, batch="crash1") == "committed"
+    ref = _tmp("lex_del_crash_ref")
+    RET.save_lexical_index(corpus.filter(F.col("doc_id") % 3 != 0), ref,
+                           mode="overwrite", num_partitions=2)
+    _, df_a, stats_a, _ = RET.load_lexical_index(spark, path)
+    _, df_b, stats_b, _ = RET.load_lexical_index(spark, ref)
+    assert stats_a.collect() == stats_b.collect()
+    assert sorted(map(tuple, df_a.collect())) == sorted(
+        map(tuple, df_b.collect())
+    )

@@ -526,3 +526,19 @@ def test_persisted_lexical_probe_plan_shape(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+    # the max_df-PRUNED probe (r11): same contract, plus the
+    # candidate restriction must arrive as broadcasts — the posting
+    # relation never shuffles on its own keys, and the term IN-list
+    # still reaches every tf/df scan slice (the plan re-references
+    # the vocab-filtered df relation for the rare/head split, so the
+    # pushed-filter count GROWS rather than shrinks)
+    pruned = RET.probe_lexical_index(
+        tf, df, stats, meta, qt, k=10, max_df=100
+    )
+    pplan = plan_of(pruned)
+    assert len(re.findall(r"PushedFilters: \[In\(term", pplan)) >= 4, pplan[:2000]
+    assert "BroadcastHashJoin" in pplan
+    assert "SortMergeJoin" not in pplan
+    assert "CartesianProduct" not in pplan
+    assert "BatchEvalPython" not in pplan

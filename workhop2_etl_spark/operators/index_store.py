@@ -313,7 +313,11 @@ def load_lsh_index(
         meta,
         {"dim": dim, "num_planes": num_planes, "num_tables": num_tables},
     )
-    return spark.read.parquet(f"{path}/index"), meta
+    index = spark.read.parquet(f"{path}/index")
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:  # pending deletes: logical until compaction
+        index = index.join(F.broadcast(tomb), "id", "left_anti")
+    return index, meta
 
 
 def probe_lsh_index(
@@ -734,7 +738,11 @@ def load_ivf_index(
             meta,
             _codebooks=_read_codebook_rows(spark, f"{path}/codebooks", meta),
         )
-    return spark.read.parquet(f"{path}/index"), centroids, meta
+    postings = spark.read.parquet(f"{path}/index")
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:  # pending deletes: logical until compaction
+        postings = postings.join(F.broadcast(tomb), "id", "left_anti")
+    return postings, centroids, meta
 
 
 def retrain_ivf_index(
@@ -883,6 +891,182 @@ def lsh_index_stats(index: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _read_tombstones(spark: SparkSession, path: str):
+    """Tombstoned row ids at ``path`` (one column, named after the
+    relation's own id column: 'id' for the postings kinds, 'doc_id'
+    for the lexical kind) or None when no deletes are pending. Every
+    loader anti-joins this relation; ``compact_index`` purges the
+    rows physically and clears the directory."""
+    fs, p = _hadoop_fs(spark, f"{path}/tombstones")
+    if not fs.exists(p):
+        return None
+    has_files = any(
+        st.isFile() and not st.getPath().getName().startswith((".", "_"))
+        for st in fs.listStatus(p)
+    )
+    if not has_files:  # e.g. a replay swept a crashed batch's files
+        return None
+    return spark.read.parquet(f"{path}/tombstones")
+
+
+def delete_from_index(
+    spark: SparkSession,
+    path: str,
+    ids,
+    batch: str | None = None,
+) -> str:
+    """Delete rows by id from a persisted index — crash-safe,
+    idempotent, and (for the lexical kind) bit-exactly equivalent to
+    rebuilding on the surviving documents.
+
+    ``ids``: a one-column DataFrame or a Python list of ids (the type
+    must match the indexed id column). Deletion is logical until the
+    next ``compact_index``: a TOMBSTONE batch lands under
+    ``<path>/tombstones/`` and every loader anti-joins it (broadcast
+    — the tombstone set between compactions is a small fraction of
+    the corpus by contract; compact when it is not). For the lexical
+    kind the batch additionally appends NEGATIVE df / stats partials
+    derived from the victims' own live tf rows, so the loader's
+    sum-of-partials stays exactly the single-shot aggregate over the
+    survivors — the same additivity that powers appends, run in
+    reverse (deletion needs no re-read of the corpus).
+
+    Protocol (the ingest_epoch discipline, module docstring of
+    streaming/index_stream.py): a ledger marker
+    (``ledger/delete-<batch>``) short-circuits committed replays; the
+    batch's files stage under ``<path>/delete.<batch>`` and rename in
+    with epoch-owned names, a replay of a half-renamed batch deletes
+    its own files first and restages from live state — so the
+    negative partials and the tombstones land together or not at
+    all. ``batch`` defaults to the next sequential label; pass an
+    explicit one to make retries of a caller-level job idempotent.
+
+    Semantics: ids not present (or already deleted) contribute
+    nothing — victims are derived from the LIVE relation, so
+    double-deletes are no-ops. A tombstone suppresses EVERY row with
+    that id, including rows ingested AFTER the delete: re-indexing a
+    deleted id requires a compaction first (documented contract; the
+    same rule as FAISS remove_ids + re-add on the same segment).
+
+    Returns ``'committed'`` or ``'skipped'`` (batch already in the
+    ledger). Single-writer by contract, like append and compact."""
+    from workhop2_etl_spark.operators.retrieval import _LEXICAL_KIND
+
+    meta = _read_meta_any_kind(
+        spark, path,
+        kinds=(_LSH_KIND, _IVF_POSTINGS_KIND, _LEXICAL_KIND),
+        verb="delete from",
+    )
+    fs, ledger_p = _hadoop_fs(spark, f"{path}/ledger")
+    if batch is None:
+        existing = (
+            [st.getPath().getName() for st in fs.listStatus(ledger_p)]
+            if fs.exists(ledger_p) else []
+        )
+        batch = f"{sum(1 for e in existing if e.startswith('delete-')):06d}"
+    _, marker = _hadoop_fs(spark, f"{path}/ledger/delete-{batch}")
+    staging = f"{path}/delete.{batch}"
+    _, staging_p = _hadoop_fs(spark, staging)
+    if fs.exists(marker):
+        if fs.exists(staging_p):
+            fs.delete(staging_p, True)
+        return "skipped"
+
+    if not isinstance(ids, DataFrame):
+        ids = spark.createDataFrame([(i,) for i in ids], ["id"])
+    id_name = "doc_id" if meta["kind"] == _LEXICAL_KIND else "id"
+    ids = ids.toDF(id_name).distinct()
+
+    # replay cleanup FIRST: the staging below derives from LIVE state
+    # (victims = live ∩ ids), so any files a crashed attempt of THIS
+    # batch already renamed in must leave before the live relations
+    # are read — otherwise partial tombstones would shrink the victim
+    # set and the restaged negative partials would understate
+    prefix = f"delete-{batch}-"
+    dst_subs = (
+        ("df", "stats", "tombstones")
+        if meta["kind"] == _LEXICAL_KIND else ("tombstones",)
+    )
+    for sub in dst_subs:
+        _, dst_dir_p = _hadoop_fs(spark, f"{path}/{sub}")
+        if fs.exists(dst_dir_p):
+            for st in fs.listStatus(dst_dir_p):
+                if st.getPath().getName().startswith(prefix):
+                    fs.delete(st.getPath(), False)
+
+    tomb = _read_tombstones(spark, path)
+    if meta["kind"] == _LEXICAL_KIND:
+        tf = spark.read.parquet(f"{path}/tf")
+        live = tf.join(F.broadcast(tomb), id_name, "left_anti") if tomb is not None else tf
+        victims = live.join(F.broadcast(ids), id_name, "left_semi")
+        # negative partials over the victims' OWN rows: df loses one
+        # per (term, victim doc); stats lose the victim count and
+        # their Σ dl (dl rides every tf row — min() is per-doc exact)
+        neg_df = victims.groupBy("term").agg(
+            (-F.count(F.lit(1))).alias("df")
+        )
+        neg_stats = victims.groupBy(id_name).agg(
+            F.min("dl").alias("__dl")
+        ).agg(
+            (-F.count(F.lit(1))).alias("n_docs"),
+            (-F.coalesce(F.sum("__dl"), F.lit(0))).alias("sum_dl"),
+        )
+        present = victims.select(id_name).distinct()
+        neg_df.repartition(1).write.mode("overwrite").parquet(f"{staging}/df")
+        neg_stats.repartition(1).write.mode("overwrite").parquet(
+            f"{staging}/stats"
+        )
+        present.repartition(1).write.mode("overwrite").parquet(
+            f"{staging}/tombstones"
+        )
+        moves = [
+            (f"{staging}/{sub}", f"{path}/{sub}")
+            for sub in ("df", "stats", "tombstones")
+        ]
+    else:
+        postings = spark.read.parquet(f"{path}/index")
+        live = postings.join(F.broadcast(tomb), id_name, "left_anti") if tomb is not None else postings
+        present = (
+            live.join(F.broadcast(ids), id_name, "left_semi")
+            .select(id_name)
+            .distinct()
+        )
+        present.repartition(1).write.mode("overwrite").parquet(
+            f"{staging}/tombstones"
+        )
+        moves = [(f"{staging}/tombstones", f"{path}/tombstones")]
+
+    for src_dir, dst_dir in moves:
+        _, src_dir_p = _hadoop_fs(spark, src_dir)
+        staged = sorted(
+            (
+                st.getPath()
+                for st in fs.listStatus(src_dir_p)
+                if st.isFile()
+                and not st.getPath().getName().startswith((".", "_"))
+            ),
+            key=lambda p: p.getName(),
+        )
+        _, dst_dir_p = _hadoop_fs(spark, dst_dir)
+        fs.mkdirs(dst_dir_p)
+        for i, src in enumerate(staged):
+            _, dst = _hadoop_fs(spark, f"{dst_dir}/{prefix}{i:05d}.parquet")
+            if not fs.rename(src, dst):
+                raise IOError(
+                    f"rename {src} -> {dst} failed during delete batch "
+                    f"{batch}"
+                )
+
+    fs.mkdirs(marker.getParent())
+    fs.createNewFile(marker)
+    fs.delete(staging_p, True)
+    _write_meta(
+        spark, path, dict(meta, epoch=int(meta.get("epoch") or 0) + 1),
+        "overwrite",
+    )
+    return "committed"
+
+
 def compact_index(
     spark: SparkSession,
     path: str,
@@ -933,14 +1117,29 @@ def compact_index(
         kinds=(_LSH_KIND, _IVF_POSTINGS_KIND, _LEXICAL_KIND),
         verb="compact",
     )
+    # pending delete tombstones purge PHYSICALLY here (every loader
+    # anti-joined them logically until now); the tombstone dir clears
+    # after every data dir has swapped — a crash in between leaves
+    # tombstones pointing at already-purged rows, whose anti-join is
+    # a no-op, so any intermediate state stays load-correct
+    tomb = _read_tombstones(spark, path)
+
+    def _purge_ids(d: DataFrame) -> DataFrame:
+        return d.join(F.broadcast(tomb), "id", "left_anti")
+
     if meta["kind"] == _LSH_KIND:
-        specs = [("index", ["table_id", "sig"], None)]
+        specs = [
+            ("index", ["table_id", "sig"],
+             _purge_ids if tomb is not None else None, False)
+        ]
     elif meta["kind"] == _IVF_POSTINGS_KIND:
-        specs = [("index", ["centroid_id"], None)]
-    else:  # lexical: tf re-clusters; df/stats partials FOLD (the
-        # fold changes rows but not what the loader aggregates — a
-        # thousand per-epoch partials become one, load-equivalent)
-        specs = _lexical_compact_specs()
+        specs = [
+            ("index", ["centroid_id"],
+             _purge_ids if tomb is not None else None, False)
+        ]
+    else:  # lexical: tf re-clusters (+ purges); df/stats signed
+        # partials FOLD to one net record (load-equivalent)
+        specs = _lexical_compact_specs(tomb)
 
     fs, root_p = _hadoop_fs(spark, path)
 
@@ -972,14 +1171,19 @@ def compact_index(
     # and the next run completes the rest
     before_total: int | None = 0
     after_total = 0
-    for sub, keys, transform in specs:
+    for sub, keys, transform, fold_one in specs:
         fb, fa = _compact_dir(
-            spark, f"{path}/{sub}", keys, num_partitions, transform
+            spark, f"{path}/{sub}", keys, num_partitions, transform,
+            fold_one,
         )
         before_total = (
             None if (fb is None or before_total is None) else before_total + fb
         )
         after_total += fa
+
+    if tomb is not None:  # every dir swapped: the purge is physical
+        _, tomb_p = _hadoop_fs(spark, f"{path}/tombstones")
+        fs.delete(tomb_p, True)
 
     meta = dict(meta, epoch=int(meta.get("epoch") or 0) + 1)
     _write_meta(spark, path, meta, "overwrite")
@@ -992,6 +1196,7 @@ def _compact_dir(
     keys: list[str],
     num_partitions: int | None,
     transform=None,
+    fold_one: bool = True,
 ) -> tuple[int | None, int]:
     """Stage-and-swap one data dir (the crash-safe core of
     ``compact_index``): stage into ``<dir>.compacting`` (one full
@@ -1000,10 +1205,12 @@ def _compact_dir(
     (dead staging discarded next run); a crash inside the swap window
     is detected (staging committed) and the swap completes WITHOUT
     re-reading the possibly half-deleted data dir. ``transform``
-    (optional) rewrites the relation during the stage — used by the
-    lexical kind to fold additive partials; it must be
-    load-equivalent. Returns (files_before | None on crash-recovery,
-    files_after)."""
+    (optional) rewrites the relation during the stage — the lexical
+    kind folds its signed partials (``fold_one=True`` → one
+    dimension-sized output file) and the tombstone purge filters a
+    corpus-sized relation in place (``fold_one=False`` → the normal
+    key-clustered layout); either way it must be load-equivalent.
+    Returns (files_before | None on crash-recovery, files_after)."""
     staging = f"{data}.compacting"
     fs, data_p = _hadoop_fs(spark, data)
     _, staging_p = _hadoop_fs(spark, staging)
@@ -1017,8 +1224,9 @@ def _compact_dir(
         files_before = _count_part_files(spark, data)
         df = spark.read.parquet(data)
         if transform is not None:
-            # folded partials are dimension-sized — one file
             df = transform(df)
+        if transform is not None and fold_one:
+            # folded partials are dimension-sized — one file
             reparted = (
                 df.repartition(1).sortWithinPartitions(*keys)
                 if keys
@@ -1154,6 +1362,7 @@ __all__ = [
     "load_ivf_index",
     "probe_ivf_index",
     "compact_index",
+    "delete_from_index",
     "retrain_ivf_index",
     "ivf_index_stats",
     "lsh_index_stats",

@@ -367,21 +367,29 @@ def load_lexical_index(
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """(tf, df, stats, metadata) from ``path``. ``df`` and ``stats``
     come back as LAZY re-aggregations over the persisted partials
-    (sum over epochs), so the returned relations are exactly the
-    single-shot ones regardless of how many appends built the
-    artifact. Raises on kind/tokenizer drift."""
+    (sum over epochs — appends write positive partials, deletes write
+    NEGATIVE ones, so the sums are exactly the single-shot aggregates
+    over the surviving documents regardless of lifecycle history;
+    terms whose net df reaches 0 are dropped, as a rebuild would).
+    ``tf`` anti-joins any pending delete tombstones. Raises on
+    kind/tokenizer drift."""
     from workhop2_etl_spark.operators.index_store import (
         _check_drift,
         _read_meta,
+        _read_tombstones,
     )
 
     meta = _read_meta(spark, path, _LEXICAL_KIND)
     _check_drift(path, meta, {"tokenizer": tokenizer})
     tf = spark.read.parquet(f"{path}/tf")
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:  # pending deletes: logical until compaction
+        tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
     df = (
         spark.read.parquet(f"{path}/df")
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
     )
     stats = _stats_from_counts(
         spark.read.parquet(f"{path}/stats").agg(
@@ -450,15 +458,25 @@ def lexical_index_stats(
     )
 
 
-def _lexical_compact_specs():
+def _lexical_compact_specs(tombstones: DataFrame | None = None):
     """Per-dir compaction specs for ``index_store.compact_index``:
-    (subdir, cluster keys, optional fold). tf is layout-only
-    (re-cluster by term so IN-list min/max pruning skips whole files
-    again); df and stats FOLD their per-epoch additive partials into
-    one — the loader aggregates either way, so the fold is
-    load-equivalent while collapsing thousands of epoch files."""
+    (subdir, cluster keys, optional transform, fold-to-one flag). tf
+    re-clusters by term (so IN-list min/max pruning skips whole files
+    again) and, when deletes are pending, PURGES tombstoned docs; df
+    and stats FOLD their per-epoch signed partials into one net
+    record (append partials positive, delete partials negative — the
+    loader aggregates either way, so the fold is load-equivalent
+    while collapsing thousands of epoch files; terms fully deleted
+    net to df ≤ 0 and are dropped, as a rebuild would)."""
+    def purge_tf(d: DataFrame) -> DataFrame:
+        return d.join(F.broadcast(tombstones), "doc_id", "left_anti")
+
     def fold_df(d: DataFrame) -> DataFrame:
-        return d.groupBy("term").agg(F.sum("df").alias("df"))
+        return (
+            d.groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+        )
 
     def fold_stats(d: DataFrame) -> DataFrame:
         return d.agg(
@@ -467,9 +485,9 @@ def _lexical_compact_specs():
         )
 
     return [
-        ("tf", ["term"], None),
-        ("df", ["term"], fold_df),
-        ("stats", [], fold_stats),
+        ("tf", ["term"], purge_tf if tombstones is not None else None, False),
+        ("df", ["term"], fold_df, True),
+        ("stats", [], fold_stats, True),
     ]
 
 

@@ -48,19 +48,22 @@ def _query_terms(docs: DataFrame, mod: int) -> DataFrame:
     )
 
 
-def _bm25_cte_sql(q_mod: int, top_k: int) -> str:
+def _bm25_cte_sql(q_mod: int, top_k: int, doc_pred: str = "") -> str:
     """The BM25 pipeline as DuckDB CTEs ending in ``lex`` =
     (query_id, rank, doc_id, score, n_hit), rank ≤ top_k. The term
     contribution imports operators/retrieval.bm25_contrib_sql — the
     Spark kernel's expression-tree twin — so the two engines can't
-    silently diverge on the scoring formula."""
+    silently diverge on the scoring formula. ``doc_pred`` (optional
+    SQL predicate) restricts the corpus — the t14 deletion oracle
+    recomputes single-shot BM25 over the SURVIVORS only."""
     contrib = RET.bm25_contrib_sql(
         tf="tf.tf", df="df.df", dl="tf.dl", n_docs="s.n_docs", avgdl="s.avgdl"
     )
+    pred = f" AND ({doc_pred})" if doc_pred else ""
     return f"""
     toks AS (
       SELECT doc_id, string_split({_NORM}, ' ') AS t
-      FROM documents WHERE {_NORM} <> ''
+      FROM documents WHERE {_NORM} <> ''{pred}
     ),
     stats AS (
       SELECT count(*) AS n_docs,
@@ -313,6 +316,65 @@ def t13_bm25_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "rank", "doc_id", "score", "n_hit")
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# t14: lexical index DELETION — the retention half of the lifecycle
+# (GDPR erasure, eval-set quarantine, licence takedowns). BM25's
+# corpus state is additive, so deletion runs the append machinery in
+# REVERSE: the batch derives NEGATIVE df / stats partials from the
+# victims' own live tf rows plus a tombstone set the loader
+# anti-joins; the loader's sum-of-partials is then exactly the
+# single-shot aggregate over the survivors (same integers → same
+# divisions → bit-identical scores). The oracle recomputes
+# single-shot BM25 over `documents WHERE doc_id % 5 <> 0`, so a
+# green verdict proves build ∪ append ∪ DELETE ≡ rebuild-on-
+# survivors exactly. Compaction later folds the signed partials and
+# purges the tombstoned rows physically (pytest-pinned).
+# ---------------------------------------------------------------------------
+_T14_Q_MOD = 59
+_T14_DEL_MOD = 5
+
+
+@query(
+    "t14_bm25_index_delete",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_T14_Q_MOD, _BM25_K,
+                        doc_pred=f"doc_id % {_T14_DEL_MOD} <> 0")}
+    SELECT query_id, rank, doc_id, score, n_hit
+    FROM lex ORDER BY query_id, rank
+    """,
+)
+def t14_bm25_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    path = os.path.join(tempfile.mkdtemp(prefix="w2e_t14_"), "lexidx")
+    # two-epoch build, then delete — the signed partials net against
+    # MULTIPLE positive partials, the realistic lifecycle shape
+    RET.save_lexical_index(
+        corpus_tokens.filter(F.col("doc_id") % 2 == 0), path,
+        mode="overwrite", num_partitions=8,
+    )
+    RET.append_lexical_index(
+        corpus_tokens.filter(F.col("doc_id") % 2 == 1), path,
+        num_partitions=8,
+    )
+    IDX.delete_from_index(
+        spark, path,
+        docs.filter(F.col("doc_id") % _T14_DEL_MOD == 0).select("doc_id"),
+    )
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    qt = _query_terms(
+        docs.filter(F.col("doc_id") % _T14_DEL_MOD != 0), _T14_Q_MOD
+    )
+    return RET.probe_lexical_index(
+        tf, df, stats, meta, qt, k=_BM25_K
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

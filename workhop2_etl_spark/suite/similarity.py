@@ -1074,3 +1074,88 @@ def v17_topk_truncated_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.topk_cosine_truncated_refine(
         emb, queries, prefix_dim=_TRUNC_DIM, k=K, n_candidates=_TRUNC_C
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# v18: IVF index DELETION — tombstones until the next compaction
+# (FAISS remove_ids). The probe must behave as if the index had been
+# BUILT on the survivors: the loader anti-joins the tombstone set
+# against the postings (broadcast — deletes between compactions are
+# a small fraction by contract), so cells, norms, and scores are
+# untouched for survivors and absent for victims. The oracle knows
+# nothing about tombstones: it recomputes single-shot IVF assignment
+# + within-cell search over `embeddings WHERE vec_id % 7 <> 0`
+# (centroids still drawn from the FULL table — deletion does not
+# retrain the quantizer), so a green verdict proves delete ≡
+# rebuild-on-survivors. Physical purge at compaction is pytest-
+# pinned (tests/test_index_store.py::test_delete_from_index_*).
+# ---------------------------------------------------------------------------
+_V18_DEL_MOD = 7
+
+
+@query(
+    "v18_topk_ivf_index_delete",
+    oracle=f"""
+    WITH cent AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+      FROM (SELECT * FROM embeddings WHERE vec_id % 37 = 0 ORDER BY vec_id LIMIT {N_CENTROIDS})
+    ),
+    surv AS (SELECT * FROM embeddings WHERE vec_id % {_V18_DEL_MOD} <> 0),
+    scored_c AS (
+      SELECT e.vec_id, e.embedding AS v, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+                                ORDER BY {_pair_cos_sql('e.embedding', 'c.cv')} DESC, c.cid) AS rn
+      FROM surv e CROSS JOIN cent c
+    ),
+    cells AS (SELECT vec_id, v, cid FROM scored_c WHERE rn = 1),
+    q AS (SELECT vec_id AS query_id, v AS qv, cid
+          FROM scored_c WHERE rn <= {NPROBE} AND vec_id % 50 = 0),
+    c2 AS (SELECT vec_id AS neighbor_id, v AS cv, cid FROM cells),
+    s AS (
+      SELECT query_id, neighbor_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM q JOIN c2 USING (cid)
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM s
+    ) WHERE rank <= {K}
+    ORDER BY query_id, rank
+    """,
+)
+def v18_topk_ivf_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.suite import io_dir
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") % 37 == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("embedding")
+        .collect()
+    )
+    centroids = [(i, list(r.embedding)) for i, r in enumerate(rows)]
+    path = io_dir("v18_ivf_delete")
+    # a re-run in the same pid must start the delete lifecycle clean
+    # (mode='overwrite' replaces the postings but would leave the
+    # previous run's ledger + tombstones behind)
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    IDX.save_ivf_index(emb, path, centroids, dim=DIM, mode="overwrite")
+    IDX.delete_from_index(
+        spark, path,
+        emb.filter(F.col("vec_id") % _V18_DEL_MOD == 0).select("vec_id"),
+    )
+    postings, cents, meta = IDX.load_ivf_index(
+        spark, path, dim=DIM, n_centroids=N_CENTROIDS
+    )
+    queries = emb.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") % _V18_DEL_MOD != 0)
+    )
+    return IDX.probe_ivf_index(
+        postings, cents, meta, queries, k=K, nprobe=NPROBE
+    ).orderBy("query_id", "rank")
