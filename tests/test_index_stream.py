@@ -335,3 +335,43 @@ def test_lexical_ingest_reads_tok_col_from_metadata(spark):
     tf, df, stats, meta2 = RET.load_lexical_index(spark, path)
     want = tokenize(docs).filter(F.size("body_toks") > 0).count()
     assert stats.collect()[0].n_docs == want
+
+
+def test_delete_is_sql_delete_over_present_rows_and_stream_coexists(spark):
+    """Deletion semantics vs a live stream: delete removes the rows
+    PRESENT at delete time (SQL DELETE — deleting an id that only
+    arrives later reserves nothing against it), and a stream keeps
+    ingesting into an artifact with pending deletes (the ledger holds
+    ingest epochs and delete batches side by side). Compaction then
+    purges and a fresh append restores a previously-deleted id."""
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 400)
+    path = _tmp("del_stream")
+    IDX.save_lsh_index(
+        emb.filter(F.col("vec_id") < 200), path, dim=DIM, num_planes=4,
+        num_tables=2, mode="overwrite",
+    )
+    # victims span BOTH halves, but only the <200 half is indexed yet
+    victims = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id")
+    assert IDX.delete_from_index(spark, path, victims) == "committed"
+
+    # stream in the 200..399 half AFTER the delete
+    src, ckpt = _tmp("del_stream_src"), _tmp("del_stream_ckpt")
+    emb.filter(F.col("vec_id") >= 200).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+    IS.stream_index_ingest(spark, src, emb.schema, path, ckpt,
+                           partitions_per_epoch=1)
+
+    idx, meta = IDX.load_lsh_index(spark, path)
+    live_ids = {r.id for r in idx.select("id").distinct().collect()}
+    # the <200 victims are gone; the ≥200 ids — including %10 ones,
+    # which were NOT present at delete time — all live
+    assert not any(i % 10 == 0 for i in live_ids if i < 200)
+    assert {i for i in range(200, 400) if i % 10 == 0} <= live_ids
+    assert any(i < 200 and i % 10 != 0 for i in live_ids)
+
+    # compaction purges + clears; a fresh append restores the id
+    IDX.compact_index(spark, path, num_partitions=2)
+    IDX.append_lsh_index(emb.filter(F.col("vec_id") == 0), path)
+    idx2, _ = IDX.load_lsh_index(spark, path)
+    assert idx2.filter(F.col("id") == 0).count() > 0

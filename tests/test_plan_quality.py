@@ -542,3 +542,44 @@ def test_persisted_lexical_probe_plan_shape(spark):
     assert "SortMergeJoin" not in pplan
     assert "CartesianProduct" not in pplan
     assert "BatchEvalPython" not in pplan
+
+
+def test_deleted_index_loader_plan_shape(spark):
+    """An index with pending deletes must anti-join its tombstones as
+    a BROADCAST (the tombstone set between compactions is small by
+    contract) — never a sort-merge shuffle of the corpus-sized
+    postings — and the probe's pruning must survive the anti-join
+    (the lexical term IN-list still reaches the tf scan)."""
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+    qt = (
+        corpus_tokens.filter((F.col("doc_id") % 89 == 0) & (F.col("doc_id") % 5 != 0))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"workhop2_idx_{os.getpid()}", "lex_delplan"
+    )
+    RET.save_lexical_index(corpus_tokens, path, mode="overwrite",
+                           num_partitions=4)
+    IDX.delete_from_index(
+        spark, path, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    plan = plan_of(RET.probe_lexical_index(tf, df, stats, meta, qt, k=10))
+    assert "BroadcastHashJoin" in plan
+    assert re.search(r"Broadcast.*LeftAnti|LeftAnti.*Broadcast", plan), plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2

@@ -941,12 +941,17 @@ def delete_from_index(
     all. ``batch`` defaults to the next sequential label; pass an
     explicit one to make retries of a caller-level job idempotent.
 
-    Semantics: ids not present (or already deleted) contribute
-    nothing — victims are derived from the LIVE relation, so
-    double-deletes are no-ops. A tombstone suppresses EVERY row with
-    that id, including rows ingested AFTER the delete: re-indexing a
-    deleted id requires a compaction first (documented contract; the
-    same rule as FAISS remove_ids + re-add on the same segment).
+    Semantics (SQL DELETE over the rows present now): ids not
+    present — or already deleted — contribute nothing, because
+    victims are derived from the LIVE relation; double-deletes are
+    no-ops, and deleting an id that only arrives LATER does not
+    reserve a tombstone against it. One id-discipline rule carries
+    over from appends: do NOT re-ingest a deleted id until a
+    compaction has purged its tombstone — the tombstone cannot
+    distinguish the new row from the deleted one (it would be
+    suppressed), and for the lexical kind the re-ingest's positive
+    partials would desynchronize df from the visible tf rows. The
+    same FAISS rule: remove_ids, merge/compact, then re-add.
 
     Returns ``'committed'`` or ``'skipped'`` (batch already in the
     ledger). Single-writer by contract, like append and compact."""
