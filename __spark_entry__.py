@@ -80,10 +80,12 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # was composed — this round's 50 slots deliberately went to the
 # 51-query staleness tail per the r10 verdict's ask #1):
 # t14_bm25_index_delete and v18_topk_ivf_index_delete (the r11
-# deletion lifecycle: tombstones + signed lexical partials). Both
-# hold VERIFYLOCAL_r11 greens and full pytest batteries
-# (test_index_store.py::test_delete_*); they take never-verified
-# priority at the head of the r12 window.
+# deletion lifecycle: tombstones + signed lexical partials;
+# test_index_store.py::test_delete_*), t15_bm25_prf (Rocchio
+# pseudo-relevance-feedback expansion — both passes oracle-replayed)
+# and v19_hybrid_weighted (CombSUM min-max convex fusion). All four
+# hold VERIFYLOCAL_r11 greens and operator pytest batteries; they
+# take never-verified priority at the head of the r12 window.
 _PRIORITY = [
     "t13_bm25_pruned_probe",
     "k1_salted_agg",

@@ -144,6 +144,10 @@ HEADLINE = [
     "t13_bm25_pruned_probe",
     "t14_bm25_index_delete",
     "v18_topk_ivf_index_delete",
+    # round-11 late: two-pass PRF (prices the second corpus scoring
+    # pass) and the CombSUM weighted fusion (the RRF sibling)
+    "t15_bm25_prf",
+    "v19_hybrid_weighted",
     "st14_streaming_lexical_ingest",
     "v14_topk_ivf_pq_refine",
     "v15_hybrid_rrf",

@@ -715,3 +715,71 @@ def test_pruned_probe_certifies_rare_only_queries(spark, tmp_path):
         assert RET.probe_lexical_index(
             tf, df, stats, meta, qt_head, k=5, max_df=max_df
         ).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-11 late additions: PRF expansion + weighted score fusion.
+# ---------------------------------------------------------------------------
+
+
+def test_prf_expand_contract(spark):
+    """Expansion adds exactly m strongest UNSEEN terms per query (by
+    summed tf over the top-n feedback docs, term tiebreak), never
+    re-adds an original term, and a query whose feedback docs offer
+    no new terms comes back unchanged."""
+    rows = [
+        (1, ["apple", "banana", "cherry"]),
+        (2, ["apple", "banana", "date"]),
+        (3, ["apple", "fig"]),
+        (4, ["kiwi"]),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    qt = spark.createDataFrame(
+        [(100, "apple")], "query_id long, term string"
+    )
+    out = RET.bm25_prf_expand(corpus, qt, n_feedback=2, m_expand=2)
+    got = {(r.query_id, r.term) for r in out.collect()}
+    assert (100, "apple") in got
+    # expansion terms come from apple's top docs, exclude 'apple'
+    new_terms = {t for (_, t) in got} - {"apple"}
+    assert len(new_terms) == 2
+    assert "apple" not in new_terms
+
+    # all-corpus query: nothing new to add for a 1-term corpus
+    corpus1 = spark.createDataFrame(
+        [(1, ["solo"]), (2, ["solo"])], "doc_id long, toks array<string>"
+    )
+    qt1 = spark.createDataFrame([(9, "solo")], "query_id long, term string")
+    out1 = {(r.query_id, r.term) for r in
+            RET.bm25_prf_expand(corpus1, qt1, n_feedback=2, m_expand=2).collect()}
+    assert out1 == {(9, "solo")}
+
+
+def test_weighted_fuse_contract(spark):
+    """Min-max normalization per query per arm; absence contributes
+    0; constant-score arms normalize to 1.0; duplicate docs within an
+    arm collapse to their best score; exact fused ties break on
+    doc_id."""
+    arm_a = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (1, 12, 0.0), (1, 10, 1.0)],
+        "query_id long, doc_id long, score double",
+    )
+    arm_b = spark.createDataFrame(
+        [(1, 11, 7.0), (1, 13, 7.0)],
+        "query_id long, doc_id long, score double",
+    )
+    rows = {r.doc_id: r for r in
+            RET.weighted_fuse(arm_a, arm_b, k=10, alpha=0.5).collect()}
+    # doc 10: best score 4.0 (duplicate 1.0 collapsed) → norm_a = 1.0
+    assert rows[10].norm_a == 1.0 and rows[10].norm_b is None
+    assert rows[10].fused_score == 0.5
+    # doc 11: norm_a = (2-0)/(4-0) = 0.5; arm_b constant → norm_b 1.0
+    assert rows[11].norm_a == 0.5 and rows[11].norm_b == 1.0
+    assert rows[11].fused_score == 0.75
+    # doc 12: arm_a min → norm 0; absent in b → fused 0
+    assert rows[12].fused_score == 0.0
+    # doc 13: only in constant arm_b → 0.5·0 + 0.5·1 = 0.5, ties doc
+    # 10 (0.5) — doc_id ascending breaks the tie
+    assert rows[13].fused_score == 0.5
+    order = sorted(rows.values(), key=lambda r: r.rank)
+    assert [r.doc_id for r in order] == [11, 10, 13, 12]

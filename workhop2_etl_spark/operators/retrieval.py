@@ -665,6 +665,58 @@ def _bm25_rank_pruned(
     )
 
 
+def bm25_prf_expand(
+    corpus_tokens: DataFrame,
+    query_terms: DataFrame,
+    n_feedback: int = 3,
+    m_expand: int = 2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_digits: int = 6,
+    id_col: str = "doc_id",
+    tok_col: str = "toks",
+) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-style; the
+    classic two-pass IR loop, e.g. Robertson/Sparck-Jones relevance
+    weighting): run BM25, treat each query's top ``n_feedback``
+    documents as relevant, harvest their ``m_expand`` strongest terms
+    (by summed tf across the feedback docs — integer weights, term
+    tiebreak, so the choice is cross-engine deterministic), and
+    return the EXPANDED (query_id, term) relation — the original
+    terms plus the expansion terms — ready for a second ``bm25_topk``
+    pass. Terms already in the query are never re-added.
+
+    Scale shape: pass 1 is bm25_topk's plan (one corpus tf shuffle);
+    the harvest joins the |Q|·n_feedback doc list (broadcast) against
+    the tf relation — map-side — and every later relation is
+    query-bounded. A second scoring pass re-uses the same tf
+    aggregation; at 100 TB run both passes against the persisted
+    lexical index instead (load once, probe twice)."""
+    tf = _tf_relation(corpus_tokens, id_col, tok_col)
+    query_terms = query_terms.select("query_id", "term").distinct()
+    fb = (
+        bm25_topk(
+            corpus_tokens, query_terms, k=n_feedback,
+            k1=k1, b=b, round_digits=round_digits, id_col=id_col,
+            tok_col=tok_col,
+        )
+        .select("query_id", "doc_id")
+    )
+    harvested = (
+        tf.join(F.broadcast(fb), "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.sum("tf").alias("__w"))
+        .join(query_terms, ["query_id", "term"], "left_anti")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__w"), F.asc("term"))
+    expansion = (
+        harvested.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= m_expand)
+        .select("query_id", "term")
+    )
+    return query_terms.unionByName(expansion)
+
+
 def bm25_contrib_sql(
     tf: str = "tf",
     df: str = "df",
@@ -756,4 +808,72 @@ def rrf_fuse(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "doc_id", "rrf_score", "rank_a", "rank_b")
+    )
+
+
+def weighted_fuse(
+    arm_a: DataFrame,
+    arm_b: DataFrame,
+    k: int = 10,
+    alpha: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Convex score fusion of two ranked candidate lists — the
+    score-based alternative to ``rrf_fuse`` (CombSUM/CombMNZ family,
+    Fox & Shaw 1994): each arm's scores min-max normalize to [0, 1]
+    PER QUERY, absent-in-arm contributes 0, and the fused score is
+    ``alpha·norm_a + (1-alpha)·norm_b``.
+
+    Both arms: (query_id, doc_id, score) with scores ALREADY rounded
+    by their producers (every engine top-k here rounds) — the
+    normalization is then differences and one division over identical
+    doubles on any engine, and the fused ranking breaks exact ties on
+    doc_id, so results stay bit-reproducible. An arm whose scores tie
+    for a query (max = min) normalizes to 1.0 for every present doc —
+    presence still outranks absence. Duplicate (query_id, doc_id)
+    within one arm collapses to its BEST (max) score first, the same
+    malformed-arm hardening as rrf_fuse. Scale: all relations are
+    |Q|·k, query-bounded by contract."""
+    alpha = float(alpha)
+    beta = 1.0 - alpha
+
+    def _norm(arm: DataFrame, tag: str) -> DataFrame:
+        s = (
+            arm.select("query_id", "doc_id", F.col("score").cast("double"))
+            .groupBy("query_id", "doc_id")
+            .agg(F.max("score").alias("score"))
+        )
+        ext = s.groupBy("query_id").agg(
+            F.min("score").alias("__mn"), F.max("score").alias("__mx")
+        )
+        return s.join(ext, "query_id").select(
+            "query_id",
+            "doc_id",
+            F.when(F.col("__mx") == F.col("__mn"), F.lit(1.0))
+            .otherwise(
+                (F.col("score") - F.col("__mn"))
+                / (F.col("__mx") - F.col("__mn"))
+            )
+            .alias(f"norm_{tag}"),
+        )
+    a = _norm(arm_a, "a")
+    bdf = _norm(arm_b, "b")
+    fused = a.join(bdf, ["query_id", "doc_id"], "full_outer")
+    score = F.round(
+        F.lit(alpha) * F.coalesce(F.col("norm_a"), F.lit(0.0))
+        + F.lit(beta) * F.coalesce(F.col("norm_b"), F.lit(0.0)),
+        round_digits,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("fused_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "doc_id", "fused_score",
+            F.round("norm_a", round_digits).alias("norm_a"),
+            F.round("norm_b", round_digits).alias("norm_b"),
+        )
     )

@@ -634,3 +634,183 @@ def v16_hybrid_persisted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_a").alias("rank_lex"),
         F.col("rank_b").alias("rank_vec"),
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# t15: pseudo-relevance-feedback query expansion (Rocchio-style) —
+# the classic two-pass IR loop over the SAME corpus relations: BM25
+# pass 1, harvest each query's top-3 documents' 2 strongest unseen
+# terms (summed-tf weights — exact integers, term tiebreak), expand
+# the query, BM25 pass 2. The oracle replays both passes in SQL CTEs
+# (pass 1 reuses the shared _bm25_cte_sql verbatim), so the verdict
+# pins the feedback-doc selection, the expansion-term choice, AND
+# the second scoring pass in one hash compare.
+# ---------------------------------------------------------------------------
+_T15_Q_MOD = 53
+_T15_N_FB = 3
+_T15_M_EXP = 2
+
+
+@query(
+    "t15_bm25_prf",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_T15_Q_MOD, _T15_N_FB)},
+    fb AS (SELECT query_id, doc_id FROM lex),
+    exp_w AS (
+      SELECT f.query_id, t.term, sum(t.tf) AS w
+      FROM fb f
+      JOIN tf t ON t.doc_id = f.doc_id
+      LEFT JOIN qt q0 ON q0.query_id = f.query_id AND q0.term = t.term
+      WHERE q0.term IS NULL
+      GROUP BY 1, 2
+    ),
+    expn AS (
+      SELECT query_id, term FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY w DESC, term) AS rn
+        FROM exp_w
+      ) WHERE rn <= {_T15_M_EXP}
+    ),
+    qt2 AS (
+      SELECT query_id, term FROM qt
+      UNION
+      SELECT query_id, term FROM expn
+    ),
+    contrib2 AS (
+      SELECT qt2.query_id, tf.doc_id, qt2.term,
+             {RET.bm25_contrib_sql(tf="tf.tf", df="df.df", dl="tf.dl",
+                                   n_docs="s.n_docs", avgdl="s.avgdl")} AS c
+      FROM qt2
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> qt2.query_id
+    ),
+    bm2 AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 6)
+               AS score,
+             count(*) AS n_hit
+      FROM contrib2 GROUP BY query_id, doc_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score, n_hit
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM bm2
+    ) WHERE rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+)
+def t15_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    qt = _query_terms(docs, _T15_Q_MOD)
+    expanded = RET.bm25_prf_expand(
+        corpus_tokens, qt, n_feedback=_T15_N_FB, m_expand=_T15_M_EXP
+    )
+    return RET.bm25_topk(corpus_tokens, expanded, k=_BM25_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# v19: weighted (convex) score fusion — the CombSUM-family sibling of
+# v15's reciprocal-rank fusion (Fox & Shaw 1994): each arm's top-20
+# scores min-max normalize PER QUERY (constant-score arms normalize
+# to 1.0 — presence outranks absence), absent-in-arm contributes 0,
+# fused = 0.7·lex + 0.3·vec (constants folded in Python, injected by
+# repr into both engines). Normalization is differences + one
+# division over the arms' already-rounded doubles, so the fusion is
+# bit-reproducible; ranks break exact ties on doc_id. Scale: every
+# post-arm relation is |Q|·20.
+# ---------------------------------------------------------------------------
+_V19_Q_MOD = 47
+_V19_ALPHA = 0.7
+_V19_BETA = 1.0 - _V19_ALPHA
+
+
+@query(
+    "v19_hybrid_weighted",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_V19_Q_MOD, _ARM_K)},
+    vq AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % {_V19_Q_MOD} = 0
+    ),
+    vc AS (SELECT vec_id AS doc_id, embedding AS cv FROM embeddings),
+    vs AS (
+      SELECT query_id, doc_id,
+             round({_pair_cos_sql('qv', 'cv')}, 6) AS score
+      FROM vq, vc WHERE query_id <> doc_id
+    ),
+    vec AS (
+      SELECT query_id, doc_id, score
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rank
+        FROM vs
+      ) WHERE rank <= {_ARM_K}
+    ),
+    exta AS (SELECT query_id, min(score) AS mn, max(score) AS mx
+             FROM lex GROUP BY 1),
+    na AS (
+      SELECT l.query_id, l.doc_id,
+             CASE WHEN e.mx = e.mn THEN CAST(1.0 AS DOUBLE)
+                  ELSE (l.score - e.mn) / (e.mx - e.mn) END AS norm_lex
+      FROM lex l JOIN exta e USING (query_id)
+    ),
+    extb AS (SELECT query_id, min(score) AS mn, max(score) AS mx
+             FROM vec GROUP BY 1),
+    nb AS (
+      SELECT v.query_id, v.doc_id,
+             CASE WHEN e.mx = e.mn THEN CAST(1.0 AS DOUBLE)
+                  ELSE (v.score - e.mn) / (e.mx - e.mn) END AS norm_vec
+      FROM vec v JOIN extb e USING (query_id)
+    ),
+    fused AS (
+      SELECT coalesce(a.query_id, b.query_id) AS query_id,
+             coalesce(a.doc_id, b.doc_id) AS doc_id,
+             a.norm_lex, b.norm_vec,
+             round(CAST({_V19_ALPHA!r} AS DOUBLE) * coalesce(a.norm_lex, 0.0)
+                 + CAST({_V19_BETA!r} AS DOUBLE) * coalesce(b.norm_vec, 0.0),
+                   6) AS fused_score
+      FROM na a FULL OUTER JOIN nb b
+        ON a.query_id = b.query_id AND a.doc_id = b.doc_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, fused_score,
+           round(norm_lex, 6) AS norm_lex, round(norm_vec, 6) AS norm_vec
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY fused_score DESC, doc_id) AS rank
+      FROM fused
+    ) WHERE rank <= {_RRF_FINAL_K}
+    ORDER BY query_id, rank
+    """,
+)
+def v19_hybrid_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    lex = RET.bm25_topk(
+        corpus_tokens, _query_terms(docs, _V19_Q_MOD), k=_ARM_K
+    )
+    vec = SIM.topk_cosine_bruteforce(
+        emb, emb.filter(F.col("vec_id") % _V19_Q_MOD == 0), k=_ARM_K
+    )
+    fused = RET.weighted_fuse(
+        lex.select("query_id", "doc_id", "score"),
+        vec.select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "score"
+        ),
+        k=_RRF_FINAL_K,
+        alpha=_V19_ALPHA,
+    )
+    return fused.select(
+        "query_id",
+        "rank",
+        "doc_id",
+        "fused_score",
+        F.col("norm_a").alias("norm_lex"),
+        F.col("norm_b").alias("norm_vec"),
+    ).orderBy("query_id", "rank")
