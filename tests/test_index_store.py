@@ -854,3 +854,64 @@ def test_delete_replay_converges_after_partial_rename(spark):
     assert sorted(map(tuple, df_a.collect())) == sorted(
         map(tuple, df_b.collect())
     )
+
+
+def test_delete_edges_empty_all_and_quantized(spark):
+    """Edge sweep for the deletion lifecycle: an EMPTY id batch
+    commits as a no-op; deleting EVERY document leaves a loadable
+    artifact (n_docs 0, NULL avgdl, probes return nothing — the
+    empty-corpus contract); deletion works on a quantized (pq8)
+    postings artifact the same as on floats."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 120)
+    corpus = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    path = _tmp("lex_del_edges")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=2)
+
+    # empty batch: commits, changes nothing
+    empty = spark.createDataFrame([], "doc_id long")
+    assert IDX.delete_from_index(spark, path, empty) == "committed"
+    _, _, stats, _ = RET.load_lexical_index(spark, path)
+    n_before = stats.collect()[0].n_docs
+    assert n_before == corpus.filter(F.size("toks") > 0).count()
+
+    # delete EVERYTHING: net stats hit the empty-corpus contract
+    assert IDX.delete_from_index(spark, path, corpus.select("doc_id")) == "committed"
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    row = stats.collect()[0]
+    assert row.n_docs == 0 and row.avgdl is None
+    assert df.count() == 0 and tf.count() == 0
+    qt = spark.createDataFrame([(1, "the")], "query_id long, term string")
+    assert RET.probe_lexical_index(tf, df, stats, meta, qt, k=5).count() == 0
+    # compaction of the fully-deleted artifact stays loadable
+    IDX.compact_index(spark, path, num_partitions=1)
+    tf2, df2, stats2, _ = RET.load_lexical_index(spark, path)
+    assert stats2.collect()[0].n_docs == 0 and tf2.count() == 0
+
+    # pq8 artifact: delete → probe ≡ rebuild-on-survivors
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+    cb = SIM.sample_pq_codebooks(emb, dim=DIM)
+    full, ref = _tmp("pq8_del"), _tmp("pq8_del_ref")
+    IDX.save_ivf_index(emb, full, cents, dim=DIM, store_dtype="pq8",
+                       codebooks=cb, mode="overwrite")
+    IDX.save_ivf_index(emb.filter(F.col("vec_id") % 9 != 0), ref, cents,
+                       dim=DIM, store_dtype="pq8", codebooks=cb,
+                       mode="overwrite")
+    IDX.delete_from_index(
+        spark, full, emb.filter(F.col("vec_id") % 9 == 0).select("vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 3)
+
+    def probe(p):
+        po, cs, m = IDX.load_ivf_index(spark, p)
+        return sorted(map(tuple, IDX.probe_ivf_index(
+            po, cs, m, queries, k=3, nprobe=2).collect()))
+
+    assert probe(full) == probe(ref)
