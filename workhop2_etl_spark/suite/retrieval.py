@@ -195,7 +195,7 @@ def t12_bm25_persisted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # column is projected out here because its HB threshold compare
 # sits on a float sum with engine-dependent addition order).
 # ---------------------------------------------------------------------------
-_T13_Q_MOD = 67
+_T13_Q_MOD = 149
 _T13_DF_DIV = 20  # max_df = floor(n_docs / 20)
 
 
@@ -332,7 +332,7 @@ def t13_bm25_pruned_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # survivors exactly. Compaction later folds the signed partials and
 # purges the tombstoned rows physically (pytest-pinned).
 # ---------------------------------------------------------------------------
-_T14_Q_MOD = 59
+_T14_Q_MOD = 127
 _T14_DEL_MOD = 5
 
 
@@ -646,7 +646,7 @@ def v16_hybrid_persisted_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pins the feedback-doc selection, the expansion-term choice, AND
 # the second scoring pass in one hash compare.
 # ---------------------------------------------------------------------------
-_T15_Q_MOD = 53
+_T15_Q_MOD = 131
 _T15_N_FB = 3
 _T15_M_EXP = 2
 
@@ -725,7 +725,7 @@ def t15_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-reproducible; ranks break exact ties on doc_id. Scale: every
 # post-arm relation is |Q|·20.
 # ---------------------------------------------------------------------------
-_V19_Q_MOD = 47
+_V19_Q_MOD = 113
 _V19_ALPHA = 0.7
 _V19_BETA = 1.0 - _V19_ALPHA
 
