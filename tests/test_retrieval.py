@@ -783,3 +783,27 @@ def test_weighted_fuse_contract(spark):
     assert rows[13].fused_score == 0.5
     order = sorted(rows.values(), key=lambda r: r.rank)
     assert [r.doc_id for r in order] == [11, 10, 13, 12]
+
+
+def test_weighted_fuse_nonfinite_scores_never_rank(spark):
+    """The r10 NaN-ranks-first class applied to score fusion: Spark
+    orders NaN above every double, so an unguarded NaN score would
+    win its arm's max, make the min-max denominator NaN, and put the
+    poisoned doc at fused rank 1. weighted_fuse must drop non-finite
+    scores like the rankers do — the clean docs fuse exactly as if
+    the dirty rows were never there."""
+    arm_a = spark.createDataFrame(
+        [(1, 10, 4.0), (1, 11, 2.0), (1, 66, float("nan")),
+         (1, 67, float("inf")), (1, 68, None)],
+        "query_id long, doc_id long, score double",
+    )
+    arm_b = spark.createDataFrame(
+        [(1, 10, 1.0)], "query_id long, doc_id long, score double"
+    )
+    rows = {r.doc_id: r for r in
+            RET.weighted_fuse(arm_a, arm_b, k=10, alpha=0.5).collect()}
+    assert set(rows) == {10, 11}
+    assert rows[10].norm_a == 1.0  # max over CLEAN scores, not inf/NaN
+    assert rows[11].norm_a == 0.0
+    for r in rows.values():
+        assert r.fused_score is not None and not math.isnan(r.fused_score)

@@ -838,8 +838,19 @@ def weighted_fuse(
     beta = 1.0 - alpha
 
     def _norm(arm: DataFrame, tag: str) -> DataFrame:
+        # non-finite guard (the r10 NaN-ranks-first class): Spark
+        # orders NaN above every number, so one NaN score would win
+        # its arm's max, poison the normalization denominator, and
+        # rank first in the fusion. The engine's own top-k arms never
+        # emit non-finite scores (cosine/BM25 guard tiers), but this
+        # is a public operator — drop such rows like the rankers do.
         s = (
             arm.select("query_id", "doc_id", F.col("score").cast("double"))
+            .filter(
+                F.col("score").isNotNull()
+                & ~F.isnan("score")
+                & (F.abs("score") != float("inf"))
+            )
             .groupBy("query_id", "doc_id")
             .agg(F.max("score").alias("score"))
         )
