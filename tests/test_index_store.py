@@ -915,3 +915,25 @@ def test_delete_edges_empty_all_and_quantized(spark):
             po, cs, m, queries, k=3, nprobe=2).collect()))
 
     assert probe(full) == probe(ref)
+
+
+def test_retrain_after_delete_excludes_victims(spark):
+    """retrain_ivf_index reads the postings through the loader, so
+    pending tombstones are already anti-joined: the retrained
+    artifact is built on the SURVIVORS and carries no tombstones —
+    the blue/green rebuild doubles as the physical purge."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+    src, dst = _tmp("retrain_del_src"), _tmp("retrain_del_dst")
+    IDX.save_ivf_index(emb, src, cents, dim=DIM, mode="overwrite")
+    IDX.delete_from_index(
+        spark, src, emb.filter(F.col("vec_id") % 6 == 0).select("vec_id")
+    )
+    IDX.retrain_ivf_index(spark, src, dst, seed=11, max_iter=3,
+                          mode="overwrite")
+    postings, _, _ = IDX.load_ivf_index(spark, dst)
+    ids = {r.id for r in postings.select("id").distinct().collect()}
+    assert ids and all(i % 6 != 0 for i in ids)
+    assert not os.path.exists(f"{dst}/tombstones")
+    want = emb.filter(F.col("vec_id") % 6 != 0).count()
+    assert postings.count() == want
