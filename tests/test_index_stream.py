@@ -277,11 +277,14 @@ def test_checkpoint_binding_canonicalizes_path_identity(spark):
     IS.stream_index_ingest(spark, src, emb.schema, path, ckpt,
                            partitions_per_epoch=1)
 
-    # trailing slash and a ./-relative spelling are the SAME checkpoint
+    # trailing slash, a ./-relative spelling, and the file: URI form
+    # (Spark treats them identically) are all the SAME checkpoint
     IS.stream_index_ingest(spark, src, emb.schema, path, ckpt + "/",
                            partitions_per_epoch=1)
     rel = os.path.relpath(ckpt)
     IS.stream_index_ingest(spark, src, emb.schema, path, rel,
+                           partitions_per_epoch=1)
+    IS.stream_index_ingest(spark, src, emb.schema, path, f"file://{ckpt}",
                            partitions_per_epoch=1)
     # a different checkpoint still refuses, and the error names the
     # canonicalization so users don't reach for adopt_ledger blindly

@@ -228,12 +228,17 @@ def _canon_checkpoint(checkpoint_dir: str) -> str:
     string (trailing slash, relative vs absolute, a symlinked parent)
     must therefore digest identically, or the resume raises a false
     'bound to a different checkpoint' error that pushes users toward
-    adopt_ledger=True and weakens the guard. URIs (hdfs://, s3a://)
-    only lose trailing slashes — resolving them needs the remote
-    filesystem; local paths resolve symlinks and relativity via
-    realpath."""
+    adopt_ledger=True and weakens the guard. Remote URIs (hdfs://,
+    s3a://) only lose trailing slashes — resolving them needs the
+    remote filesystem; local paths — bare or spelled as file: URIs,
+    which Spark treats identically — resolve symlinks and relativity
+    via realpath."""
     import os
 
+    if checkpoint_dir.startswith("file:"):
+        # file:///p, file:/p (and the rare file://host-less //p) all
+        # name the local path /p to Hadoop's local filesystem
+        return os.path.realpath("/" + checkpoint_dir[5:].lstrip("/"))
     if "://" in checkpoint_dir:
         return checkpoint_dir.rstrip("/") or checkpoint_dir
     return os.path.realpath(checkpoint_dir)
