@@ -807,3 +807,22 @@ def test_weighted_fuse_nonfinite_scores_never_rank(spark):
     assert rows[11].norm_a == 0.0
     for r in rows.values():
         assert r.fused_score is not None and not math.isnan(r.fused_score)
+
+
+def test_new_operator_param_validation(spark):
+    """Degenerate parameters fail loudly, not silently."""
+    qt = spark.createDataFrame([(1, "a")], "query_id long, term string")
+    corpus = spark.createDataFrame(
+        [(1, ["a"])], "doc_id long, toks array<string>"
+    )
+    with pytest.raises(ValueError, match="n_feedback"):
+        RET.bm25_prf_expand(corpus, qt, n_feedback=0)
+    with pytest.raises(ValueError, match="m_expand|n_feedback"):
+        RET.bm25_prf_expand(corpus, qt, m_expand=0)
+    arm = spark.createDataFrame(
+        [(1, 1, 1.0)], "query_id long, doc_id long, score double"
+    )
+    with pytest.raises(ValueError, match="alpha"):
+        RET.weighted_fuse(arm, arm, alpha=1.5)
+    with pytest.raises(ValueError, match="alpha"):
+        RET.weighted_fuse(arm, arm, alpha=-0.1)

@@ -692,6 +692,12 @@ def bm25_prf_expand(
     query-bounded. A second scoring pass re-uses the same tf
     aggregation; at 100 TB run both passes against the persisted
     lexical index instead (load once, probe twice)."""
+    if n_feedback < 1 or m_expand < 1:
+        raise ValueError(
+            f"bm25_prf_expand needs n_feedback >= 1 and m_expand >= 1, "
+            f"got {n_feedback}/{m_expand} — with nothing to harvest or "
+            "add, call bm25_topk directly"
+        )
     tf = _tf_relation(corpus_tokens, id_col, tok_col)
     query_terms = query_terms.select("query_id", "term").distinct()
     fb = (
@@ -835,6 +841,11 @@ def weighted_fuse(
     malformed-arm hardening as rrf_fuse. Scale: all relations are
     |Q|·k, query-bounded by contract."""
     alpha = float(alpha)
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(
+            f"weighted_fuse alpha must be in [0, 1] (a convex "
+            f"combination), got {alpha!r}"
+        )
     beta = 1.0 - alpha
 
     def _norm(arm: DataFrame, tag: str) -> DataFrame:
