@@ -937,3 +937,144 @@ def test_retrain_after_delete_excludes_victims(spark):
     assert not os.path.exists(f"{dst}/tombstones")
     want = emb.filter(F.col("vec_id") % 6 != 0).count()
     assert postings.count() == want
+
+
+def _lex_corpus(spark, n=200, name="doc_id"):
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < n)
+    return docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+
+
+def test_delete_marker_is_atomic_commit_point_for_readers(spark):
+    """The r11 advice fix (index_store delete rename window): a
+    reader racing the writer — or loading after a crash mid-rename —
+    must see either NONE of a delete batch's files or ALL of them.
+    Simulated by removing only the ledger marker after a committed
+    delete (the 'every file renamed, marker not yet created' instant)
+    and by additionally removing one partial (a mid-rename crash):
+    both states must load as the PRE-delete index, bit-exactly, and
+    re-creating the marker flips the whole batch visible at once."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark)
+    path = _tmp("lex_atomic")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=2)
+
+    def snapshot():
+        tf, df, stats, _ = RET.load_lexical_index(spark, path)
+        return (
+            sorted(map(tuple, tf.collect())),
+            sorted(map(tuple, df.collect())),
+            stats.collect(),
+        )
+
+    before = snapshot()
+    victims = corpus.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims, batch="atom") == "committed"
+    after = snapshot()
+    assert after != before  # the delete is real
+
+    # window 1: all files renamed in, marker not yet created —
+    # tombstones AND negative partials must be invisible TOGETHER
+    marker = f"{path}/ledger/delete-atom"
+    os.remove(marker)
+    assert snapshot() == before
+    # window 2: mid-rename crash (stats partial missing too) — the
+    # decremented df must NOT show while the victims' tf rows do
+    staged = [
+        f for f in os.listdir(f"{path}/stats") if f.startswith("delete-atom-")
+    ]
+    os.remove(f"{path}/stats/{staged[0]}")
+    assert snapshot() == before
+    # restore the stats partial and the marker: the batch commits
+    # atomically (replay restages, then marker re-lands)
+    assert IDX.delete_from_index(spark, path, victims, batch="atom") == "committed"
+    assert snapshot() == after
+
+
+def test_compact_sweeps_uncommitted_delete_batch(spark):
+    """compact_index must never fold a crashed (marker-less) delete
+    batch's negative partials into the compacted layout: the batch
+    was never reader-visible, so compaction sweeps its files and the
+    result equals compacting the pre-delete index; the batch's replay
+    afterwards still converges to the committed delete."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark)
+    path = _tmp("lex_sweep")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=2)
+    victims = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims, batch="crashX") == "committed"
+    os.remove(f"{path}/ledger/delete-crashX")  # marker never landed
+
+    IDX.compact_index(spark, path, num_partitions=1)
+    # no delete-batch files survive anywhere and the loaded state is
+    # the PRE-delete corpus (the batch never committed)
+    for sub in ("df", "stats"):
+        assert not any(
+            f.startswith("delete-") for f in os.listdir(f"{path}/{sub}")
+        )
+    assert not os.path.exists(f"{path}/tombstones")
+    _, _, stats, _ = RET.load_lexical_index(spark, path)
+    want = corpus.filter(F.size("toks") > 0).count()
+    assert stats.collect()[0].n_docs == want
+
+    # the caller's replay (same label) restages from the compacted
+    # live state and commits the delete for real
+    assert IDX.delete_from_index(spark, path, victims, batch="crashX") == "committed"
+    ref = _tmp("lex_sweep_ref")
+    RET.save_lexical_index(
+        corpus.filter(F.col("doc_id") % 5 != 0), ref,
+        mode="overwrite", num_partitions=1,
+    )
+    _, df_a, stats_a, _ = RET.load_lexical_index(spark, path)
+    _, df_b, stats_b, _ = RET.load_lexical_index(spark, ref)
+    assert stats_a.collect() == stats_b.collect()
+    assert sorted(map(tuple, df_a.collect())) == sorted(map(tuple, df_b.collect()))
+
+
+def test_auto_delete_labels_namespaced_no_collision(spark):
+    """The r11 advice fix (silent no-op delete): auto-generated batch
+    labels are namespaced ('auto-NNNNNN', max+1) so an explicit
+    caller label of the digits-only shape can never make a later
+    default-labelled call hit its ledger marker and return 'skipped'
+    without deleting anything."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=150)
+    path = _tmp("lex_labels")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+
+    # the advice's exact scenario: an explicit '000000'-shaped label
+    # first, then two default-labelled calls — each must COMMIT and
+    # actually delete its ids
+    assert IDX.delete_from_index(
+        spark, path, corpus.filter(F.col("doc_id") % 11 == 0).select("doc_id"),
+        batch="000000",
+    ) == "committed"
+    assert IDX.delete_from_index(
+        spark, path, corpus.filter(F.col("doc_id") % 11 == 1).select("doc_id"),
+    ) == "committed"
+    assert IDX.delete_from_index(
+        spark, path, corpus.filter(F.col("doc_id") % 11 == 2).select("doc_id"),
+    ) == "committed"
+    ledger = set(os.listdir(f"{path}/ledger"))
+    assert {"delete-000000", "delete-auto-000000", "delete-auto-000001"} <= ledger
+    _, _, stats, _ = RET.load_lexical_index(spark, path)
+    want = corpus.filter(F.size("toks") > 0).filter(
+        (F.col("doc_id") % 11 != 0)
+        & (F.col("doc_id") % 11 != 1)
+        & (F.col("doc_id") % 11 != 2)
+    ).count()
+    assert stats.collect()[0].n_docs == want
+
+    # explicit-label idempotency is unchanged: a replayed explicit
+    # label short-circuits as 'skipped'
+    assert IDX.delete_from_index(
+        spark, path, corpus.filter(F.col("doc_id") % 11 == 0).select("doc_id"),
+        batch="000000",
+    ) == "skipped"

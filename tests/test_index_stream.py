@@ -378,3 +378,49 @@ def test_delete_is_sql_delete_over_present_rows_and_stream_coexists(spark):
     IDX.append_lsh_index(emb.filter(F.col("vec_id") == 0), path)
     idx2, _ = IDX.load_lsh_index(spark, path)
     assert idx2.filter(F.col("id") == 0).count() > 0
+
+
+def test_legacy_raw_digest_binding_migrates(spark):
+    """The r11 advice fix (pre-canonicalization ledgers): a stream
+    bound BEFORE the canonical-digest change carries a marker of
+    md5(raw path). The first post-upgrade resume with the SAME raw
+    spelling must accept that legacy marker (not raise 'different
+    checkpoint', which pushed users to adopt_ledger=True) and write
+    the canonical marker alongside — a one-time migration. A
+    genuinely different checkpoint still refuses."""
+    import hashlib
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    path = _tmp("legacy_idx")
+    IDX.save_lsh_index(emb.limit(0), path, dim=DIM, num_planes=4,
+                       num_tables=2, mode="overwrite")
+    src, ckpt = _tmp("legacy_src"), _tmp("legacy_ckpt")
+    emb.repartition(1).write.mode("append").parquet(src)
+    raw = ckpt + "/"  # the user's non-canonical spelling, then & now
+    IS.stream_index_ingest(spark, src, emb.schema, path, raw,
+                           partitions_per_epoch=1)
+
+    # rewrite the binding to the pre-r11 form: md5(raw string)
+    canon_d = hashlib.md5(
+        IS._canon_checkpoint(raw).encode()
+    ).hexdigest()[:12]
+    legacy_d = hashlib.md5(raw.encode()).hexdigest()[:12]
+    assert canon_d != legacy_d  # trailing slash makes them differ
+    os.remove(f"{path}/ledger/_stream-{canon_d}")
+    open(f"{path}/ledger/_stream-{legacy_d}", "w").close()
+
+    # resume with the same raw spelling: accepted + migrated
+    IS.stream_index_ingest(spark, src, emb.schema, path, raw,
+                           partitions_per_epoch=1)
+    ledger = set(os.listdir(f"{path}/ledger"))
+    assert f"_stream-{canon_d}" in ledger  # canonical marker written
+    assert f"_stream-{legacy_d}" in ledger  # legacy left for old code
+    # no duplicate ingestion: the single corpus file is one epoch
+    index, meta = IDX.load_lsh_index(spark, path)
+    n = emb.count() * meta["num_tables"]
+    assert index.count() == n
+
+    # a genuinely different checkpoint still refuses loudly
+    with pytest.raises(ValueError, match="different checkpoint"):
+        IS.stream_index_ingest(spark, src, emb.schema, path,
+                               _tmp("legacy_ckpt2"), partitions_per_epoch=1)

@@ -583,3 +583,17 @@ def test_deleted_index_loader_plan_shape(spark):
     assert re.search(r"Broadcast.*LeftAnti|LeftAnti.*Broadcast", plan), plan[:2000]
     assert "SortMergeJoin" not in plan
     assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2
+
+
+@pytest.mark.parametrize(
+    "qname", ["v15_hybrid_rrf", "v16_hybrid_persisted_rrf", "v19_hybrid_weighted"]
+)
+def test_fusion_queries_have_no_sortmergejoin(spark, qname, tmp_path):
+    """r12 (verdict ask #4): the fusion operators align their two
+    arms with a union + hash aggregate (not an unbroadcastable
+    full-outer join) and broadcast the per-query extrema relation, so
+    NO fusion query plans a SortMergeJoin — the arms are |Q|·k, and
+    every join in the fused plan must be broadcast-hash or gone."""
+    plan = plan_of(suite.QUERIES[qname](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, qname
+    assert "CartesianProduct" not in plan, qname

@@ -826,3 +826,40 @@ def test_new_operator_param_validation(spark):
         RET.weighted_fuse(arm, arm, alpha=1.5)
     with pytest.raises(ValueError, match="alpha"):
         RET.weighted_fuse(arm, arm, alpha=-0.1)
+
+
+def test_pruned_probe_rejects_k1_zero_and_hb_is_deterministic(spark, tmp_path):
+    """The r11 advice fix (HB accumulation + k1=0 degeneracy): at
+    k1=0 the per-term head bound idf·(k1+1) is attainable, not
+    strict, so the pruned path refuses k1<=0 up front (the exhaustive
+    path still serves k1=0 exactly); and HB now folds in term-sorted
+    order with an FP slack sized by the head-term count, so the
+    `exact` flag cannot flip with partitioning — asserted by running
+    the same pruned probe under different shuffle-partition settings."""
+    from workhop2_etl_spark.operators import retrieval as RETOP
+
+    (tf, df, stats, meta), qt = _lex_fixture(spark, tmp_path)
+    with pytest.raises(ValueError, match="k1 > 0"):
+        RETOP.probe_lexical_index(
+            tf, df, stats, meta, qt, k=5, max_df=10, k1=0.0
+        ).collect()
+    # k1=0 on the exhaustive path stays served (and is exact)
+    assert RETOP.probe_lexical_index(
+        tf, df, stats, meta, qt, k=5, k1=0.0
+    ).count() > 0
+
+    n_docs = stats.collect()[0].n_docs
+    max_df = max(1, n_docs // 12)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = sorted(map(tuple, RETOP.probe_lexical_index(
+            tf, df, stats, meta, qt, k=5, max_df=max_df
+        ).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = sorted(map(tuple, RETOP.probe_lexical_index(
+            tf, df, stats, meta, qt, k=5, max_df=max_df
+        ).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b  # rows AND exact flags identical across plans

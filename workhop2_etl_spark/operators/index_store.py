@@ -891,22 +891,99 @@ def lsh_index_stats(index: DataFrame, meta: dict) -> DataFrame:
     )
 
 
+def _delete_gated_parquet(spark: SparkSession, path: str, sub: str):
+    """Parquet relation at ``<path>/<sub>`` with UNCOMMITTED delete
+    batches hidden. ``delete_from_index`` renames its files in as
+    ``delete-<batch>-NNNNN.parquet`` across up to three directories
+    and only then creates the ledger marker — one atomic
+    ``createNewFile`` — so the marker is the batch's reader-visible
+    commit point. Files whose marker is absent (a crashed or, under a
+    racing reader, still-in-flight batch) are excluded here, which
+    makes the multi-file rename sequence invisible to readers
+    REGARDLESS of rename order: a reader sees either none of a
+    batch's tombstones/negative-partials or all of them, never
+    decremented stats with the victims' rows still visible. When no
+    batch is hidden the plain directory read is used (identical scan,
+    partition discovery and parquet pushdown). Returns None when the
+    directory is missing or nothing is visible."""
+    fs, p = _hadoop_fs(spark, f"{path}/{sub}")
+    if not fs.exists(p):
+        return None
+    files = [
+        st.getPath()
+        for st in fs.listStatus(p)
+        if st.isFile() and not st.getPath().getName().startswith((".", "_"))
+    ]
+    if not files:  # e.g. a replay swept a crashed batch's files
+        return None
+    batches = set()
+    for f in files:
+        name = f.getName()
+        if name.startswith("delete-") and name.endswith(".parquet"):
+            batches.add(
+                name[len("delete-"):-len(".parquet")].rsplit("-", 1)[0]
+            )
+    hidden = set()
+    for b in batches:
+        _, marker = _hadoop_fs(spark, f"{path}/ledger/delete-{b}")
+        if not fs.exists(marker):
+            hidden.add(f"delete-{b}-")
+    if not hidden:
+        return spark.read.parquet(f"{path}/{sub}")
+    visible = [
+        str(f) for f in files
+        if not any(f.getName().startswith(h) for h in hidden)
+    ]
+    if not visible:
+        return None
+    return spark.read.parquet(*visible)
+
+
+def _sweep_uncommitted_delete_batches(spark: SparkSession, path: str) -> int:
+    """Physically remove every uncommitted delete batch's files
+    (ledger marker absent — see ``_delete_gated_parquet``; such a
+    batch was never reader-visible and its ``delete_from_index`` call
+    never returned 'committed'). ``compact_index`` runs this before
+    reading any data dir so a crashed batch's negative partials can
+    never fold into the compacted layout; the batch's replay (same
+    label) restages from post-compaction live state. Single-writer by
+    contract, like every mutator here. Returns files removed."""
+    fs, _ = _hadoop_fs(spark, path)
+    removed = 0
+    for sub in ("tombstones", "df", "stats"):
+        _, d = _hadoop_fs(spark, f"{path}/{sub}")
+        if not fs.exists(d):
+            continue
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if not (
+                st.isFile()
+                and name.startswith("delete-")
+                and name.endswith(".parquet")
+            ):
+                continue
+            batch = name[len("delete-"):-len(".parquet")].rsplit("-", 1)[0]
+            _, marker = _hadoop_fs(spark, f"{path}/ledger/delete-{batch}")
+            if not fs.exists(marker):
+                fs.delete(st.getPath(), False)
+                removed += 1
+        if sub == "tombstones" and not any(
+            st.isFile() and not st.getPath().getName().startswith((".", "_"))
+            for st in fs.listStatus(d)
+        ):  # only delete batches ever populate it — drop the husk
+            fs.delete(d, True)
+    return removed
+
+
 def _read_tombstones(spark: SparkSession, path: str):
     """Tombstoned row ids at ``path`` (one column, named after the
     relation's own id column: 'id' for the postings kinds, 'doc_id'
-    for the lexical kind) or None when no deletes are pending. Every
-    loader anti-joins this relation; ``compact_index`` purges the
-    rows physically and clears the directory."""
-    fs, p = _hadoop_fs(spark, f"{path}/tombstones")
-    if not fs.exists(p):
-        return None
-    has_files = any(
-        st.isFile() and not st.getPath().getName().startswith((".", "_"))
-        for st in fs.listStatus(p)
-    )
-    if not has_files:  # e.g. a replay swept a crashed batch's files
-        return None
-    return spark.read.parquet(f"{path}/tombstones")
+    for the lexical kind) or None when no COMMITTED deletes are
+    pending (uncommitted batches are marker-gated invisible — see
+    ``_delete_gated_parquet``). Every loader anti-joins this
+    relation; ``compact_index`` purges the rows physically and clears
+    the directory."""
+    return _delete_gated_parquet(spark, path, "tombstones")
 
 
 def delete_from_index(
@@ -935,11 +1012,18 @@ def delete_from_index(
     streaming/index_stream.py): a ledger marker
     (``ledger/delete-<batch>``) short-circuits committed replays; the
     batch's files stage under ``<path>/delete.<batch>`` and rename in
-    with epoch-owned names, a replay of a half-renamed batch deletes
-    its own files first and restages from live state — so the
-    negative partials and the tombstones land together or not at
-    all. ``batch`` defaults to the next sequential label; pass an
-    explicit one to make retries of a caller-level job idempotent.
+    with batch-owned names, and a replay of a half-renamed batch
+    deletes its own files first and restages from live state. The
+    MARKER is the commit point for readers too: every loader hides
+    ``delete-<batch>-*`` files whose marker is absent
+    (``_delete_gated_parquet``), so the negative partials and the
+    tombstones become visible together — atomically, at marker
+    creation — or not at all, even to a reader racing the writer or
+    loading after a mid-rename crash. ``batch`` defaults to the next
+    ``auto-NNNNNN`` label (max existing auto sequence + 1 — explicit
+    labels live in their own namespace and can never collide with or
+    be replayed by an auto-labelled call); pass an explicit one to
+    make retries of a caller-level job idempotent.
 
     Semantics (SQL DELETE over the rows present now): ids not
     present — or already deleted — contribute nothing, because
@@ -964,11 +1048,28 @@ def delete_from_index(
     )
     fs, ledger_p = _hadoop_fs(spark, f"{path}/ledger")
     if batch is None:
+        import re
+
         existing = (
             [st.getPath().getName() for st in fs.listStatus(ledger_p)]
             if fs.exists(ledger_p) else []
         )
-        batch = f"{sum(1 for e in existing if e.startswith('delete-')):06d}"
+        # auto labels are namespaced ('auto-') and derived from the
+        # MAX existing auto sequence, not a count — a caller's
+        # explicit label of the same shape can neither collide with
+        # a later auto label (count-after-gaps) nor be silently
+        # 'skipped' against its marker
+        seqs = [
+            int(m.group(1))
+            for e in existing
+            if (m := re.fullmatch(r"delete-auto-(\d{6})", e))
+        ]
+        batch = f"auto-{(max(seqs) + 1 if seqs else 0):06d}"
+        if f"delete-{batch}" in existing:  # unreachable by max+1; guards
+            raise ValueError(  # a hand-minted marker shadowing the scheme
+                f"auto-generated delete batch label {batch!r} already has "
+                f"a ledger marker at {path} — pass an explicit batch label"
+            )
     _, marker = _hadoop_fs(spark, f"{path}/ledger/delete-{batch}")
     staging = f"{path}/delete.{batch}"
     _, staging_p = _hadoop_fs(spark, staging)
@@ -1122,11 +1223,16 @@ def compact_index(
         kinds=(_LSH_KIND, _IVF_POSTINGS_KIND, _LEXICAL_KIND),
         verb="compact",
     )
-    # pending delete tombstones purge PHYSICALLY here (every loader
-    # anti-joined them logically until now); the tombstone dir clears
-    # after every data dir has swapped — a crash in between leaves
-    # tombstones pointing at already-purged rows, whose anti-join is
-    # a no-op, so any intermediate state stays load-correct
+    # an UNCOMMITTED (crashed) delete batch's files sweep first: they
+    # were never reader-visible (marker-gated) and must not fold into
+    # the compacted layout — the batch's replay restages from the
+    # post-compaction live state. Then the pending COMMITTED delete
+    # tombstones purge PHYSICALLY here (every loader anti-joined them
+    # logically until now); the tombstone dir clears after every data
+    # dir has swapped — a crash in between leaves tombstones pointing
+    # at already-purged rows, whose anti-join is a no-op, so any
+    # intermediate state stays load-correct
+    _sweep_uncommitted_delete_batches(spark, path)
     tomb = _read_tombstones(spark, path)
 
     def _purge_ids(d: DataFrame) -> DataFrame:

@@ -371,10 +371,15 @@ def load_lexical_index(
     NEGATIVE ones, so the sums are exactly the single-shot aggregates
     over the surviving documents regardless of lifecycle history;
     terms whose net df reaches 0 are dropped, as a rebuild would).
-    ``tf`` anti-joins any pending delete tombstones. Raises on
-    kind/tokenizer drift."""
+    ``tf`` anti-joins any pending delete tombstones. A delete batch's
+    tombstones and negative partials appear TOGETHER or not at all:
+    all three reads hide files whose ledger marker is absent, so the
+    marker is the batch's atomic commit point even under a reader
+    racing the writer's renames (index_store._delete_gated_parquet).
+    Raises on kind/tokenizer drift."""
     from workhop2_etl_spark.operators.index_store import (
         _check_drift,
+        _delete_gated_parquet,
         _read_meta,
         _read_tombstones,
     )
@@ -386,13 +391,13 @@ def load_lexical_index(
     if tomb is not None:  # pending deletes: logical until compaction
         tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
     df = (
-        spark.read.parquet(f"{path}/df")
+        _delete_gated_parquet(spark, path, "df")
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") > 0)
     )
     stats = _stats_from_counts(
-        spark.read.parquet(f"{path}/stats").agg(
+        _delete_gated_parquet(spark, path, "stats").agg(
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
             F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
         )
@@ -535,8 +540,13 @@ def probe_lexical_index(
     < HB(q) = Σ_{t ∈ head(q)} idf(t)·(k1+1). ``exact = true`` —
     the returned rows ARE the unpruned top-k — whenever the query has
     no head terms, or k candidates exist and the k-th candidate score
-    clears HB(q) (checked with a half-ulp rounding margin, so the
-    flag never over-claims). ``exact = false`` means head-only
+    clears HB(q) (checked with a half-ulp rounding margin PLUS an FP
+    slack sized by the head-term count, and HB itself folds in
+    term-sorted deterministic order — the flag never over-claims and
+    never flips between runs; r12 advice fix). The tf-saturation
+    bound is strict only for k1 > 0, so the pruned path rejects
+    k1 <= 0 (use the exhaustive default for k1 = 0). ``exact =
+    false`` means head-only
     documents could outrank the tail of the returned list — rerun
     unpruned or raise max_df for those queries. A query whose EVERY
     term is head-frequency has no candidates and returns no rows
@@ -629,33 +639,68 @@ def _bm25_rank_pruned(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-    # per-query head-term score upper bound HB(q) = Σ idf·(k1+1)
+    # per-query head-term score upper bound HB(q) = Σ idf·(k1+1).
+    # The per-term bound idf·(k1+1) is STRICT only for k1 > 0: at
+    # k1 = 0 the tf saturation collapses to exactly 1 and a
+    # head-only doc can REACH the bound, so the kth-vs-HB test no
+    # longer certifies that no such doc displaces the k-th result
+    # (ties break on doc_id, which the bound knows nothing about).
+    # The pruned path therefore rejects k1 <= 0 up front; callers who
+    # want k1 = 0 get the exhaustive path (max_df=None), which is
+    # always exact.
     k1 = float(k1)
+    if k1 <= 0.0:
+        raise ValueError(
+            f"max_df-pruned BM25 needs k1 > 0 (got {k1!r}): at k1=0 "
+            "the exactness certificate's per-term bound idf*(k1+1) "
+            "is attainable, not strict — use max_df=None for k1=0"
+        )
     k1p1 = k1 + 1.0
     idf_ub = F.log(
         F.lit(1.0)
         + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
         / (F.col("df").cast("double") + F.lit(0.5))
     ) * F.lit(k1p1)
+    # HB folds in deterministic (term-sorted) order — same _seq_sum
+    # discipline as the scores themselves — so the certificate can't
+    # flip between runs on hash-aggregate addition order; __n_head
+    # sizes the FP slack below.
     hb = (
         head_q.crossJoin(F.broadcast(stats))
+        .select("query_id", F.struct(F.col("term").alias("key"), idf_ub.alias("v")).alias("__c"))
         .groupBy("query_id")
-        .agg(F.sum(idf_ub).alias("__hb"))
+        .agg(
+            _seq_sum(F.collect_list("__c")).alias("__hb"),
+            F.count("*").alias("__n_head"),
+        )
     )
     per_q = ranked.groupBy("query_id").agg(
         F.max("rank").alias("__n_ret"), F.min("score").alias("__kth")
     )
-    # rounding margin: score is rounded to round_digits, so the raw
-    # k-th is within half an ulp of it — claim exactness only when
-    # the rounded k-th clears HB by that margin
+    # margin = rounding half-ulp (score is rounded to round_digits,
+    # so the raw k-th sits within 0.5·10^-d of it) + accumulation
+    # slack for HB's own fold: n_head double additions each carry
+    # relative error ≤ 2^-53, bounded here by n_head·|HB|·2^-50
+    # (a ×8 safety factor). Exactness is claimed only when the
+    # rounded k-th clears HB by the WHOLE margin — an over-wide
+    # margin can only under-claim (exact=false on a truly exact
+    # query), never over-claim.
     margin = 0.5 * (10.0 ** -round_digits)
+    fp_slack = (
+        F.col("__n_head").cast("double")
+        * F.abs(F.col("__hb"))
+        * F.lit(2.0 ** -50)
+    )
     flags = per_q.join(hb, "query_id", "left").select(
         "query_id",
         (
             F.col("__hb").isNull()  # no head terms → candidates cover all
             | (
                 (F.col("__n_ret") >= k)
-                & (F.col("__kth") - F.lit(margin) >= F.col("__hb"))
+                & (
+                    F.col("__kth") - F.lit(margin)
+                    >= F.col("__hb") + fp_slack
+                )
             )
         ).alias("exact"),
     )
@@ -783,24 +828,32 @@ def rrf_fuse(
     ranks. Each arm is therefore collapsed to its BEST (minimum) rank
     per (query_id, doc_id) first — the standard RRF treatment of
     duplicate candidates, and a no-op (identity aggregation) for
-    well-formed window-ranked arms. The extra shuffle is over the
-    |Q|·k arm relation, never corpus-sized.
+    well-formed window-ranked arms.
+
+    Plan shape (r12): the cross-arm alignment is a UNION + one hash
+    aggregate, not a full-outer join — full-outer can't broadcast, so
+    the join form cost a SortMergeJoin (sorts on both |Q|·k arms);
+    union-aggregate has the same semantics (min ignores the other
+    arm's NULL padding), folds the per-arm duplicate collapse into
+    the SAME aggregate, and leaves exactly one shuffle and zero
+    joins. tests/test_plan_quality.py asserts no SMJ in any fusion
+    query.
     """
-    a = (
-        arm_a.select(
-            "query_id", "doc_id", F.col("rank").cast("int").alias("rank_a")
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.min("rank_a").alias("rank_a"))
+    a = arm_a.select(
+        "query_id", "doc_id",
+        F.col("rank").cast("int").alias("rank_a"),
+        F.lit(None).cast("int").alias("rank_b"),
     )
-    bdf = (
-        arm_b.select(
-            "query_id", "doc_id", F.col("rank").cast("int").alias("rank_b")
-        )
-        .groupBy("query_id", "doc_id")
-        .agg(F.min("rank_b").alias("rank_b"))
+    bdf = arm_b.select(
+        "query_id", "doc_id",
+        F.lit(None).cast("int").alias("rank_a"),
+        F.col("rank").cast("int").alias("rank_b"),
     )
-    fused = a.join(bdf, ["query_id", "doc_id"], "full_outer")
+    fused = (
+        a.unionByName(bdf)
+        .groupBy("query_id", "doc_id")
+        .agg(F.min("rank_a").alias("rank_a"), F.min("rank_b").alias("rank_b"))
+    )
     rscore = F.round(
         F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_a")), F.lit(0.0))
         + F.coalesce(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank_b")), F.lit(0.0)),
@@ -839,7 +892,15 @@ def weighted_fuse(
     presence still outranks absence. Duplicate (query_id, doc_id)
     within one arm collapses to its BEST (max) score first, the same
     malformed-arm hardening as rrf_fuse. Scale: all relations are
-    |Q|·k, query-bounded by contract."""
+    |Q|·k, query-bounded by contract.
+
+    Plan shape (r12): the per-query extrema relation (|Q| rows)
+    broadcasts into its normalization join, and the cross-arm
+    alignment is a UNION + one hash aggregate instead of a full-outer
+    join (which can't broadcast and forced a SortMergeJoin) — same
+    semantics (max ignores the other arm's NULL padding; each
+    (query, doc) is unique per arm after normalization), no sorts
+    (tests/test_plan_quality.py asserts no SMJ in fusion queries)."""
     alpha = float(alpha)
     if not 0.0 <= alpha <= 1.0:
         raise ValueError(
@@ -868,7 +929,7 @@ def weighted_fuse(
         ext = s.groupBy("query_id").agg(
             F.min("score").alias("__mn"), F.max("score").alias("__mx")
         )
-        return s.join(ext, "query_id").select(
+        return s.join(F.broadcast(ext), "query_id").select(
             "query_id",
             "doc_id",
             F.when(F.col("__mx") == F.col("__mn"), F.lit(1.0))
@@ -878,9 +939,19 @@ def weighted_fuse(
             )
             .alias(f"norm_{tag}"),
         )
-    a = _norm(arm_a, "a")
-    bdf = _norm(arm_b, "b")
-    fused = a.join(bdf, ["query_id", "doc_id"], "full_outer")
+    a = _norm(arm_a, "a").select(
+        "query_id", "doc_id", "norm_a",
+        F.lit(None).cast("double").alias("norm_b"),
+    )
+    bdf = _norm(arm_b, "b").select(
+        "query_id", "doc_id",
+        F.lit(None).cast("double").alias("norm_a"), "norm_b",
+    )
+    fused = (
+        a.unionByName(bdf)
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("norm_a").alias("norm_a"), F.max("norm_b").alias("norm_b"))
+    )
     score = F.round(
         F.lit(alpha) * F.coalesce(F.col("norm_a"), F.lit(0.0))
         + F.lit(beta) * F.coalesce(F.col("norm_b"), F.lit(0.0)),

@@ -288,6 +288,17 @@ def stream_index_ingest(
     import hashlib
 
     digest = hashlib.md5(_canon_checkpoint(checkpoint_dir).encode()).hexdigest()[:12]
+    # pre-canonicalization ledgers (bound before r11) carry
+    # md5(raw path) markers; a resume that spells the SAME checkpoint
+    # non-canonically (relative prefix, trailing slash, file: URI,
+    # symlinked parent) must not trip the different-checkpoint error.
+    # Accept the raw-spelling legacy marker and migrate: the
+    # canonical marker is written alongside below, so the window is
+    # one resume. (A legacy binding made with an already-canonical
+    # string has raw == canon and matches the current digest anyway.)
+    legacy_names = {
+        f"_stream-{hashlib.md5(checkpoint_dir.encode()).hexdigest()[:12]}"
+    }
     fs, ledger_p = _hadoop_fs(spark, f"{index_path}/ledger")
     _, bind_p = _hadoop_fs(spark, f"{index_path}/ledger/_stream-{digest}")
     if fs.exists(ledger_p):
@@ -295,11 +306,20 @@ def stream_index_ingest(
             st.getPath().getName() for st in fs.listStatus(ledger_p)
         ]
         has_epochs = any(e.startswith("epoch-") for e in entries)
+        legacy_bound = any(e in legacy_names for e in entries)
         bound_elsewhere = any(
-            e.startswith("_stream-") and e != f"_stream-{digest}"
+            e.startswith("_stream-")
+            and e != f"_stream-{digest}"
+            and e not in legacy_names
             for e in entries
         )
-        if has_epochs and not fs.exists(bind_p):
+        if has_epochs and legacy_bound and not fs.exists(bind_p):
+            # one-time migration: same checkpoint under its pre-r11
+            # raw-string digest — adopt it as the canonical binding
+            # (the canonical marker is created below; the legacy
+            # marker stays, harmless, so older code can still resume)
+            pass
+        elif has_epochs and not fs.exists(bind_p):
             if not adopt_ledger:
                 raise ValueError(
                     f"index at {index_path} has a committed ingest ledger "
