@@ -714,9 +714,11 @@ def test_delete_from_index_matches_rebuild(spark, kind):
     want = probe(ref)
     assert probe(full) == want
 
-    # double-delete with the same batch label short-circuits; a fresh
-    # batch over the same (now absent) ids is an empty no-op
-    assert IDX.delete_from_index(spark, full, victims, batch="000000") == "skipped"
+    # double-delete with the same batch label short-circuits (the
+    # default label above was auto-000000 under the r12 namespaced
+    # scheme); a fresh batch over the same (now absent) ids is an
+    # empty no-op
+    assert IDX.delete_from_index(spark, full, victims, batch="auto-000000") == "skipped"
     assert IDX.delete_from_index(spark, full, victims) == "committed"
     assert probe(full) == want
     # absent ids: no-op

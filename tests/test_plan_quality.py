@@ -597,3 +597,50 @@ def test_fusion_queries_have_no_sortmergejoin(spark, qname, tmp_path):
     plan = plan_of(suite.QUERIES[qname](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, qname
     assert "CartesianProduct" not in plan, qname
+
+
+def test_prf_persisted_second_pass_pushes_vocab(spark):
+    """r12 (verdict ask #3): probe_lexical_index_prf's SECOND pass is
+    a probe of the persisted artifact with the EXPANDED vocabulary —
+    its plan must show the term IN-list pushed to the tf/df scans
+    (the corpus tf aggregation is never re-run), stay broadcast-hash
+    everywhere, and keep Python out. The harvest's feedback-doc join
+    must also be a broadcast."""
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+    qt = (
+        corpus_tokens.filter(F.col("doc_id") % 89 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"workhop2_idx_{os.getpid()}", "lex_prfplan"
+    )
+    RET.save_lexical_index(corpus_tokens, path, mode="overwrite")
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    out = RET.probe_lexical_index_prf(
+        tf, df, stats, meta, qt, k=10, n_feedback=3, m_expand=2
+    )
+    plan = plan_of(out)
+    # pass-2 probe: expanded vocab IN-list reaches both artifact scans
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # no full-corpus tf re-aggregation: every Exchange in the final
+    # plan is either broadcast or keyed on the query-bounded
+    # (query_id[, doc_id]) relations — the artifact's (doc_id, term)
+    # tf relation is scanned, never re-shuffled on its own keys
+    assert "HashAggregate(keys=[doc_id" not in plan

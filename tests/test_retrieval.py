@@ -863,3 +863,55 @@ def test_pruned_probe_rejects_k1_zero_and_hb_is_deterministic(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b  # rows AND exact flags identical across plans
+
+
+def test_prf_persisted_equals_in_session_two_pass(spark, tmp_path):
+    """probe_lexical_index_prf (pass 1 → harvest → pass 2, all
+    against the persisted artifact) must be row-identical to the
+    in-session loop (bm25_prf_expand + bm25_topk over the original
+    corpus) — the artifact round trip changes the plan, never a
+    value. Also holds under max_df pruning (pass 2 then carries the
+    certificate column)."""
+    from workhop2_etl_spark.operators import retrieval as RETOP
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 400)
+    corpus = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    qt = (
+        corpus.filter((F.col("doc_id") % 37 == 0) & (F.size("toks") > 0))
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+    expanded = RETOP.bm25_prf_expand(corpus, qt, n_feedback=3, m_expand=2)
+    want = sorted(map(tuple, RETOP.bm25_topk(corpus, expanded, k=8).collect()))
+
+    path = str(tmp_path / "prf_idx")
+    RETOP.save_lexical_index(corpus, path, mode="overwrite", num_partitions=2)
+    tf, df, stats, meta = RETOP.load_lexical_index(spark, path)
+    got = sorted(map(tuple, RETOP.probe_lexical_index_prf(
+        tf, df, stats, meta, qt, k=8, n_feedback=3, m_expand=2
+    ).collect()))
+    assert got == want and got
+
+    # pruned serving posture: the fixture's unigram vocabulary is ALL
+    # head-frequency (31 words, df near n_docs), so a low max_df
+    # correctly returns nothing — set max_df ≥ n_docs instead: every
+    # term is rare, candidates cover the corpus, the certificate
+    # fires (no head terms → HB absent) and the rows equal the
+    # unpruned result exactly, with the extra flag column
+    pruned = RETOP.probe_lexical_index_prf(
+        tf, df, stats, meta, qt, k=8, n_feedback=3, m_expand=2,
+        max_df=10**6,
+    )
+    assert "exact" in pruned.columns
+    prows = pruned.collect()
+    assert sorted((r.query_id, r.rank, r.doc_id, r.score, r.n_hit)
+                  for r in prows) == want
+    assert all(r.exact for r in prows)

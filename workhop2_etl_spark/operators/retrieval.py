@@ -753,6 +753,20 @@ def bm25_prf_expand(
         )
         .select("query_id", "doc_id")
     )
+    return query_terms.unionByName(
+        _prf_harvest(tf, fb, query_terms, m_expand)
+    )
+
+
+def _prf_harvest(
+    tf: DataFrame, fb: DataFrame, query_terms: DataFrame, m_expand: int
+) -> DataFrame:
+    """The PRF term harvest shared by ``bm25_prf_expand`` (in-session
+    corpus) and ``probe_lexical_index_prf`` (persisted artifact):
+    each query's ``m_expand`` strongest unseen terms across its
+    feedback docs, weighted by summed tf (exact integers, term
+    tiebreak — cross-engine deterministic). ``fb`` broadcasts
+    (|Q|·n_feedback rows); the tf-side join is map-side."""
     harvested = (
         tf.join(F.broadcast(fb), "doc_id")
         .groupBy("query_id", "term")
@@ -760,12 +774,59 @@ def bm25_prf_expand(
         .join(query_terms, ["query_id", "term"], "left_anti")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__w"), F.asc("term"))
-    expansion = (
+    return (
         harvested.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= m_expand)
         .select("query_id", "term")
     )
-    return query_terms.unionByName(expansion)
+
+
+def probe_lexical_index_prf(
+    tf: DataFrame,
+    df: DataFrame,
+    stats: DataFrame,
+    meta: dict,
+    query_terms: DataFrame,
+    k: int = 10,
+    n_feedback: int = 3,
+    m_expand: int = 2,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    round_digits: int = 6,
+    exclude_self: bool = True,
+    max_terms: int = 4096,
+    max_df: int | None = None,
+) -> DataFrame:
+    """PRF retrieval against a LOADED lexical index — the persisted
+    twin of ``bm25_prf_expand`` + second ``bm25_topk`` pass, and the
+    100 TB answer to the two-pass cost: the corpus-sized tf
+    aggregation is paid ONCE at build time; pass 1 and pass 2 are
+    both ``probe_lexical_index`` probes of the artifact, each reading
+    only the vocabulary-pruned (IN-list pushed-down, term-clustered)
+    posting slice for its query terms, and the harvest between them
+    joins the broadcast |Q|·n_feedback feedback-doc list against the
+    SAME artifact tf relation (map-side — the feedback docs' postings
+    only). No relation in the whole loop is corpus-shuffled.
+
+    Row-identical to the in-session two-pass loop over the original
+    corpus (the probe core is shared verbatim; the harvest weights
+    are exact integers). ``max_df`` applies to both probe passes (the
+    bounded serving posture; the result then carries the pruned
+    path's per-query ``exact`` certificate from pass 2)."""
+    query_terms = query_terms.select("query_id", "term").distinct()
+    fb = probe_lexical_index(
+        tf, df, stats, meta, query_terms, k=n_feedback,
+        k1=k1, b=b, round_digits=round_digits, exclude_self=exclude_self,
+        max_terms=max_terms, max_df=max_df,
+    ).select("query_id", "doc_id")
+    expanded = query_terms.unionByName(
+        _prf_harvest(tf, fb, query_terms, m_expand)
+    )
+    return probe_lexical_index(
+        tf, df, stats, meta, expanded, k=k,
+        k1=k1, b=b, round_digits=round_digits, exclude_self=exclude_self,
+        max_terms=max_terms, max_df=max_df,
+    )
 
 
 def bm25_contrib_sql(

@@ -715,6 +715,88 @@ def t15_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t16: PRF against the PERSISTED lexical index (r12, verdict ask #3)
+# — t15's 100 TB shape made an oracle-checked query: the corpus tf
+# aggregation is paid once at save time; pass 1, the harvest, and
+# pass 2 all run against the loaded artifact, each probe reading only
+# its vocabulary's IN-list-pushed-down posting slice (plan guard:
+# tests/test_plan_quality.py::test_prf_persisted_second_pass_pushes_
+# vocab). The oracle replays both passes in SQL over the raw table —
+# a green verdict proves the artifact round trip AND the probe-twice
+# loop equal the single-shot two-pass semantics exactly.
+# ---------------------------------------------------------------------------
+_T16_Q_MOD = 127
+
+
+@query(
+    "t16_bm25_prf_persisted",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_T16_Q_MOD, _T15_N_FB)},
+    fb AS (SELECT query_id, doc_id FROM lex),
+    exp_w AS (
+      SELECT f.query_id, t.term, sum(t.tf) AS w
+      FROM fb f
+      JOIN tf t ON t.doc_id = f.doc_id
+      LEFT JOIN qt q0 ON q0.query_id = f.query_id AND q0.term = t.term
+      WHERE q0.term IS NULL
+      GROUP BY 1, 2
+    ),
+    expn AS (
+      SELECT query_id, term FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY w DESC, term) AS rn
+        FROM exp_w
+      ) WHERE rn <= {_T15_M_EXP}
+    ),
+    qt2 AS (
+      SELECT query_id, term FROM qt
+      UNION
+      SELECT query_id, term FROM expn
+    ),
+    contrib2 AS (
+      SELECT qt2.query_id, tf.doc_id, qt2.term,
+             {RET.bm25_contrib_sql(tf="tf.tf", df="df.df", dl="tf.dl",
+                                   n_docs="s.n_docs", avgdl="s.avgdl")} AS c
+      FROM qt2
+      JOIN tf USING (term)
+      JOIN df USING (term)
+      CROSS JOIN stats s
+      WHERE tf.doc_id <> qt2.query_id
+    ),
+    bm2 AS (
+      SELECT query_id, doc_id,
+             round(list_reduce(list(c ORDER BY term), (a, b) -> a + b), 6)
+               AS score,
+             count(*) AS n_hit
+      FROM contrib2 GROUP BY query_id, doc_id
+    )
+    SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id, score, n_hit
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id) AS rank
+      FROM bm2
+    ) WHERE rank <= {_BM25_K}
+    ORDER BY query_id, rank
+    """,
+)
+def t16_bm25_prf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    path = os.path.join(tempfile.mkdtemp(prefix="w2e_t16_"), "lexidx")
+    RET.save_lexical_index(
+        corpus_tokens, path, mode="overwrite", num_partitions=8
+    )
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    return RET.probe_lexical_index_prf(
+        tf, df, stats, meta, _query_terms(docs, _T16_Q_MOD),
+        k=_BM25_K, n_feedback=_T15_N_FB, m_expand=_T15_M_EXP,
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # v19: weighted (convex) score fusion — the CombSUM-family sibling of
 # v15's reciprocal-rank fusion (Fox & Shaw 1994): each arm's top-20
 # scores min-max normalize PER QUERY (constant-score arms normalize
