@@ -32,8 +32,49 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (latest green per CORRECTNESS_r*.json + last kernel-touching commit
 # round from git), ordered never-verified > kernel-changed > oldest
 # green.
-# ROUND-11 WINDOW (exactly 50; composed per tools/staleness_report.py,
+# ROUND-12 WINDOW (exactly 50; composed per tools/staleness_report.py,
 # never-verified > kernel-changed > oldest-green):
+# (a) 5 never-driver-verified, the r11 verdict's ask #1 plus this
+#     round's addition: t14_bm25_index_delete + v18_topk_ivf_index_
+#     delete (the r11 deletion lifecycle: tombstones + signed lexical
+#     partials — now marker-gated for reader atomicity, r12),
+#     t15_bm25_prf (Rocchio PRF, both passes oracle-replayed),
+#     v19_hybrid_weighted (CombSUM convex fusion — r12 union-
+#     aggregate plan), t16_bm25_prf_persisted (NEW r12: the PRF loop
+#     probed twice against the persisted artifact).
+# (b) 2 r12-kernel-changed with pre-r12 greens: v16_hybrid_persisted_
+#     rrf (rrf_fuse rebuilt as union + hash aggregate, extrema
+#     broadcast — same semantics, new plan) and t13_bm25_pruned_probe
+#     (_bm25_rank_pruned's HB now a deterministic term-sorted fold
+#     with FP slack; k1<=0 rejected).
+# (c) the full 8-query r06 cohort — the staleness tail's oldest:
+#     q13, q18, q21, q22, q2, q5, q7, s5_jdbc_roundtrip.
+# (d) all 21 STALE-flagged r07 queries (kernel newer than green),
+#     then the first 14 non-flagged r07 queries in staleness-report
+#     order — after this pass no query's latest driver green is
+#     older than r7 (the r11 verdict's ask #2 done-criterion).
+# Deferred, each with the displacing rationale:
+# - v15_hybrid_rrf (green r10, kernel r12 via rrf_fuse): the changed
+#   fusion kernel is exercised in-window by v16 (same rrf_fuse
+#   through BOTH persisted artifacts) and v19 (weighted sibling);
+#   pinned by the test_retrieval fusion battery + the new no-SMJ
+#   plan guard; VERIFYLOCAL_r12 green at this head.
+# - t12_bm25_persisted_index (green r11, kernel r12 via
+#   load_lexical_index's marker-gated reads): the gated loader is
+#   exercised in-window by t14 (the delete path the gating exists
+#   for) and t16 (plain load→probe); the append-partials path is
+#   pinned by test_lexical_index_roundtrip_and_append.
+# - st14_streaming_lexical_ingest (green r11, kernel r12 via
+#   index_stream's legacy-digest branch): the changed branch only
+#   runs against pre-r11 ledgers, which its query never creates;
+#   pinned by test_legacy_raw_digest_binding_migrates.
+# - u5/k1/k2/dq2/e7/q3/q9/w5/w6/x10 + the rest of the r11-green
+#   head: kernels untouched in r12, greens one round old — normal
+#   rotation, next in the r13 tail.
+# - q20/q4/q6/q8/s2/sql3/x13/x18/x1/x3 (r07 greens, kernels ≤ r07,
+#   never STALE-flagged): the 10 displaced by head (a)+(b); they
+#   lead the r13 staleness tail.
+# ROUND-11 WINDOW (historical; superseded by the r12 list below):
 # (a) 1 never-driver-verified: t13_bm25_pruned_probe (NEW r11 — the
 #     max_df impact-ordered probe of the persisted BIGRAM lexical
 #     index; the oracle recomputes the candidate-pruned semantics, so
@@ -76,67 +117,63 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   sets the new field) and v16 (IVF kind through save/load/probe);
 #   pinned by the full test_index_store/test_index_stream batteries;
 #   VERIFYLOCAL_r11 green at this head.
-# QUEUED FOR THE R12 WINDOW (added late in r11, after the rotation
-# was composed — this round's 50 slots deliberately went to the
-# 51-query staleness tail per the r10 verdict's ask #1):
-# t14_bm25_index_delete and v18_topk_ivf_index_delete (the r11
-# deletion lifecycle: tombstones + signed lexical partials;
-# test_index_store.py::test_delete_*), t15_bm25_prf (Rocchio
-# pseudo-relevance-feedback expansion — both passes oracle-replayed)
-# and v19_hybrid_weighted (CombSUM min-max convex fusion). All four
-# hold VERIFYLOCAL_r11 greens and operator pytest batteries; they
-# take never-verified priority at the head of the r12 window.
+# (The r11 'queued for r12' block is delivered above as head (a).)
 _PRIORITY = [
-    "t13_bm25_pruned_probe",
-    "k1_salted_agg",
-    "k2_salted_skew_join",
-    "t12_bm25_persisted_index",
-    "st14_streaming_lexical_ingest",
+    # (a) never-driver-verified
+    "t14_bm25_index_delete",
+    "v18_topk_ivf_index_delete",
+    "t15_bm25_prf",
+    "v19_hybrid_weighted",
+    "t16_bm25_prf_persisted",
+    # (b) r12-kernel-changed
     "v16_hybrid_persisted_rrf",
-    "u5_apply_changes",
-    "dq2_rolling_outliers",
-    "e7_cohort_month",
-    "q3_shipping_priority",
-    "q9_product_profit",
-    "w5_gapfill_days",
-    "w6_ewma",
-    "x10_group_sample",
-    "a4_dup_counts",
-    "d9_semantic_dedup",
-    "dq5_referential_integrity",
-    "f7_cast_sentinel",
-    "g1_pivot",
-    "g6_pagerank",
-    "g7_triangle_count",
-    "g8_label_propagation",
-    "j12_interval_overlap",
-    "j1_impute_left_join",
-    "j3_fuzzy_two_pass",
-    "j8_range_join",
-    "m1_image_meta",
-    "m2_meta_filter",
-    "m3_resize_plumbing",
-    "m4_frame_sample",
-    "m5_real_image_dims",
-    "m7_real_gif_frames",
-    "q1_pricing_summary",
-    "st11_full_outer_interval_join",
-    "st8_left_outer_interval_join",
-    "t3_lang_id",
-    "u3_except",
-    "v6_topk_cosine_lsh_multiprobe",
-    "v7_topk_cosine_ivf_nprobe",
-    "w7_rolling_corr",
-    "w8_rolling_slope",
-    "d3_near_dup_pairs",
-    "d6_dup_clusters",
-    "e10_rfm_segments",
-    "e11_top_paths",
-    "x14_temperature_mix",
-    "x15_pack_manifest",
-    "x16_corpus_datasheet",
-    "x17_corpus_pipeline",
-    "x5_domain_mix",
+    "t13_bm25_pruned_probe",
+    # (c) the r06 cohort
+    "q13_order_count_dist",
+    "q18_large_orders",
+    "q21_waiting_supplier",
+    "q22_idle_rich_customers",
+    "q2_best_value_supplier",
+    "q5_local_volume",
+    "q7_nation_volume",
+    "s5_jdbc_roundtrip",
+    # (d) r07 cohort: all 21 STALE-flagged...
+    "a11_approx_sketches",
+    "a1_topk_group_count",
+    "a2_count_distinct",
+    "a5_histogram",
+    "a6_full_dedupe",
+    "a8_top_entities",
+    "g2_cube",
+    "g3_rollup",
+    "g4_unpivot",
+    "j13_asof_nearest",
+    "j2_fanout_argmax_join",
+    "j4_argmax_dedupe",
+    "m6_real_audio_meta",
+    "r1_daily_rollup",
+    "r2_combine_partials",
+    "r3_hist_quantiles",
+    "st12_windowed_topk",
+    "v3_embedding_norms",
+    "w1_running_and_lag",
+    "w2_rank_per_group",
+    "w3_range_frame",
+    # ...then the first 14 non-flagged r07, staleness-report order
+    "a10_percentiles",
+    "d4_simhash_groups",
+    "d5_ngram_jaccard_sample",
+    "d7_canonical_docs",
+    "e12_event_gap_stats",
+    "f1_normalize_text",
+    "q10_returned_items",
+    "q11_revenue_concentration",
+    "q12_late_shipping",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
 ]
 
 
