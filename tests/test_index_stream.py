@@ -424,3 +424,69 @@ def test_legacy_raw_digest_binding_migrates(spark):
     with pytest.raises(ValueError, match="different checkpoint"):
         IS.stream_index_ingest(spark, src, emb.schema, path,
                                _tmp("legacy_ckpt2"), partitions_per_epoch=1)
+
+
+def test_epoch_files_invisible_until_marker_and_delete_sees_committed_only(spark):
+    """r12 adversarial pass (delete×stream interleaving): a stream
+    epoch's renamed files must be INVISIBLE to every reader until the
+    ledger marker lands — a crash mid-rename (tf rows in, df partial
+    missing) previously loaded as inconsistent scores. And a DELETE
+    racing that window must derive its victims from COMMITTED rows
+    only: the uncommitted epoch's ids are 'not present' (SQL DELETE
+    over present rows), so the delete must not tombstone them nor
+    write negative partials against postings whose positive partials
+    never landed. The epoch's replay then converges."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 400)
+    tokenize = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    base = tokenize(docs.filter(F.col("doc_id") % 2 == 0))
+    epoch_docs = tokenize(docs.filter(F.col("doc_id") % 2 == 1))
+    path = _tmp("epoch_atomic")
+    RET.save_lexical_index(base, path, mode="overwrite", num_partitions=2)
+
+    def snapshot():
+        tf, df, stats, _ = RET.load_lexical_index(spark, path)
+        return (
+            sorted(map(tuple, tf.collect())),
+            sorted(map(tuple, df.collect())),
+            stats.collect(),
+        )
+
+    before = snapshot()
+    assert IS.ingest_epoch(spark, epoch_docs, 3, path, vec_col="toks") == "committed"
+    after = snapshot()
+    assert after != before
+
+    # crash window: every file renamed, marker gone — invisible whole
+    os.remove(f"{path}/ledger/epoch-{3:012d}")
+    assert snapshot() == before
+    # deeper crash: the df partial also missing — still the clean
+    # pre-epoch state, never tf rows without their partials
+    for f in os.listdir(f"{path}/df"):
+        if f.startswith(f"stream-{3:012d}-"):
+            os.remove(f"{path}/df/{f}")
+    assert snapshot() == before
+
+    # a delete in this window sees only committed rows: an id that
+    # exists ONLY in the uncommitted epoch is not-present (no-op) —
+    # no tombstone may be written for it
+    from workhop2_etl_spark.operators import index_store as IDX
+
+    epoch_only = epoch_docs.select("doc_id").limit(5)
+    assert IDX.delete_from_index(spark, path, epoch_only) == "committed"
+    tombs = spark.read.parquet(f"{path}/tombstones")
+    assert tombs.count() == 0
+    assert snapshot() == before  # still the committed state
+
+    # replay the epoch: restages whole, converges to the committed
+    # post-epoch state (plus the no-op delete batch)
+    assert IS.ingest_epoch(spark, epoch_docs, 3, path, vec_col="toks") == "committed"
+    got = snapshot()
+    assert got[1] == after[1] and got[2] == after[2]
+    assert sorted(got[0]) == sorted(after[0])

@@ -915,3 +915,95 @@ def test_prf_persisted_equals_in_session_two_pass(spark, tmp_path):
     assert sorted((r.query_id, r.rank, r.doc_id, r.score, r.n_hit)
                   for r in prows) == want
     assert all(r.exact for r in prows)
+
+
+def test_pruned_probe_max_df_boundary_term_is_rare(spark, tmp_path):
+    """r12 adversarial pass: a term whose df is EXACTLY max_df sits
+    on the rare side of the split (df <= max_df), so it generates
+    candidates and is excluded from HB; a term at max_df + 1 is head.
+    Pinned with a corpus engineered to land one term on each side of
+    the boundary."""
+    from workhop2_etl_spark.operators import retrieval as RETOP
+
+    rows = []
+    for d in range(100):
+        toks = ["filler"]
+        if d < 10:
+            toks = toks + ["edge"]      # df(edge) = 10 == max_df
+        if d < 11:
+            toks = toks + ["over"]      # df(over) = 11 == max_df + 1
+        rows.append((d, toks))
+    corpus = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    path = str(tmp_path / "boundary")
+    RETOP.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+    tf, df, stats, meta = RETOP.load_lexical_index(spark, path)
+
+    # query of ONLY the boundary term: rare → candidates exist and
+    # (no head terms for q1) the certificate fires
+    qt = spark.createDataFrame(
+        [(1, "edge"), (2, "over")], "query_id long, term string"
+    )
+    got = RETOP.probe_lexical_index(
+        tf, df, stats, meta, qt, k=5, max_df=10, exclude_self=False
+    ).collect()
+    q1 = [r for r in got if r.query_id == 1]
+    q2 = [r for r in got if r.query_id == 2]
+    assert len(q1) == 5 and all(r.exact for r in q1)  # df==max_df → rare
+    assert q2 == []  # df==max_df+1 → head-only query: no candidates
+
+
+def test_prf_harvest_is_deterministic_under_ties(spark):
+    """r12 adversarial pass: when feedback docs TIE on BM25 score at
+    the n_feedback boundary, and harvested terms tie on summed tf,
+    both choices must break deterministically (doc_id asc, term asc)
+    — the oracle replays the same ORDER BY, so any nondeterminism
+    here would flake the t15/t16 hash compares. Pinned by building a
+    fully symmetric corpus and asserting the expansion twice."""
+    from workhop2_etl_spark.operators import retrieval as RETOP
+
+    # docs 10..15 identical ⇒ identical scores for the query; the
+    # harvest weights tie across their (identical) vocabularies
+    rows = [(d, ["alpha", "beta", "gamma", "delta"]) for d in range(10, 16)]
+    rows.append((1, ["alpha", "probe"]))  # the query doc
+    corpus = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    qt = spark.createDataFrame([(1, "alpha")], "query_id long, term string")
+
+    outs = []
+    for partitions in ("5", "17"):
+        spark.conf.set("spark.sql.shuffle.partitions", partitions)
+        try:
+            out = RETOP.bm25_prf_expand(
+                corpus, qt, n_feedback=3, m_expand=2
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+        outs.append(sorted(map(tuple, out)))
+    assert outs[0] == outs[1]
+    # ties broken lexically: beta/delta are the first two unseen
+    # terms by (weight desc — all equal — then term asc)
+    expansion = {t for (_, t) in outs[0]} - {"alpha"}
+    assert expansion == {"beta", "delta"}
+
+
+def test_weighted_fuse_both_arms_constant(spark):
+    """r12 adversarial pass: when BOTH arms are constant-score for a
+    query, every present doc normalizes to 1.0 in its arm, so fused =
+    α·1 + β·1 = 1.0 for overlap docs, α for a-only, β for b-only —
+    overlap outranks either single arm and ties break on doc_id."""
+    from workhop2_etl_spark.operators import retrieval as RETOP
+
+    a = spark.createDataFrame(
+        [(1, 101, 0.5), (1, 102, 0.5), (1, 103, 0.5)],
+        "query_id long, doc_id long, score double",
+    )
+    b = spark.createDataFrame(
+        [(1, 102, 9.0), (1, 103, 9.0), (1, 104, 9.0)],
+        "query_id long, doc_id long, score double",
+    )
+    got = RETOP.weighted_fuse(a, b, k=10, alpha=0.7).collect()
+    by_doc = {r.doc_id: r for r in got}
+    assert by_doc[102].fused_score == 1.0 and by_doc[103].fused_score == 1.0
+    assert by_doc[101].fused_score == 0.7  # a-only
+    assert by_doc[104].fused_score == 0.3  # b-only (1 - alpha)
+    ranks = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ranks == [102, 103, 101, 104]  # overlap first, then doc_id

@@ -30,6 +30,15 @@ Prints one JSON line per corpus size.
   BOTH artifacts (BM25 lexical + IVF postings) once, then the steady
   state (load both → probe top-20 each → RRF-fuse → collect) vs
   recomputing both arms in-session every run.
+--delete (r12): the deletion lifecycle priced at scale — delete 1%
+  then to 50% (tombstone-logical), probe latency at each state,
+  compaction, and the rebuild-on-survivors reference that decides
+  the compact-after-churn crossover (probe-after-compact is asserted
+  bit-equal to the rebuilt index's probe).
+--fusionrecall (r12): retrieval QUALITY of the fusion family —
+  recall@k of the BM25 arm, the IVF ANN arm, RRF, and weighted
+  CombSUM on planted noisy-twin queries (a known doc corrupted in
+  both modalities; relevant = the original).
 """
 
 from __future__ import annotations
@@ -68,7 +77,8 @@ def main() -> None:
 
     from workhop2_etl_spark.operators import retrieval as RET
 
-    flags = ("--ivf", "--pq", "--lex", "--lexprune", "--hybrid")
+    flags = ("--ivf", "--pq", "--lex", "--lexprune", "--hybrid",
+             "--delete", "--fusionrecall")
     args = [a for a in sys.argv[1:] if a not in flags]
     family = next(
         (f.lstrip("-") for f in flags if f in sys.argv[1:]), "lsh"
@@ -253,6 +263,197 @@ def main() -> None:
             )
             shutil.rmtree(lex_path, ignore_errors=True)
             shutil.rmtree(ivf_path, ignore_errors=True)
+            print(json.dumps(rec))
+            continue
+
+        if family == "delete":
+            # r12 (verdict ask #6): price the deletion lifecycle at
+            # scale — tombstone-logical delete at 1% and 50% victim
+            # fractions, probe latency before/after, compaction, and
+            # the rebuild-on-survivors reference that decides the
+            # compact-after-churn crossover
+            docs = spark.read.parquet(FX.ensure_documents_lex(n))
+            toks = F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+            corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+            query_terms = (
+                corpus_tokens.filter(F.col("doc_id") < N_QUERIES)
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.explode(F.slice("toks", 1, 8)).alias("term"),
+                )
+                .distinct()
+            )
+            rec = {"family": family, "n": n, "k": K, "n_queries": N_QUERIES}
+
+            t0 = time.time()
+            RET.save_lexical_index(corpus_tokens, path, mode="overwrite")
+            rec["build_save_sec"] = round(time.time() - t0, 2)
+
+            def timed_probe():
+                t0 = time.time()
+                tf, df, stats, meta = RET.load_lexical_index(spark, path)
+                rows = RET.probe_lexical_index(
+                    tf, df, stats, meta, query_terms, k=K
+                ).collect()
+                return round(time.time() - t0, 2), rows
+
+            rec["probe_base_sec"], _ = timed_probe()
+
+            t0 = time.time()
+            IDX.delete_from_index(
+                spark, path,
+                corpus_tokens.filter(F.col("doc_id") % 100 == 0)
+                .select("doc_id"),
+                batch="pct01",
+            )
+            rec["delete_1pct_sec"] = round(time.time() - t0, 2)
+            rec["probe_after_1pct_sec"], _ = timed_probe()
+
+            t0 = time.time()
+            IDX.delete_from_index(
+                spark, path,
+                corpus_tokens.filter(F.col("doc_id") % 2 == 0)
+                .select("doc_id"),
+                batch="pct50",
+            )
+            rec["delete_to_50pct_sec"] = round(time.time() - t0, 2)
+            rec["probe_after_50pct_sec"], _ = timed_probe()
+
+            t0 = time.time()
+            IDX.compact_index(spark, path)
+            rec["compact_sec"] = round(time.time() - t0, 2)
+            rec["probe_after_compact_sec"], rows_c = timed_probe()
+
+            # rebuild-on-survivors reference (the crossover baseline)
+            survivors = corpus_tokens.filter(
+                (F.col("doc_id") % 100 != 0) & (F.col("doc_id") % 2 != 0)
+            )
+            t0 = time.time()
+            RET.save_lexical_index(survivors, path + "_rb", mode="overwrite")
+            rec["rebuild_survivors_sec"] = round(time.time() - t0, 2)
+            tf, df, stats, meta = RET.load_lexical_index(spark, path + "_rb")
+            rows_rb = RET.probe_lexical_index(
+                tf, df, stats, meta, query_terms, k=K
+            ).collect()
+            assert sorted(map(tuple, rows_c)) == sorted(map(tuple, rows_rb))
+            rec["delete_then_compact_vs_rebuild"] = round(
+                (rec["delete_1pct_sec"] + rec["delete_to_50pct_sec"]
+                 + rec["compact_sec"]) / rec["rebuild_survivors_sec"], 2
+            )
+            shutil.rmtree(path, ignore_errors=True)
+            shutil.rmtree(path + "_rb", ignore_errors=True)
+            print(json.dumps(rec))
+            continue
+
+        if family == "fusionrecall":
+            # r12 (verdict ask #7): does fusion EARN its cost —
+            # recall@k of BM25 / ANN / RRF / weighted on planted
+            # noisy-twin queries (relevant = the original doc). With
+            # both modalities intact every arm scores 1.0 here (a
+            # handful of Zipf-tail terms OR a lightly-perturbed
+            # 64-dim vector each fingerprint a doc), so the
+            # informative design is DEGRADED-MODALITY: even queries
+            # arrive with NO usable text (empty term set — the
+            # no-text-metadata case), odd queries with a garbage
+            # embedding (pure noise — the no-embedding case). Each
+            # single arm can serve only its half; fusion must recover
+            # both halves to earn its cost.
+            import hashlib as _hl
+
+            docs = spark.read.parquet(FX.ensure_documents_lex(n))
+            emb = spark.read.parquet(FX.ensure_embeddings(n, DIM))
+            toks = F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+            corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+            qoff = 10_000_000  # query ids live outside the corpus id space
+            step = max(1, n // N_QUERIES)
+            base = corpus_tokens.filter(
+                (F.col("doc_id") % step == 0) & (F.col("doc_id") < step * N_QUERIES)
+            )
+            # lexical query: every 3rd token dropped, first 24
+            # positions kept — but EVEN queries lose their text
+            # entirely (no rows in qt)
+            qt = (
+                base.filter((F.col("doc_id") / step).cast("long") % 2 == 1)
+                .select(
+                    (F.col("doc_id") + qoff).alias("query_id"),
+                    F.posexplode("toks").alias("pos", "term"),
+                )
+                .filter((F.col("pos") % 3 != 0) & (F.col("pos") < 24))
+                .select("query_id", "term")
+                .distinct()
+            )
+            # vector query: base embedding + light hash noise — but
+            # ODD queries get a garbage (pure-noise) embedding
+            base_vecs = (
+                emb.filter(
+                    (F.col("vec_id") % step == 0)
+                    & (F.col("vec_id") < step * N_QUERIES)
+                ).collect()
+            )
+
+            def _noise(q, d, scale):
+                h = _hl.md5(f"{q}:{d}".encode()).hexdigest()[:8]
+                return (int(h, 16) / float(1 << 31) - 1.0) * scale
+
+            def _qvec(r):
+                if (int(r.vec_id) // step) % 2 == 1:  # text half: junk vec
+                    return [_noise(r.vec_id, d, 1.0) for d in range(DIM)]
+                return [
+                    float(v) + _noise(r.vec_id, d, 0.10)
+                    for d, v in enumerate(r.embedding)
+                ]
+
+            vqueries = spark.createDataFrame(
+                [(int(r.vec_id) + qoff, _qvec(r)) for r in base_vecs],
+                "vec_id long, embedding array<float>",
+            )
+            want = {i + qoff: i for i in range(0, step * N_QUERIES, step)}
+            rec = {"family": family, "n": n, "dim": DIM, "arm_k": 20,
+                   "k": K, "n_queries": len(want)}
+
+            cents = fit_centroids(emb, n_centroids=N_CENTROIDS, seed=7)
+            lex = RET.bm25_topk(corpus_tokens, qt, k=20).cache()
+            vec = (
+                topk_cosine_ivf(
+                    emb, vqueries, cents, k=20, nprobe=NPROBE,
+                    assign_kernel="blas",
+                )
+                .select(
+                    "query_id", F.col("neighbor_id").alias("doc_id"),
+                    "rank", "score",
+                )
+                .cache()
+            )
+            rrf = RET.rrf_fuse(
+                lex.select("query_id", "doc_id", "rank"),
+                vec.select("query_id", "doc_id", "rank"), k=K,
+            )
+            wtd = RET.weighted_fuse(
+                lex.select("query_id", "doc_id", "score"),
+                vec.select("query_id", "doc_id", "score"),
+                k=K, alpha=0.5,
+            )
+
+            def recall_at(df_, k_at):
+                hit = {}
+                for r in df_.filter(F.col("rank") <= k_at).collect():
+                    hit.setdefault(r.query_id, set()).add(r.doc_id)
+                return round(
+                    sum(1 for q, d in want.items() if d in hit.get(q, set()))
+                    / len(want), 4,
+                )
+
+            rec["recall_lex"] = recall_at(lex, K)
+            rec["recall_vec"] = recall_at(vec, K)
+            rec["recall_rrf"] = recall_at(rrf, K)
+            rec["recall_weighted"] = recall_at(wtd, K)
+            lex.unpersist(); vec.unpersist()
             print(json.dumps(rec))
             continue
 

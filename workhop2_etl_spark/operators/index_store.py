@@ -313,7 +313,7 @@ def load_lsh_index(
         meta,
         {"dim": dim, "num_planes": num_planes, "num_tables": num_tables},
     )
-    index = spark.read.parquet(f"{path}/index")
+    index = _gated_or_raise(spark, path, "index")
     tomb = _read_tombstones(spark, path)
     if tomb is not None:  # pending deletes: logical until compaction
         index = index.join(F.broadcast(tomb), "id", "left_anti")
@@ -738,7 +738,7 @@ def load_ivf_index(
             meta,
             _codebooks=_read_codebook_rows(spark, f"{path}/codebooks", meta),
         )
-    postings = spark.read.parquet(f"{path}/index")
+    postings = _gated_or_raise(spark, path, "index")
     tomb = _read_tombstones(spark, path)
     if tomb is not None:  # pending deletes: logical until compaction
         postings = postings.join(F.broadcast(tomb), "id", "left_anti")
@@ -891,21 +891,48 @@ def lsh_index_stats(index: DataFrame, meta: dict) -> DataFrame:
     )
 
 
-def _delete_gated_parquet(spark: SparkSession, path: str, sub: str):
-    """Parquet relation at ``<path>/<sub>`` with UNCOMMITTED delete
-    batches hidden. ``delete_from_index`` renames its files in as
-    ``delete-<batch>-NNNNN.parquet`` across up to three directories
-    and only then creates the ledger marker — one atomic
-    ``createNewFile`` — so the marker is the batch's reader-visible
-    commit point. Files whose marker is absent (a crashed or, under a
-    racing reader, still-in-flight batch) are excluded here, which
-    makes the multi-file rename sequence invisible to readers
-    REGARDLESS of rename order: a reader sees either none of a
-    batch's tombstones/negative-partials or all of them, never
-    decremented stats with the victims' rows still visible. When no
-    batch is hidden the plain directory read is used (identical scan,
-    partition discovery and parquet pushdown). Returns None when the
-    directory is missing or nothing is visible."""
+def _gated_or_raise(spark: SparkSession, path: str, sub: str) -> DataFrame:
+    """``_ledger_gated_parquet`` for reads that need rows to exist:
+    raises a descriptive error instead of returning None when the
+    directory is missing, fileless, or every file belongs to an
+    uncommitted ledgered batch (e.g. a seeded-empty artifact whose
+    only ingest epoch crashed mid-rename — resume the stream)."""
+    rel = _ledger_gated_parquet(spark, path, sub)
+    if rel is None:
+        raise ValueError(
+            f"index at {path} has no COMMITTED data under {sub}/ — "
+            "either nothing was ever written, or every file belongs "
+            "to an uncommitted (crashed / in-flight) ledgered batch; "
+            "resume or replay the writer before reading"
+        )
+    return rel
+
+
+def _ledger_gated_parquet(spark: SparkSession, path: str, sub: str):
+    """Parquet relation at ``<path>/<sub>`` with UNCOMMITTED ledgered
+    batches hidden — the artifact's reader-side MVCC. Two mutators
+    rename multi-file batches into live dirs and only then create a
+    ledger marker (one atomic ``createNewFile``), so the marker is
+    each batch's reader-visible commit point:
+
+    - ``delete_from_index``: ``delete-<batch>-NNNNN.parquet`` across
+      up to three dirs, marker ``ledger/delete-<batch>``;
+    - ``ingest_epoch`` (streaming): ``stream-<epoch:012d>-NNNNN
+      .parquet`` across the kind's dirs, marker
+      ``ledger/epoch-<epoch:012d>``.
+
+    Files whose marker is absent (a crashed or, under a racing
+    reader, still-in-flight batch) are excluded, which makes the
+    rename sequence invisible to readers REGARDLESS of rename order:
+    a reader never sees decremented stats with the victims' tf rows
+    still visible (delete), nor an epoch's tf rows without its
+    df/stats partials (stream ingest) — r12, generalizing the r11
+    delete-window advice to every ledgered batch. Batch appends
+    (``append_*``) are NOT ledgered and keep their documented
+    single-writer/stop-the-world contract. When no batch is hidden
+    the plain directory read is used (identical scan, partition
+    discovery and parquet pushdown). Returns None when the directory
+    is missing or nothing is visible."""
     fs, p = _hadoop_fs(spark, f"{path}/{sub}")
     if not fs.exists(p):
         return None
@@ -916,18 +943,23 @@ def _delete_gated_parquet(spark: SparkSession, path: str, sub: str):
     ]
     if not files:  # e.g. a replay swept a crashed batch's files
         return None
-    batches = set()
+    markers = set()  # required ledger marker names
     for f in files:
         name = f.getName()
-        if name.startswith("delete-") and name.endswith(".parquet"):
-            batches.add(
-                name[len("delete-"):-len(".parquet")].rsplit("-", 1)[0]
-            )
+        if not name.endswith(".parquet"):
+            continue
+        if name.startswith("delete-"):
+            batch = name[len("delete-"):-len(".parquet")].rsplit("-", 1)[0]
+            markers.add(f"delete-{batch}")
+        elif name.startswith("stream-"):
+            epoch = name[len("stream-"):-len(".parquet")].rsplit("-", 1)[0]
+            markers.add(f"epoch-{epoch}")
     hidden = set()
-    for b in batches:
-        _, marker = _hadoop_fs(spark, f"{path}/ledger/delete-{b}")
+    for m in markers:
+        _, marker = _hadoop_fs(spark, f"{path}/ledger/{m}")
         if not fs.exists(marker):
-            hidden.add(f"delete-{b}-")
+            kind, _, tag = m.partition("-")
+            hidden.add(("delete-" if kind == "delete" else "stream-") + tag + "-")
     if not hidden:
         return spark.read.parquet(f"{path}/{sub}")
     visible = [
@@ -941,7 +973,7 @@ def _delete_gated_parquet(spark: SparkSession, path: str, sub: str):
 
 def _sweep_uncommitted_delete_batches(spark: SparkSession, path: str) -> int:
     """Physically remove every uncommitted delete batch's files
-    (ledger marker absent — see ``_delete_gated_parquet``; such a
+    (ledger marker absent — see ``_ledger_gated_parquet``; such a
     batch was never reader-visible and its ``delete_from_index`` call
     never returned 'committed'). ``compact_index`` runs this before
     reading any data dir so a crashed batch's negative partials can
@@ -980,10 +1012,10 @@ def _read_tombstones(spark: SparkSession, path: str):
     relation's own id column: 'id' for the postings kinds, 'doc_id'
     for the lexical kind) or None when no COMMITTED deletes are
     pending (uncommitted batches are marker-gated invisible — see
-    ``_delete_gated_parquet``). Every loader anti-joins this
+    ``_ledger_gated_parquet``). Every loader anti-joins this
     relation; ``compact_index`` purges the rows physically and clears
     the directory."""
-    return _delete_gated_parquet(spark, path, "tombstones")
+    return _ledger_gated_parquet(spark, path, "tombstones")
 
 
 def delete_from_index(
@@ -1016,7 +1048,7 @@ def delete_from_index(
     deletes its own files first and restages from live state. The
     MARKER is the commit point for readers too: every loader hides
     ``delete-<batch>-*`` files whose marker is absent
-    (``_delete_gated_parquet``), so the negative partials and the
+    (``_ledger_gated_parquet``), so the negative partials and the
     tombstones become visible together — atomically, at marker
     creation — or not at all, even to a reader racing the writer or
     loading after a mid-rename crash. ``batch`` defaults to the next
@@ -1102,7 +1134,7 @@ def delete_from_index(
 
     tomb = _read_tombstones(spark, path)
     if meta["kind"] == _LEXICAL_KIND:
-        tf = spark.read.parquet(f"{path}/tf")
+        tf = _gated_or_raise(spark, path, "tf")
         live = tf.join(F.broadcast(tomb), id_name, "left_anti") if tomb is not None else tf
         victims = live.join(F.broadcast(ids), id_name, "left_semi")
         # negative partials over the victims' OWN rows: df loses one
@@ -1130,7 +1162,7 @@ def delete_from_index(
             for sub in ("df", "stats", "tombstones")
         ]
     else:
-        postings = spark.read.parquet(f"{path}/index")
+        postings = _gated_or_raise(spark, path, "index")
         live = postings.join(F.broadcast(tomb), id_name, "left_anti") if tomb is not None else postings
         present = (
             live.join(F.broadcast(ids), id_name, "left_semi")

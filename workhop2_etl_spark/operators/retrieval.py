@@ -371,33 +371,35 @@ def load_lexical_index(
     NEGATIVE ones, so the sums are exactly the single-shot aggregates
     over the surviving documents regardless of lifecycle history;
     terms whose net df reaches 0 are dropped, as a rebuild would).
-    ``tf`` anti-joins any pending delete tombstones. A delete batch's
-    tombstones and negative partials appear TOGETHER or not at all:
-    all three reads hide files whose ledger marker is absent, so the
-    marker is the batch's atomic commit point even under a reader
-    racing the writer's renames (index_store._delete_gated_parquet).
-    Raises on kind/tokenizer drift."""
+    ``tf`` anti-joins any pending delete tombstones. Any LEDGERED
+    batch — a delete's tombstones + negative partials, a stream
+    epoch's tf rows + positive partials — appears TOGETHER or not at
+    all: all three reads hide files whose ledger marker is absent, so
+    the marker is each batch's atomic commit point even under a
+    reader racing the writer's renames or after a mid-rename crash
+    (index_store._ledger_gated_parquet, r12). Raises on
+    kind/tokenizer drift."""
     from workhop2_etl_spark.operators.index_store import (
         _check_drift,
-        _delete_gated_parquet,
+        _gated_or_raise,
         _read_meta,
         _read_tombstones,
     )
 
     meta = _read_meta(spark, path, _LEXICAL_KIND)
     _check_drift(path, meta, {"tokenizer": tokenizer})
-    tf = spark.read.parquet(f"{path}/tf")
+    tf = _gated_or_raise(spark, path, "tf")
     tomb = _read_tombstones(spark, path)
     if tomb is not None:  # pending deletes: logical until compaction
         tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
     df = (
-        _delete_gated_parquet(spark, path, "df")
+        _gated_or_raise(spark, path, "df")
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") > 0)
     )
     stats = _stats_from_counts(
-        _delete_gated_parquet(spark, path, "stats").agg(
+        _gated_or_raise(spark, path, "stats").agg(
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
             F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
         )

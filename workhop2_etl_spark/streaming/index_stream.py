@@ -89,7 +89,15 @@ def ingest_epoch(
     additive over disjoint epochs, so the loader's sum-of-partials
     stays the single-shot aggregate (operators/retrieval.py). For a
     lexical artifact the batch must already carry the tokenized
-    column (``vec_col`` names it; default contract 'toks')."""
+    column (``vec_col`` names it; default contract 'toks').
+
+    Reader atomicity (r12): the epoch's renamed files are hidden from
+    every loader until the ledger marker lands
+    (index_store._ledger_gated_parquet) — a reader racing these
+    renames, or loading after a mid-rename crash, sees the whole
+    epoch or none of it (never tf rows without their df/stats
+    partials), and a delete derives its victims from COMMITTED rows
+    only."""
     fs, marker = _hadoop_fs(spark, f"{index_path}/ledger/epoch-{epoch_id:012d}")
     staging = f"{index_path}/ingest.epoch-{epoch_id:012d}"
     _, staging_p = _hadoop_fs(spark, staging)
