@@ -153,6 +153,13 @@ HEADLINE = [
     "v15_hybrid_rrf",
     "v16_hybrid_persisted_rrf",
     "v17_topk_truncated_refine",
+    # round-12: PRF against the persisted artifact (t15's 100 TB
+    # shape — regresses if pass 2 stops reusing the IN-list-pruned
+    # artifact scans) and the full stream-ingest ∘ delete lifecycle
+    # (regresses if the marker-gated loader stops falling back to the
+    # plain directory scan when nothing is hidden)
+    "t16_bm25_prf_persisted",
+    "st15_streaming_ingest_delete",
 ]
 
 

@@ -427,6 +427,65 @@ def st14_streaming_lexical_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# st15 (r12): the full lexical index lifecycle in one query — stream
+# ingest (three exactly-once epochs through the prepare tokenizer),
+# then DELETE a slice, then probe. Pins this round's marker-gated
+# batch visibility end to end: the delete's signed partials net
+# against three stream epochs' positive partials (not a batch
+# build's), its tombstones anti-join the streamed tf rows, and the
+# oracle recomputes single-shot BM25 over the SURVIVORS — green
+# proves stream-ingest ∘ delete ≡ rebuild-on-survivors bit-exactly.
+# ---------------------------------------------------------------------------
+_ST15_Q_MOD = 103
+_ST15_DEL_MOD = 6
+
+
+@query(
+    "st15_streaming_ingest_delete",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_ST15_Q_MOD, _BM25_K,
+                        doc_pred=f"doc_id % {_ST15_DEL_MOD} <> 0")}
+    SELECT query_id, rank, doc_id, score, n_hit
+    FROM lex ORDER BY query_id, rank
+    """,
+)
+def st15_streaming_ingest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="w2e_st15_")
+    src, path, ckpt = (os.path.join(base, d) for d in ("src", "idx", "ckpt"))
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    tokenize = lambda df: df.select("doc_id", _toks().alias("toks"))  # noqa: E731
+    RET.save_lexical_index(
+        tokenize(docs).limit(0), path, mode="overwrite", num_partitions=2
+    )
+    IS.stream_index_ingest(
+        spark, src, docs.schema, path, ckpt,
+        vec_col="toks", partitions_per_epoch=2, prepare=tokenize,
+    )
+    IDX.delete_from_index(
+        spark, path,
+        docs.filter(F.col("doc_id") % _ST15_DEL_MOD == 0).select("doc_id"),
+    )
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    qt = _query_terms(
+        docs.filter(F.col("doc_id") % _ST15_DEL_MOD != 0), _ST15_Q_MOD
+    )
+    return RET.probe_lexical_index(
+        tf, df, stats, meta, qt, k=_BM25_K
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # v15: hybrid retrieval — BM25 lexical arm over `documents` fused
 # with an exact-cosine vector arm over `embeddings` (doc_id ≡ vec_id
 # by the testdata contract) via reciprocal-rank fusion (Cormack et
