@@ -464,10 +464,10 @@ def st15_streaming_ingest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="w2e_st15_")
     src, path, ckpt = (os.path.join(base, d) for d in ("src", "idx", "ckpt"))
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
-            "append"
-        ).parquet(src)
+    # one write job, three part files → three availableNow epochs
+    # (any disjoint doc split works; epoch order is irrelevant to the
+    # additive partials)
+    docs.repartition(3).write.mode("overwrite").parquet(src)
 
     tokenize = lambda df: df.select("doc_id", _toks().alias("toks"))  # noqa: E731
     RET.save_lexical_index(
@@ -789,13 +789,18 @@ def t15_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a green verdict proves the artifact round trip AND the probe-twice
 # loop equal the single-shot two-pass semantics exactly.
 # ---------------------------------------------------------------------------
-_T16_Q_MOD = 127
+_T16_Q_MOD = 41
+_T16_CORPUS_MOD = 3  # index the doc_id % 3 == 0 third: the entry is
+# job-overhead-bound at sf0.1 (save+load+2 probes+harvest), and a
+# corpus slice keeps it single-digit without changing any semantics
+# the oracle checks (the oracle carries the same predicate)
 
 
 @query(
     "t16_bm25_prf_persisted",
     oracle=f"""
-    WITH {_bm25_cte_sql(_T16_Q_MOD, _T15_N_FB)},
+    WITH {_bm25_cte_sql(_T16_Q_MOD, _T15_N_FB,
+                        doc_pred=f"doc_id % {_T16_CORPUS_MOD} = 0")},
     fb AS (SELECT query_id, doc_id FROM lex),
     exp_w AS (
       SELECT f.query_id, t.term, sum(t.tf) AS w
@@ -847,7 +852,9 @@ def t16_bm25_prf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _T16_CORPUS_MOD == 0
+    )
     corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
     path = os.path.join(tempfile.mkdtemp(prefix="w2e_t16_"), "lexidx")
     RET.save_lexical_index(
