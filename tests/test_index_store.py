@@ -1080,3 +1080,72 @@ def test_auto_delete_labels_namespaced_no_collision(spark):
         spark, path, corpus.filter(F.col("doc_id") % 11 == 0).select("doc_id"),
         batch="000000",
     ) == "skipped"
+
+
+def test_compact_refuses_uncommitted_stream_epoch_files(spark):
+    """r12: compact reads data dirs directly (it rewrites whole
+    dirs), so an epoch crashed mid-rename whose staging dir was also
+    lost must STOP compaction — folding the unmarked files in would
+    make the epoch's replay duplicate rows. The committed state
+    compacts fine once the marker is restored."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    corpus = _lex_corpus(spark, n=150)
+    path = _tmp("lex_stream_guard")
+    RET.save_lexical_index(
+        corpus.limit(0), path, mode="overwrite", num_partitions=1
+    )
+    assert IS.ingest_epoch(spark, corpus, 0, path, vec_col="toks") == "committed"
+    os.remove(f"{path}/ledger/epoch-{0:012d}")  # marker lost, staging gone
+
+    with pytest.raises(ValueError, match="UNCOMMITTED stream epoch"):
+        IDX.compact_index(spark, path, num_partitions=1)
+
+    # restore the marker: the batch is committed again and compaction
+    # proceeds, probe-identical to pre-compaction
+    open(f"{path}/ledger/epoch-{0:012d}", "w").close()
+    tf0, df0, stats0, meta0 = RET.load_lexical_index(spark, path)
+    before = sorted(map(tuple, tf0.collect()))
+    IDX.compact_index(spark, path, num_partitions=1)
+    tf1, _, _, _ = RET.load_lexical_index(spark, path)
+    assert sorted(map(tuple, tf1.collect())) == before
+
+
+def test_overwrite_save_clears_stale_lifecycle_state(spark):
+    """r12 (real bug, found via a harness double-run): rebuilding an
+    artifact at an existing path with mode='overwrite' must clear the
+    old life's ledger and tombstones — previously the new corpus
+    anti-joined STALE victim ids (rows silently missing from probes)
+    and old delete markers made the new life's first same-labelled
+    delete return 'skipped' without deleting."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=150)
+    path = _tmp("lex_overwrite_reset")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+    victims = corpus.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims, batch="life1") == "committed"
+
+    # rebuild the artifact in place: the old tombstones must NOT
+    # suppress the new corpus's rows, and the old delete marker must
+    # NOT short-circuit the new life's delete
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+    _, _, stats, _ = RET.load_lexical_index(spark, path)
+    assert stats.collect()[0].n_docs == corpus.filter(F.size("toks") > 0).count()
+    assert IDX.delete_from_index(spark, path, victims, batch="life1") == "committed"
+    _, _, stats2, _ = RET.load_lexical_index(spark, path)
+    want = corpus.filter((F.size("toks") > 0) & (F.col("doc_id") % 4 != 0)).count()
+    assert stats2.collect()[0].n_docs == want
+
+    # same class for the postings kinds
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    p2 = _tmp("lsh_overwrite_reset")
+    IDX.save_lsh_index(emb, p2, dim=DIM, num_planes=4, num_tables=2,
+                       mode="overwrite")
+    IDX.delete_from_index(spark, p2, emb.filter(F.col("vec_id") % 3 == 0)
+                          .select("vec_id"))
+    IDX.save_lsh_index(emb, p2, dim=DIM, num_planes=4, num_tables=2,
+                       mode="overwrite")
+    index, meta = IDX.load_lsh_index(spark, p2)
+    assert index.select("id").distinct().count() == emb.count()

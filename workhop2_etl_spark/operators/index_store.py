@@ -144,6 +144,23 @@ def _check_drift(path: str, meta: dict, expected: dict) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _reset_lifecycle_state(spark: SparkSession, path: str, mode: str) -> None:
+    """On an ``overwrite`` save, clear the artifact's LIFECYCLE state
+    (``ledger/`` markers and pending ``tombstones/``) along with the
+    data the Spark writers overwrite. Without this a rebuild over an
+    existing artifact path inherited the old tombstones — the new
+    corpus's rows anti-joined against stale victim ids — and old
+    ledger markers silently 'skipped' the first stream epochs /
+    delete batches of the new life (r12 fix, found by a test-harness
+    double-run)."""
+    if mode != "overwrite":
+        return
+    for sub in ("ledger", "tombstones"):
+        fs, d = _hadoop_fs(spark, f"{path}/{sub}")
+        if fs.exists(d):
+            fs.delete(d, True)
+
+
 def save_lsh_index(
     corpus: DataFrame,
     path: str,
@@ -176,6 +193,7 @@ def save_lsh_index(
     Returns the metadata dict it wrote. ``mode`` follows Spark write
     semantics ('error' | 'overwrite').
     """
+    _reset_lifecycle_state(corpus.sparkSession, path, mode)
     _write_signed(
         corpus, path, dim, num_planes, num_tables, id_col, vec_col,
         sig_kernel, mode, store_dtype=store_dtype,
@@ -508,6 +526,7 @@ def save_ivf_index(
 
     Returns the metadata dict it wrote."""
     spark = corpus.sparkSession
+    _reset_lifecycle_state(spark, path, mode)
     _write_ivf_postings(
         corpus, path, centroids, id_col, vec_col, assign_kernel, mode,
         store_dtype=store_dtype, codebooks=codebooks, dim=dim,
@@ -1007,6 +1026,43 @@ def _sweep_uncommitted_delete_batches(spark: SparkSession, path: str) -> int:
     return removed
 
 
+def _assert_no_uncommitted_stream_files(spark: SparkSession, path: str) -> None:
+    """Refuse to compact over unmarked ``stream-<epoch>-*`` files.
+    ``compact_index`` reads data dirs DIRECTLY (not through the
+    marker-gated loader — it must rewrite whole dirs), so an epoch
+    that crashed mid-rename AND lost its staging dir (the normal
+    crash leaves staging behind and is caught by the existing
+    ingest.epoch-* guard) would otherwise fold reader-invisible rows
+    into the compacted files, where the epoch's replay would then
+    duplicate them. Unlike a delete batch — whose replay restages
+    from live state, so compact sweeps it — a stream epoch's replay
+    assumes its own renamed files are the only copies; sweeping could
+    race a concurrent resume, so the stream must converge first."""
+    for sub in ("tf", "df", "stats", "index"):
+        fs, d = _hadoop_fs(spark, f"{path}/{sub}")
+        if not fs.exists(d):
+            continue
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if not (
+                st.isFile()
+                and name.startswith("stream-")
+                and name.endswith(".parquet")
+            ):
+                continue
+            epoch = name[len("stream-"):-len(".parquet")].rsplit("-", 1)[0]
+            _, marker = _hadoop_fs(spark, f"{path}/ledger/epoch-{epoch}")
+            if not fs.exists(marker):
+                raise ValueError(
+                    f"index at {path} has files from an UNCOMMITTED stream "
+                    f"epoch ({sub}/{name}; marker ledger/epoch-{epoch} "
+                    "absent) — resume the stream to convergence (or remove "
+                    "the epoch's stream-* files if the stream is abandoned) "
+                    "before compacting, else the epoch's replay would "
+                    "duplicate rows"
+                )
+
+
 def _read_tombstones(spark: SparkSession, path: str):
     """Tombstoned row ids at ``path`` (one column, named after the
     relation's own id column: 'id' for the postings kinds, 'doc_id'
@@ -1265,6 +1321,7 @@ def compact_index(
     # at already-purged rows, whose anti-join is a no-op, so any
     # intermediate state stays load-correct
     _sweep_uncommitted_delete_batches(spark, path)
+    _assert_no_uncommitted_stream_files(spark, path)
     tomb = _read_tombstones(spark, path)
 
     def _purge_ids(d: DataFrame) -> DataFrame:

@@ -282,9 +282,11 @@ def save_lexical_index(
     themselves were the caller's input). Returns the metadata."""
     from workhop2_etl_spark.operators.index_store import (
         FORMAT_VERSION,
+        _reset_lifecycle_state,
         _write_meta,
     )
 
+    _reset_lifecycle_state(corpus_tokens.sparkSession, path, mode)
     _write_lexical_epoch(
         corpus_tokens, path, id_col, tok_col, mode,
         num_partitions=num_partitions,
