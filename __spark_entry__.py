@@ -34,7 +34,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # green.
 # ROUND-12 WINDOW (exactly 50; composed per tools/staleness_report.py,
 # never-verified > kernel-changed > oldest-green):
-# (a) 6 never-driver-verified, the r11 verdict's ask #1 plus this
+# (a) 7 never-driver-verified, the r11 verdict's ask #1 plus this
 #     round's additions: t14_bm25_index_delete + v18_topk_ivf_index_
 #     delete (the r11 deletion lifecycle: tombstones + signed lexical
 #     partials — now marker-gated for reader atomicity, r12),
@@ -44,7 +44,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     probed twice against the persisted artifact), and
 #     st15_streaming_ingest_delete (NEW r12: stream-ingest ∘ delete
 #     ≡ rebuild-on-survivors — pins the marker-gated visibility
-#     end to end).
+#     end to end), and st16_snapshot_as_of (NEW r12: load(as_of=N)
+#     snapshot read at a recorded commit sequence — probes the
+#     pre-delete state bit-exactly).
 # (b) 2 r12-kernel-changed with pre-r12 greens: v16_hybrid_persisted_
 #     rrf (rrf_fuse rebuilt as union + hash aggregate, extrema
 #     broadcast — same semantics, new plan) and t13_bm25_pruned_probe
@@ -53,7 +55,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (c) the full 8-query r06 cohort — the staleness tail's oldest:
 #     q13, q18, q21, q22, q2, q5, q7, s5_jdbc_roundtrip.
 # (d) all 21 STALE-flagged r07 queries (kernel newer than green),
-#     then the first 13 non-flagged r07 queries in staleness-report
+#     then the first 12 non-flagged r07 queries in staleness-report
 #     order — after this pass no query's latest driver green is
 #     older than r7 (the r11 verdict's ask #2 done-criterion).
 # Deferred, each with the displacing rationale:
@@ -74,8 +76,8 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # - u5/k1/k2/dq2/e7/q3/q9/w5/w6/x10 + the rest of the r11-green
 #   head: kernels untouched in r12, greens one round old — normal
 #   rotation, next in the r13 tail.
-# - q19/q20/q4/q6/q8/s2/sql3/x13/x18/x1/x3 (r07 greens, kernels ≤
-#   r07, never STALE-flagged): the 11 displaced by head (a)+(b);
+# - q17/q19/q20/q4/q6/q8/s2/sql3/x13/x18/x1/x3 (r07 greens, kernels
+#   ≤ r07, never STALE-flagged): the 12 displaced by head (a)+(b);
 #   they lead the r13 staleness tail.
 # ROUND-11 WINDOW (historical; superseded by the r12 list below):
 # (a) 1 never-driver-verified: t13_bm25_pruned_probe (NEW r11 — the
@@ -129,6 +131,7 @@ _PRIORITY = [
     "v19_hybrid_weighted",
     "t16_bm25_prf_persisted",
     "st15_streaming_ingest_delete",
+    "st16_snapshot_as_of",
     # (b) r12-kernel-changed
     "v16_hybrid_persisted_rrf",
     "t13_bm25_pruned_probe",
@@ -176,7 +179,6 @@ _PRIORITY = [
     "q14_promo_share",
     "q15_top_supplier",
     "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
 ]
 
 

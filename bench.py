@@ -160,6 +160,10 @@ HEADLINE = [
     # plain directory scan when nothing is hidden)
     "t16_bm25_prf_persisted",
     "st15_streaming_ingest_delete",
+    # round-12 late: snapshot read at a recorded commit sequence
+    # (regresses if the marker-seq gate stops short-circuiting to
+    # plain directory reads on the current-state path)
+    "st16_snapshot_as_of",
 ]
 
 

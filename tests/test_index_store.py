@@ -1149,3 +1149,82 @@ def test_overwrite_save_clears_stale_lifecycle_state(spark):
                        mode="overwrite")
     index, meta = IDX.load_lsh_index(spark, p2)
     assert index.select("id").distinct().count() == emb.count()
+
+
+def test_snapshot_as_of_reconstructs_each_commit(spark):
+    """r12 SNAPSHOT READS: every ledger marker records its commit
+    sequence, so load(as_of=N) reconstructs the artifact exactly as
+    it stood after commit N — epochs and deletes committed later are
+    hidden across ALL relations at once (scores stay bit-exact
+    single-shot BM25 over the visible docs). Legacy empty markers
+    stay visible under any as_of; compaction bounds history."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    corpus = _lex_corpus(spark, n=240)
+    a = corpus.filter(F.col("doc_id") % 2 == 0)
+    b = corpus.filter(F.col("doc_id") % 2 == 1)
+    path = _tmp("lex_asof")
+    RET.save_lexical_index(corpus.limit(0), path, mode="overwrite",
+                           num_partitions=1)
+    assert IS.ingest_epoch(spark, a, 0, path, vec_col="toks") == "committed"
+    assert IS.ingest_epoch(spark, b, 1, path, vec_col="toks") == "committed"
+    victims = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims) == "committed"
+
+    def snap(as_of=None, ref_corpus=None):
+        tf, df, stats, _ = RET.load_lexical_index(spark, path, as_of=as_of)
+        if ref_corpus is None:
+            return (sorted(map(tuple, tf.collect())),
+                    sorted(map(tuple, df.collect())), stats.collect())
+        rp = _tmp(f"lex_asof_ref{as_of}")
+        RET.save_lexical_index(ref_corpus, rp, mode="overwrite",
+                               num_partitions=1)
+        rtf, rdf, rstats, _ = RET.load_lexical_index(spark, rp)
+        assert sorted(map(tuple, tf.collect())) == sorted(map(tuple, rtf.collect()))
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, rdf.collect()))
+        assert stats.collect() == rstats.collect()
+
+    snap(as_of=1, ref_corpus=a)                  # after epoch 0
+    snap(as_of=2, ref_corpus=corpus)             # after both epochs
+    snap(as_of=3, ref_corpus=corpus.join(       # after the delete
+        F.broadcast(victims), "doc_id", "left_anti"))
+    assert snap(as_of=3) == snap()               # == current state
+    assert snap(as_of=99) == snap()              # future seq: current
+
+    # legacy (empty) markers: visible under any as_of
+    mark = f"{path}/ledger/epoch-{1:012d}"
+    os.remove(mark); open(mark, "w").close()
+    snap(as_of=1, ref_corpus=corpus)             # epoch 1 now always-on
+
+    # compaction folds batches into base files: history ends here
+    IDX.compact_index(spark, path, num_partitions=1)
+    assert snap(as_of=1) == snap()
+
+
+def test_snapshot_as_of_postings_kinds(spark):
+    """Snapshot reads on the postings kinds: a probe at as_of BEFORE
+    a delete equals the pre-delete probe; at the delete's seq it
+    equals the current (tombstoned) probe."""
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 300)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = _tmp("lsh_asof")
+    IDX.save_lsh_index(half, path, dim=DIM, num_planes=4, num_tables=2,
+                       mode="overwrite")
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    assert IS.ingest_epoch(spark, rest, 0, path) == "committed"  # seq 1
+    queries = emb.filter(F.col("vec_id") % 50 == 3)
+
+    def probe(as_of=None):
+        idx, meta = IDX.load_lsh_index(spark, path, as_of=as_of)
+        return sorted(map(tuple,
+                          IDX.probe_lsh_index(idx, meta, queries, k=3).collect()))
+
+    full = probe()
+    IDX.delete_from_index(spark, path,
+                          emb.filter(F.col("vec_id") % 7 == 0).select("vec_id"))
+    assert probe(as_of=1) == full          # before the delete
+    assert probe(as_of=2) == probe()       # at the delete's commit
+    assert probe() != full

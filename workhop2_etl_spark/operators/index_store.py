@@ -320,19 +320,24 @@ def load_lsh_index(
     dim: int | None = None,
     num_planes: int | None = None,
     num_tables: int | None = None,
+    as_of: int | None = None,
 ) -> tuple[DataFrame, dict]:
     """(index relation, metadata) from ``path``; raises a descriptive
     ``ValueError`` when the artifact's dim / planes / tables disagree
     with what the caller expects (pass None to accept the stored
-    value — the metadata is the source of truth for the probe)."""
+    value — the metadata is the source of truth for the probe).
+    ``as_of`` reconstructs the SNAPSHOT after that commit sequence
+    (ledgered stream epochs and deletes only; see
+    ``_ledger_gated_parquet`` — history reaches the last
+    compaction)."""
     meta = _read_meta(spark, path, _LSH_KIND)
     _check_drift(
         path,
         meta,
         {"dim": dim, "num_planes": num_planes, "num_tables": num_tables},
     )
-    index = _gated_or_raise(spark, path, "index")
-    tomb = _read_tombstones(spark, path)
+    index = _gated_or_raise(spark, path, "index", as_of=as_of)
+    tomb = _read_tombstones(spark, path, as_of=as_of)
     if tomb is not None:  # pending deletes: logical until compaction
         index = index.join(F.broadcast(tomb), "id", "left_anti")
     return index, meta
@@ -740,13 +745,16 @@ def load_ivf_index(
     dim: int | None = None,
     n_centroids: int | None = None,
     seed: int | None = None,
+    as_of: int | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[float]]], dict]:
     """(postings relation, centroids, metadata) from ``path``; raises
     a descriptive ``ValueError`` on dim / n_centroids / seed drift or
     a corrupt quantizer (row count != n_centroids, ragged vectors).
     For a ``pq8`` artifact the persisted codebooks ride back inside
     the metadata dict (key ``_codebooks``) so ``probe_ivf_index``
-    can reconstruct without extra plumbing."""
+    can reconstruct without extra plumbing. ``as_of`` reconstructs
+    the snapshot after that commit sequence (ledgered batches only;
+    ``_ledger_gated_parquet``)."""
     meta = _read_meta(spark, path, _IVF_POSTINGS_KIND)
     _check_drift(
         path, meta, {"dim": dim, "n_centroids": n_centroids, "seed": seed}
@@ -757,8 +765,8 @@ def load_ivf_index(
             meta,
             _codebooks=_read_codebook_rows(spark, f"{path}/codebooks", meta),
         )
-    postings = _gated_or_raise(spark, path, "index")
-    tomb = _read_tombstones(spark, path)
+    postings = _gated_or_raise(spark, path, "index", as_of=as_of)
+    tomb = _read_tombstones(spark, path, as_of=as_of)
     if tomb is not None:  # pending deletes: logical until compaction
         postings = postings.join(F.broadcast(tomb), "id", "left_anti")
     return postings, centroids, meta
@@ -910,13 +918,15 @@ def lsh_index_stats(index: DataFrame, meta: dict) -> DataFrame:
     )
 
 
-def _gated_or_raise(spark: SparkSession, path: str, sub: str) -> DataFrame:
+def _gated_or_raise(
+    spark: SparkSession, path: str, sub: str, as_of: int | None = None
+) -> DataFrame:
     """``_ledger_gated_parquet`` for reads that need rows to exist:
     raises a descriptive error instead of returning None when the
     directory is missing, fileless, or every file belongs to an
     uncommitted ledgered batch (e.g. a seeded-empty artifact whose
     only ingest epoch crashed mid-rename — resume the stream)."""
-    rel = _ledger_gated_parquet(spark, path, sub)
+    rel = _ledger_gated_parquet(spark, path, sub, as_of=as_of)
     if rel is None:
         raise ValueError(
             f"index at {path} has no COMMITTED data under {sub}/ — "
@@ -927,7 +937,45 @@ def _gated_or_raise(spark: SparkSession, path: str, sub: str) -> DataFrame:
     return rel
 
 
-def _ledger_gated_parquet(spark: SparkSession, path: str, sub: str):
+def _commit_marker(fs, marker, seq: int) -> None:
+    """Create a ledger marker carrying its COMMIT SEQUENCE (the
+    metadata epoch the committing batch is about to write) as file
+    content — the total order that makes ``as_of`` snapshot reads
+    possible. Marker EXISTENCE is still the atomic commit signal
+    (create-then-write; a crash between them leaves an existing,
+    empty marker = committed with unknown seq, which snapshot reads
+    treat as always-visible — the pre-r12 marker format)."""
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(str(int(seq)).encode("ascii")))
+    finally:
+        out.close()
+
+
+def _marker_seq(fs, marker) -> int | None:
+    """The commit sequence recorded in a ledger marker, or None for
+    legacy/empty markers (always-visible under ``as_of``)."""
+    try:
+        stream = fs.open(marker)
+    except Exception:  # noqa: BLE001 — racing delete; treat as legacy
+        return None
+    try:
+        data = bytearray()
+        b = stream.read()
+        while b != -1 and len(data) < 32:
+            data.append(b)
+            b = stream.read()
+    finally:
+        stream.close()
+    try:
+        return int(bytes(data)) if data else None
+    except ValueError:
+        return None
+
+
+def _ledger_gated_parquet(
+    spark: SparkSession, path: str, sub: str, as_of: int | None = None
+):
     """Parquet relation at ``<path>/<sub>`` with UNCOMMITTED ledgered
     batches hidden — the artifact's reader-side MVCC. Two mutators
     rename multi-file batches into live dirs and only then create a
@@ -951,7 +999,18 @@ def _ledger_gated_parquet(spark: SparkSession, path: str, sub: str):
     single-writer/stop-the-world contract. When no batch is hidden
     the plain directory read is used (identical scan, partition
     discovery and parquet pushdown). Returns None when the directory
-    is missing or nothing is visible."""
+    is missing or nothing is visible.
+
+    ``as_of`` (r12 — SNAPSHOT READS): additionally hide committed
+    batches whose marker records a commit sequence GREATER than
+    ``as_of`` — the load then reconstructs the artifact exactly as it
+    stood after commit ``as_of`` (each marker carries the metadata
+    epoch its batch wrote, a total order under the single-writer
+    contract; see ``_commit_marker``). Legacy/empty markers carry no
+    sequence and stay visible under any ``as_of``. History reaches
+    back to the last ``compact_index`` (compaction folds batches into
+    base files, physically — the Delta-VACUUM analog) and does not
+    cover un-ledgered batch appends."""
     fs, p = _hadoop_fs(spark, f"{path}/{sub}")
     if not fs.exists(p):
         return None
@@ -976,9 +1035,14 @@ def _ledger_gated_parquet(spark: SparkSession, path: str, sub: str):
     hidden = set()
     for m in markers:
         _, marker = _hadoop_fs(spark, f"{path}/ledger/{m}")
+        kind, _, tag = m.partition("-")
+        prefix = ("delete-" if kind == "delete" else "stream-") + tag + "-"
         if not fs.exists(marker):
-            kind, _, tag = m.partition("-")
-            hidden.add(("delete-" if kind == "delete" else "stream-") + tag + "-")
+            hidden.add(prefix)
+        elif as_of is not None:
+            seq = _marker_seq(fs, marker)
+            if seq is not None and seq > as_of:
+                hidden.add(prefix)
     if not hidden:
         return spark.read.parquet(f"{path}/{sub}")
     visible = [
@@ -1063,15 +1127,16 @@ def _assert_no_uncommitted_stream_files(spark: SparkSession, path: str) -> None:
                 )
 
 
-def _read_tombstones(spark: SparkSession, path: str):
+def _read_tombstones(spark: SparkSession, path: str, as_of: int | None = None):
     """Tombstoned row ids at ``path`` (one column, named after the
     relation's own id column: 'id' for the postings kinds, 'doc_id'
     for the lexical kind) or None when no COMMITTED deletes are
     pending (uncommitted batches are marker-gated invisible — see
     ``_ledger_gated_parquet``). Every loader anti-joins this
     relation; ``compact_index`` purges the rows physically and clears
-    the directory."""
-    return _ledger_gated_parquet(spark, path, "tombstones")
+    the directory. ``as_of`` restricts to deletes committed at or
+    before that sequence (snapshot reads)."""
+    return _ledger_gated_parquet(spark, path, "tombstones", as_of=as_of)
 
 
 def delete_from_index(
@@ -1252,12 +1317,10 @@ def delete_from_index(
                 )
 
     fs.mkdirs(marker.getParent())
-    fs.createNewFile(marker)
+    seq = int(meta.get("epoch") or 0) + 1
+    _commit_marker(fs, marker, seq)
     fs.delete(staging_p, True)
-    _write_meta(
-        spark, path, dict(meta, epoch=int(meta.get("epoch") or 0) + 1),
-        "overwrite",
-    )
+    _write_meta(spark, path, dict(meta, epoch=seq), "overwrite")
     return "committed"
 
 

@@ -392,7 +392,7 @@ def append_lexical_index(
 
 
 def load_lexical_index(
-    spark, path: str, tokenizer: str | None = None
+    spark, path: str, tokenizer: str | None = None, as_of: int | None = None
 ) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
     """(tf, df, stats, metadata) from ``path``. ``df`` and ``stats``
     come back as LAZY re-aggregations over the persisted partials
@@ -406,8 +406,13 @@ def load_lexical_index(
     all: all three reads hide files whose ledger marker is absent, so
     the marker is each batch's atomic commit point even under a
     reader racing the writer's renames or after a mid-rename crash
-    (index_store._ledger_gated_parquet, r12). Raises on
-    kind/tokenizer drift."""
+    (index_store._ledger_gated_parquet, r12). ``as_of`` reconstructs
+    the SNAPSHOT after that commit sequence: ledgered batches (stream
+    epochs, deletes) committed later are hidden across all three
+    relations at once, so the snapshot's scores are the bit-exact
+    single-shot BM25 over exactly the documents visible then; history
+    reaches back to the last compaction. Raises on kind/tokenizer
+    drift."""
     from workhop2_etl_spark.operators.index_store import (
         _check_drift,
         _gated_or_raise,
@@ -417,18 +422,18 @@ def load_lexical_index(
 
     meta = _read_meta(spark, path, _LEXICAL_KIND)
     _check_drift(path, meta, {"tokenizer": tokenizer})
-    tf = _gated_or_raise(spark, path, "tf")
-    tomb = _read_tombstones(spark, path)
+    tf = _gated_or_raise(spark, path, "tf", as_of=as_of)
+    tomb = _read_tombstones(spark, path, as_of=as_of)
     if tomb is not None:  # pending deletes: logical until compaction
         tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
     df = (
-        _gated_or_raise(spark, path, "df")
+        _gated_or_raise(spark, path, "df", as_of=as_of)
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") > 0)
     )
     stats = _stats_from_counts(
-        _gated_or_raise(spark, path, "stats").agg(
+        _gated_or_raise(spark, path, "stats", as_of=as_of).agg(
             F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
             F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
         )

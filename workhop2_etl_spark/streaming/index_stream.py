@@ -55,6 +55,7 @@ from pyspark.sql import DataFrame, SparkSession
 from workhop2_etl_spark.operators.index_store import (
     _IVF_POSTINGS_KIND,
     _LSH_KIND,
+    _commit_marker,
     _hadoop_fs,
     _read_centroid_rows,
     _read_meta_any_kind,
@@ -218,13 +219,14 @@ def ingest_epoch(
                     f"{epoch_id} index ingest"
                 )
 
-    # commit point: marker first (replays now short-circuit), then
-    # sweep staging and bump the advisory epoch counter
+    # commit point: marker first (replays now short-circuit; the
+    # marker records the commit sequence for as_of snapshot reads),
+    # then sweep staging and bump the epoch counter to that sequence
     fs.mkdirs(marker.getParent())
-    fs.createNewFile(marker)
+    seq = int(meta.get("epoch") or 0) + 1
+    _commit_marker(fs, marker, seq)
     fs.delete(staging_p, True)
-    _write_meta(spark, index_path, dict(meta, epoch=int(meta.get("epoch") or 0) + 1),
-                "overwrite")
+    _write_meta(spark, index_path, dict(meta, epoch=seq), "overwrite")
     return "committed"
 
 

@@ -491,6 +491,60 @@ def st15_streaming_ingest_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# st16 (r12): SNAPSHOT READ of the lexical artifact — every ledger
+# marker records its commit sequence, so load(as_of=N) reconstructs
+# the index exactly as it stood after commit N (the Delta-time-travel
+# analog, bounded by the last compaction). The query ingests two
+# exactly-once epochs (commits 1, 2), DELETES a slice (commit 3),
+# then probes AT as_of=2: the snapshot must hide the delete's
+# tombstones AND its negative partials together, so the oracle is
+# single-shot BM25 over the WHOLE corpus — green proves the snapshot
+# is the bit-exact pre-delete state, not a mix. (Epoch membership is
+# deterministic here because the epochs are driven directly, not
+# through a file stream's nondeterministic file→batch assignment.)
+# ---------------------------------------------------------------------------
+_ST16_Q_MOD = 97
+
+
+@query(
+    "st16_snapshot_as_of",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_ST16_Q_MOD, _BM25_K)}
+    SELECT query_id, rank, doc_id, score, n_hit
+    FROM lex ORDER BY query_id, rank
+    """,
+)
+def st16_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokenize = lambda df: df.select("doc_id", _toks().alias("toks"))  # noqa: E731
+    path = os.path.join(tempfile.mkdtemp(prefix="w2e_st16_"), "lexidx")
+    RET.save_lexical_index(
+        tokenize(docs).limit(0), path, mode="overwrite", num_partitions=2
+    )
+    IS.ingest_epoch(  # commit seq 1
+        spark, tokenize(docs.filter(F.col("doc_id") % 2 == 0)), 0, path,
+        vec_col="toks", partitions_per_epoch=2,
+    )
+    IS.ingest_epoch(  # commit seq 2
+        spark, tokenize(docs.filter(F.col("doc_id") % 2 == 1)), 1, path,
+        vec_col="toks", partitions_per_epoch=2,
+    )
+    IDX.delete_from_index(  # commit seq 3 — hidden by the snapshot
+        spark, path, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+    )
+    tf, df, stats, meta = RET.load_lexical_index(spark, path, as_of=2)
+    return RET.probe_lexical_index(
+        tf, df, stats, meta, _query_terms(docs, _ST16_Q_MOD), k=_BM25_K
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # v15: hybrid retrieval — BM25 lexical arm over `documents` fused
 # with an exact-cosine vector arm over `embeddings` (doc_id ≡ vec_id
 # by the testdata contract) via reciprocal-rank fusion (Cormack et
