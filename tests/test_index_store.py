@@ -1228,3 +1228,59 @@ def test_snapshot_as_of_postings_kinds(spark):
     assert probe(as_of=1) == full          # before the delete
     assert probe(as_of=2) == probe()       # at the delete's commit
     assert probe() != full
+
+
+def test_snapshot_as_of_edges_base_only_and_replay_resequencing(spark):
+    """r12 snapshot-read edges: (a) as_of=0 is the BASE state (the
+    un-ledgered initial save) with every later batch hidden; (b) on
+    an artifact seeded EMPTY, as_of=0 raises descriptively (no base
+    files — the earliest readable snapshot is the first commit);
+    (c) a delete that CRASHED before its marker and replays AFTER a
+    later epoch committed takes a NEW commit sequence at replay time
+    — history records when the delete actually became visible, so
+    as_of at the epoch's seq shows the epoch but not the delete."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    corpus = _lex_corpus(spark, n=240)
+    base = corpus.filter(F.col("doc_id") % 3 == 0)
+    ep1 = corpus.filter(F.col("doc_id") % 3 == 1)
+    ep2 = corpus.filter(F.col("doc_id") % 3 == 2)
+    path = _tmp("lex_asof_edges")
+    RET.save_lexical_index(base, path, mode="overwrite", num_partitions=1)
+    assert IS.ingest_epoch(spark, ep1, 0, path, vec_col="toks") == "committed"
+
+    def n_docs(as_of=None):
+        _, _, stats, _ = RET.load_lexical_index(spark, path, as_of=as_of)
+        return stats.collect()[0].n_docs
+
+    nb = base.filter(F.size("toks") > 0).count()
+    n1 = ep1.filter(F.size("toks") > 0).count()
+    n2 = ep2.filter(F.size("toks") > 0).count()
+    assert n_docs(as_of=0) == nb            # (a) base-only snapshot
+    assert n_docs(as_of=1) == nb + n1
+
+    # (c) crashed delete, then a later epoch, then the replay:
+    victims = corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims, batch="late") == "committed"
+    os.remove(f"{path}/ledger/delete-late")             # crash: seq-2 commit undone
+    assert IS.ingest_epoch(spark, ep2, 1, path, vec_col="toks") == "committed"  # seq 3
+    assert IDX.delete_from_index(spark, path, victims, batch="late") == "committed"  # replay → seq 4
+    full = nb + n1 + n2
+    ndel = corpus.filter((F.size("toks") > 0) & (F.col("doc_id") % 7 == 0)).count()
+    assert n_docs(as_of=3) == full          # epoch visible, delete not
+    assert n_docs(as_of=4) == full - ndel   # the replayed delete's seq
+    assert n_docs() == full - ndel
+
+    # (b) empty-seeded artifact: as_of=0 is the seeded-EMPTY state
+    # (the save's empty base part files carry the schema), honoring
+    # the empty-corpus contract — n_docs 0, NULL avgdl, no rows
+    p2 = _tmp("lex_asof_empty")
+    RET.save_lexical_index(corpus.limit(0), p2, mode="overwrite",
+                           num_partitions=1)
+    assert IS.ingest_epoch(spark, corpus, 0, p2, vec_col="toks") == "committed"
+    tf0, _, stats0, _ = RET.load_lexical_index(spark, p2, as_of=0)
+    row = stats0.collect()[0]
+    assert row.n_docs == 0 and row.avgdl is None and tf0.count() == 0
+    _, _, stats1, _ = RET.load_lexical_index(spark, p2, as_of=1)
+    assert stats1.collect()[0].n_docs == corpus.filter(F.size("toks") > 0).count()

@@ -928,8 +928,14 @@ def _gated_or_raise(
     only ingest epoch crashed mid-rename — resume the stream)."""
     rel = _ledger_gated_parquet(spark, path, sub, as_of=as_of)
     if rel is None:
+        hint = (
+            f" at snapshot as_of={as_of} (every data file belongs to a "
+            "later or uncommitted batch — an artifact seeded empty has "
+            "no base files, so its earliest readable snapshot is its "
+            "first commit)" if as_of is not None else ""
+        )
         raise ValueError(
-            f"index at {path} has no COMMITTED data under {sub}/ — "
+            f"index at {path} has no COMMITTED data under {sub}/{hint} — "
             "either nothing was ever written, or every file belongs "
             "to an uncommitted (crashed / in-flight) ledgered batch; "
             "resume or replay the writer before reading"
