@@ -30,6 +30,7 @@ from workhop2_etl_spark.operators.incremental import (
 from workhop2_etl_spark.operators.skew import salted_aggregate
 from workhop2_etl_spark.session import load_table
 from workhop2_etl_spark.suite import query
+from workhop2_etl_spark.suite.dedup import _hex_int_sql
 
 # ---------------------------------------------------------------------------
 # r1: the maintained rollup's partial-aggregate shape ≡ plain GROUP BY.
@@ -457,6 +458,151 @@ def r3_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cost at scale: label-table equi-join + (node, label) aggregate +
 # per-node argmax window, everything node/edge-sized.
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# r4: KMV distinct-count sketch — the MERGEABLE approximate distinct
+# measure, oracle-replayed bit-for-bit (the HLL twin in
+# operators/incremental.py is Spark's DataSketches binary, which no
+# other engine can replay — this md5-based KMV earns the same
+# partial-combine algebra a cross-engine verdict). The Spark side
+# builds one partial per event_id-parity half, merges them
+# (union → distinct → k smallest), and estimates; the oracle computes
+# the single-shot sketch over everything — equality proves
+# combine(kmv(A), kmv(B)) = kmv(A ∪ B) exactly, so per-epoch KMV
+# partials can ride the same persisted-partial protocol as the
+# lexical df/stats. n_exact rides along to show the estimate lands
+# (the test asserts the error bound; the oracle asserts the algebra).
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_M = float(1 << 60)
+
+
+@query(
+    "r4_kmv_distinct",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT {{h}} AS hv
+      FROM (SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL)
+    ),
+    topk AS (SELECT hv FROM hv ORDER BY hv LIMIT {_KMV_K}),
+    agg AS (
+      SELECT count(*) AS n_kept, coalesce(max(hv), 0) AS kth_hash FROM topk
+    )
+    SELECT n_kept, kth_hash,
+           round(CASE WHEN n_kept < {_KMV_K} THEN CAST(n_kept AS DOUBLE)
+                 ELSE {float(_KMV_K - 1)!r} * {_KMV_M!r}
+                      / CAST(kth_hash AS DOUBLE) END, 4) AS est_distinct,
+           (SELECT count(DISTINCT user_id) FROM events
+            WHERE user_id IS NOT NULL) AS n_exact
+    FROM agg
+    """.format(
+        h=_hex_int_sql("md5('kmv:' || CAST(user_id AS VARCHAR))", 15)
+    ),
+)
+def r4_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.sketch import (
+        combine_kmv,
+        kmv_estimate,
+        kmv_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        kmv_partial(ev.filter(F.col("event_id") % 2 == i), "user_id", _KMV_K)
+        for i in (0, 1)
+    ]
+    merged = combine_kmv(parts, _KMV_K)
+    exact = ev.filter(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        kmv_estimate(merged, _KMV_K)
+        .withColumn("est_distinct", F.round("est_distinct", 4))
+        .crossJoin(F.broadcast(exact))
+    )
+
+
+# ---------------------------------------------------------------------------
+# r5: count-min heavy-hitter screen over the document token stream —
+# the additive frequency sketch (depth×width counter grid; point
+# estimate = min over depth rows, never an undercount). The Spark
+# side builds one grid per doc_id-parity half and SUMS them — the
+# identical additive algebra as every rollup/df/stats partial — then
+# estimates the true top-8 tokens' counts; the oracle replays the
+# single-shot grid, the same md5-salted bucket arithmetic, and the
+# same min-fold. Equality proves combine(cm(A), cm(B)) = cm(A ∪ B)
+# and pins the whole estimate path cross-engine.
+# ---------------------------------------------------------------------------
+
+_CM_DEPTH = 3
+_CM_WIDTH = 64
+_CM_TOP = 8
+
+
+@query(
+    "r5_cm_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({{norm}}, ' ')) AS tok
+      FROM documents WHERE {{norm}} <> ''
+    ),
+    js AS (SELECT unnest([{", ".join(str(j) for j in range(_CM_DEPTH))}]) AS j),
+    grid AS (
+      SELECT j, {{bucket}} % {_CM_WIDTH} AS bucket, count(*) AS n
+      FROM toks CROSS JOIN js
+      GROUP BY 1, 2
+    ),
+    topt AS (
+      SELECT tok, count(*) AS n_true FROM toks GROUP BY tok
+      ORDER BY n_true DESC, tok LIMIT {_CM_TOP}
+    ),
+    probes AS (
+      SELECT tok, n_true, j, {{bucket}} % {_CM_WIDTH} AS bucket
+      FROM topt CROSS JOIN js
+    )
+    SELECT tok, n_true, min(coalesce(g.n, 0)) AS n_est
+    FROM probes p LEFT JOIN grid g USING (j, bucket)
+    GROUP BY tok, n_true
+    ORDER BY n_true DESC, tok
+    """.format(
+        norm="trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))",
+        bucket=_hex_int_sql(
+            "md5('cm' || CAST(j AS VARCHAR) || ':' || tok)", 8
+        ),
+    ),
+)
+def r5_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.sketch import (
+        cm_estimate,
+        cm_partial,
+        combine_cm,
+    )
+    from workhop2_etl_spark.suite.pipeline2 import _toks
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(_toks()).alias("tok"))
+    parts = [
+        cm_partial(
+            toks.filter(F.col("doc_id") % 2 == i), "tok",
+            depth=_CM_DEPTH, width=_CM_WIDTH,
+        )
+        for i in (0, 1)
+    ]
+    sketch = combine_cm(parts)
+    topt = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+        .orderBy(F.desc("n_true"), F.asc("tok"))
+        .limit(_CM_TOP)
+    )
+    est = cm_estimate(sketch, topt, "tok", depth=_CM_DEPTH, width=_CM_WIDTH)
+    return (
+        topt.join(est, "tok")
+        .select("tok", "n_true", F.col("n_est").cast("long").alias("n_est"))
+        .orderBy(F.desc("n_true"), F.asc("tok"))
+    )
+
 
 _LPA_ROUND = """
     s{next} AS (
