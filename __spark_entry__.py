@@ -55,9 +55,18 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (c) the full 8-query r06 cohort — the staleness tail's oldest:
 #     q13, q18, q21, q22, q2, q5, q7, s5_jdbc_roundtrip.
 # (d) all 21 STALE-flagged r07 queries (kernel newer than green),
-#     then the first 12 non-flagged r07 queries in staleness-report
-#     order — after this pass no query's latest driver green is
-#     older than r7 (the r11 verdict's ask #2 done-criterion).
+#     then the first 8 non-flagged r07 queries in staleness-report
+#     order.
+# (a2, added later in r12) 4 MORE never-verified queries from this
+#     round's second build pass: st17_index_restore (restore_index —
+#     snapshot materialization), t17_index_changelog (index_changes —
+#     the CDC feed), r4_kmv_distinct + r5_cm_heavy_hitters
+#     (operators/sketch.py — cross-engine mergeable sketches). Per
+#     the never-verified > stale rule they displace the LAST 4
+#     block-(d) entries (q12_late_shipping, q14_promo_share,
+#     q15_top_supplier, q16_supplier_part_counts — r07 greens with
+#     kernels ≤ r07, never STALE-flagged); those four lead the r13
+#     staleness tail together with the q17/q19/... block below.
 # Deferred, each with the displacing rationale:
 # - v15_hybrid_rrf (green r10, kernel r12 via rrf_fuse): the changed
 #   fusion kernel is exercised in-window by v16 (same rrf_fuse
@@ -132,6 +141,15 @@ _PRIORITY = [
     "t16_bm25_prf_persisted",
     "st15_streaming_ingest_delete",
     "st16_snapshot_as_of",
+    # (a2) never-driver-verified, added later in r12: snapshot
+    # RESTORE + CDC changelog (index_store.restore_index /
+    # index_changes) and the cross-engine mergeable sketches
+    # (operators/sketch.py) — each displaces one block-(d) r07 entry
+    # (q12/q14/q15/q16, named in the deferral note below)
+    "st17_index_restore",
+    "t17_index_changelog",
+    "r4_kmv_distinct",
+    "r5_cm_heavy_hitters",
     # (b) r12-kernel-changed
     "v16_hybrid_persisted_rrf",
     "t13_bm25_pruned_probe",
@@ -175,10 +193,6 @@ _PRIORITY = [
     "f1_normalize_text",
     "q10_returned_items",
     "q11_revenue_concentration",
-    "q12_late_shipping",
-    "q14_promo_share",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
 ]
 
 

@@ -164,6 +164,17 @@ HEADLINE = [
     # (regresses if the marker-seq gate stops short-circuiting to
     # plain directory reads on the current-state path)
     "st16_snapshot_as_of",
+    # round-12 second pass: snapshot restore (one clustered rewrite of
+    # the visible rows — regresses if the restore write loses its
+    # single term-keyed repartition), the CDC changelog (reads ONLY
+    # the tailed batches' files — regresses if it ever scans the
+    # corpus dirs), and the mergeable sketches (map-side top-k /
+    # grid-sized shuffles — regress if the partial aggregation stops
+    # combining map-side)
+    "st17_index_restore",
+    "t17_index_changelog",
+    "r4_kmv_distinct",
+    "r5_cm_heavy_hitters",
 ]
 
 

@@ -1284,3 +1284,223 @@ def test_snapshot_as_of_edges_base_only_and_replay_resequencing(spark):
     assert row.n_docs == 0 and row.avgdl is None and tf0.count() == 0
     _, _, stats1, _ = RET.load_lexical_index(spark, p2, as_of=1)
     assert stats1.collect()[0].n_docs == corpus.filter(F.size("toks") > 0).count()
+
+
+# ---------------------------------------------------------------------------
+# restore_index (r12): materialize a snapshot as a fresh artifact
+# ---------------------------------------------------------------------------
+
+
+def test_restore_lexical_each_commit_matches_rebuild(spark):
+    """restore_index(as_of=N) must write an artifact whose loads are
+    bit-exactly a FRESH BUILD over the documents visible at commit N
+    (folded partials, purged tombstones, clean lifecycle state), and
+    the restored artifact must be a new life — lifecycle verbs start
+    from scratch on it."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    corpus = _lex_corpus(spark, n=240)
+    evens = corpus.filter(F.col("doc_id") % 2 == 0)
+    odds = corpus.filter(F.col("doc_id") % 2 == 1)
+    src = _tmp("restore_src")
+    RET.save_lexical_index(evens, src, mode="overwrite", num_partitions=2)
+    assert IS.ingest_epoch(spark, odds, 0, src, vec_col="toks") == "committed"
+    victims = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, src, victims) == "committed"
+
+    def loaded(path, as_of=None):
+        tf, df, stats, _ = RET.load_lexical_index(spark, path, as_of=as_of)
+        return (sorted(map(tuple, tf.collect())),
+                sorted(map(tuple, df.collect())), stats.collect())
+
+    def rebuilt(ref_corpus, tag):
+        rp = _tmp(f"restore_ref_{tag}")
+        RET.save_lexical_index(ref_corpus, rp, mode="overwrite",
+                               num_partitions=1)
+        return loaded(rp)
+
+    # as_of=1: both halves, pre-delete — equals a rebuild on everything
+    dst1 = _tmp("restore_at1")
+    meta = IDX.restore_index(spark, src, dst1, as_of=1)
+    assert meta["epoch"] == 0 and meta["kind"] == "bm25-lexical"
+    assert loaded(dst1) == rebuilt(corpus, "full")
+
+    # as_of=None: the current state — equals a rebuild on survivors
+    dst2 = _tmp("restore_now")
+    IDX.restore_index(spark, src, dst2)
+    assert loaded(dst2) == rebuilt(
+        corpus.join(F.broadcast(victims), "doc_id", "left_anti"), "surv")
+
+    # fresh life: no ledger/tombstones, base-layout files only
+    assert not os.path.exists(f"{dst1}/ledger")
+    assert not os.path.exists(f"{dst1}/tombstones")
+    for sub in ("tf", "df", "stats"):
+        assert not any(
+            f.startswith(("stream-", "delete-"))
+            for f in os.listdir(f"{dst1}/{sub}")
+        )
+    # and lifecycle verbs start from scratch (auto labels, seq 1)
+    assert IDX.delete_from_index(spark, dst1, victims) == "committed"
+    assert os.path.exists(f"{dst1}/ledger/delete-auto-000000")
+    assert loaded(dst1) == loaded(dst2) == loaded(src)
+
+    # the source was never touched: history still reaches commit 1
+    assert loaded(src, as_of=1) == rebuilt(corpus, "full2")
+
+
+def test_restore_ivf_pq8_probe_identity(spark):
+    """Restoring an IVF pq8 artifact must carry the quantizer AND the
+    codebooks (postings are only meaningful under them): the restored
+    probe equals the source probe at the same snapshot."""
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 400)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    cents = SIM.fit_centroids(half, n_centroids=8, seed=7, max_iter=5)
+    cbs = SIM.sample_pq_codebooks(half, dim=DIM)
+    src = _tmp("restore_pq_src")
+    IDX.save_ivf_index(half, src, cents, dim=DIM, store_dtype="pq8",
+                       codebooks=cbs, mode="overwrite")
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    assert IS.ingest_epoch(spark, rest, 0, src) == "committed"  # seq 1
+    IDX.delete_from_index(spark, src,
+                          emb.filter(F.col("vec_id") % 9 == 0).select("vec_id"))
+
+    queries = emb.filter(F.col("vec_id") % 60 == 3)
+
+    def probe(path, as_of=None):
+        postings, c, meta = IDX.load_ivf_index(spark, path, as_of=as_of)
+        return sorted(map(tuple, IDX.probe_ivf_index(
+            postings, c, meta, queries, k=3, nprobe=2).collect()))
+
+    for as_of in (1, None):
+        dst = _tmp(f"restore_pq_at{as_of}")
+        IDX.restore_index(spark, src, dst, as_of=as_of)
+        assert probe(dst) == probe(src, as_of=as_of)
+
+
+def test_restore_refuses_same_path_and_existing_target(spark):
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=60)
+    src = _tmp("restore_guard")
+    RET.save_lexical_index(corpus, src, mode="overwrite", num_partitions=1)
+    with pytest.raises(ValueError, match="in-place restore"):
+        IDX.restore_index(spark, src, src + "/")
+    dst = _tmp("restore_guard_dst")
+    IDX.restore_index(spark, src, dst)
+    with pytest.raises(Exception):  # Spark 'error' write semantics
+        IDX.restore_index(spark, src, dst)
+    IDX.restore_index(spark, src, dst, mode="overwrite")  # explicit opt-in
+
+
+# ---------------------------------------------------------------------------
+# index_changes (r12): the CDC changelog of ledgered mutations
+# ---------------------------------------------------------------------------
+
+
+def test_index_changes_events_bounds_and_replay(spark):
+    """index_changes must return exactly the ledgered events in
+    (from_seq, to_seq] — and applying them to the from-snapshot's
+    membership must reproduce the to-snapshot's membership."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    corpus = _lex_corpus(spark, n=240)
+    evens = corpus.filter(F.col("doc_id") % 2 == 0)
+    odds = corpus.filter(F.col("doc_id") % 2 == 1)
+    path = _tmp("changes_lex")
+    RET.save_lexical_index(evens, path, mode="overwrite", num_partitions=1)
+    assert IS.ingest_epoch(spark, odds, 0, path, vec_col="toks") == "committed"
+    victims = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims) == "committed"
+
+    nonempty = lambda d: {r.doc_id for r in  # noqa: E731
+                          d.filter(F.size("toks") > 0).select("doc_id")
+                          .distinct().collect()}
+    ins = nonempty(odds)
+    dels = {r.doc_id for r in victims.collect()} & (nonempty(evens) | ins)
+
+    rows = IDX.index_changes(spark, path).collect()
+    got = {(r.commit_seq, r.op, r.doc_id) for r in rows}
+    want = {(1, "insert", d) for d in ins} | {(2, "delete", d) for d in dels}
+    assert got == want
+
+    # bounds: half-open windows select exactly their batches
+    assert {(r.commit_seq, r.op) for r in
+            IDX.index_changes(spark, path, from_seq=1).collect()} == {(2, "delete")}
+    assert {(r.commit_seq, r.op) for r in
+            IDX.index_changes(spark, path, to_seq=1).collect()} == {(1, "insert")}
+    assert IDX.index_changes(spark, path, from_seq=2).count() == 0
+    with pytest.raises(ValueError, match="from_seq <= to_seq"):
+        IDX.index_changes(spark, path, from_seq=3, to_seq=1)
+
+    # replay: membership(as_of=0) + inserts − deletes == membership(now)
+    def members(as_of=None):
+        tf, _, _, _ = RET.load_lexical_index(spark, path, as_of=as_of)
+        return {r.doc_id for r in tf.select("doc_id").distinct().collect()}
+
+    state = members(as_of=0)
+    for seq, op, doc in sorted((r.commit_seq, r.op, r.doc_id) for r in rows):
+        (state.add if op == "insert" else state.discard)(doc)
+    assert state == members()
+
+    # no-ledger artifact: an EMPTY changelog with the right schema
+    bare = _tmp("changes_bare")
+    RET.save_lexical_index(corpus, bare, mode="overwrite", num_partitions=1)
+    empty = IDX.index_changes(spark, bare)
+    assert empty.count() == 0
+    assert empty.columns == ["commit_seq", "op", "doc_id"]
+
+
+def test_index_changes_legacy_marker_and_compaction_raise(spark):
+    """Changelog honesty: a legacy (empty) marker has no order and a
+    compacted-away batch has no files — both must raise instead of
+    silently under-reporting changes."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=120)
+    path = _tmp("changes_guards")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+    victims = corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims, batch="b1") == "committed"
+
+    marker = f"{path}/ledger/delete-b1"
+    os.remove(marker)
+    open(marker, "w").close()  # legacy empty marker
+    with pytest.raises(ValueError, match="no commit sequence"):
+        IDX.index_changes(spark, path)
+    os.remove(marker)
+    assert IDX.delete_from_index(spark, path, victims, batch="b1") == "committed"
+    assert IDX.index_changes(spark, path).count() > 0
+
+    IDX.compact_index(spark, path, num_partitions=1)
+    with pytest.raises(ValueError, match="compaction folded"):
+        IDX.index_changes(spark, path, from_seq=0)
+    # tailing AFTER the compaction is fine (nothing newer yet = empty)
+    assert IDX.index_changes(spark, path, from_seq=2).count() == 0
+
+
+def test_index_changes_postings_kind(spark):
+    """The postings kinds use the 'id' column and the index/ dir for
+    insert epochs; deletes come from the tombstone batches."""
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    half = emb.filter(F.col("vec_id") % 2 == 0)
+    rest = emb.filter(F.col("vec_id") % 2 == 1)
+    path = _tmp("changes_lsh")
+    IDX.save_lsh_index(half, path, dim=DIM, num_planes=4, num_tables=2,
+                       mode="overwrite")
+    assert IS.ingest_epoch(spark, rest, 0, path) == "committed"
+    IDX.delete_from_index(spark, path,
+                          emb.filter(F.col("vec_id") % 6 == 0).select("vec_id"))
+
+    rows = IDX.index_changes(spark, path).collect()
+    ins = {r.vec_id for r in rest.select("vec_id").collect()}
+    dels = {r.vec_id for r in emb.filter(F.col("vec_id") % 6 == 0)
+            .select("vec_id").collect()}
+    assert {(r.commit_seq, r.op, r.id) for r in rows} == (
+        {(1, "insert", i) for i in ins} | {(2, "delete", i) for i in dels}
+    )

@@ -1519,6 +1519,247 @@ def _compact_dir(
     return files_before, _count_part_files(spark, data)
 
 
+def restore_index(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    as_of: int | None = None,
+    mode: str = "error",
+    num_partitions: int | None = None,
+) -> dict:
+    """Materialize a SNAPSHOT of the index at ``src_path`` as a fresh
+    artifact at ``dst_path`` — the rollback/clone verb completing the
+    ``as_of`` time-travel story (Delta's RESTORE, made blue/green:
+    the source stays read-only and keeps serving, like
+    ``retrain_ivf_index``). ``as_of=None`` clones the CURRENT state —
+    a physical copy with pending tombstones purged and partials
+    folded, i.e. a compacted clone.
+
+    The restored artifact is a NEW LIFE: base files only, in the
+    kind's freshly-built clustered layout, with an empty ledger and
+    no tombstones — its loads and probes are bit-exactly those of
+    ``load_*(src_path, as_of=N)`` (parquet round-trips doubles
+    exactly; the lexical df/stats folds are integer sums), and every
+    lifecycle verb (append / ingest / delete / compact / snapshot)
+    starts from scratch on it. History semantics are the loader's:
+    ``as_of`` orders LEDGERED batches (stream epochs, deletes) by
+    their recorded commit sequence and reaches back to the last
+    compaction; un-ledgered batch appends fold into whatever state
+    they were part of.
+
+    At scale this is one clustered write of the snapshot's surviving
+    rows (the same shuffle ``compact_index`` pays) plus
+    dimension-sized sidecar writes — no driver-side row movement.
+    Refuses ``dst_path == src_path``: an in-place restore would
+    destroy the history it is reading (restore next to, then swap at
+    the catalog level). ``mode`` follows Spark write semantics
+    ('error' | 'overwrite'). Returns the metadata written."""
+    from workhop2_etl_spark.operators.retrieval import _LEXICAL_KIND
+
+    if src_path.rstrip("/") == dst_path.rstrip("/"):
+        raise ValueError(
+            f"restore_index target equals the source ({src_path}) — an "
+            "in-place restore would destroy the history it reads; "
+            "restore to a new path and swap at the catalog level"
+        )
+    meta = _read_meta_any_kind(
+        spark, src_path,
+        kinds=(_LSH_KIND, _IVF_POSTINGS_KIND, _LEXICAL_KIND),
+        verb="restore",
+    )
+    _reset_lifecycle_state(spark, dst_path, mode)
+    tomb = _read_tombstones(spark, src_path, as_of=as_of)
+
+    if meta["kind"] == _LEXICAL_KIND:
+        tf = _gated_or_raise(spark, src_path, "tf", as_of=as_of)
+        if tomb is not None:
+            tf = tf.join(F.broadcast(tomb), "doc_id", "left_anti")
+        reparted = (
+            tf.repartition(num_partitions, "term") if num_partitions
+            else tf.repartition("term")
+        )
+        reparted.sortWithinPartitions("term").write.mode(mode).parquet(
+            f"{dst_path}/tf"
+        )
+        # signed per-epoch partials FOLD to one net record each — the
+        # loader aggregates either way, so the fold is load-equivalent
+        # (and exactly what compact_index writes)
+        (
+            _gated_or_raise(spark, src_path, "df", as_of=as_of)
+            .groupBy("term")
+            .agg(F.sum("df").alias("df"))
+            .filter(F.col("df") > 0)
+            .repartition(1)
+            .sortWithinPartitions("term")
+            .write.mode(mode)
+            .parquet(f"{dst_path}/df")
+        )
+        (
+            _gated_or_raise(spark, src_path, "stats", as_of=as_of)
+            .agg(
+                F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+                F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+            )
+            .repartition(1)
+            .write.mode(mode)
+            .parquet(f"{dst_path}/stats")
+        )
+    else:
+        rows = _gated_or_raise(spark, src_path, "index", as_of=as_of)
+        if tomb is not None:
+            rows = rows.join(F.broadcast(tomb), "id", "left_anti")
+        keys = (
+            ["table_id", "sig"] if meta["kind"] == _LSH_KIND
+            else ["centroid_id"]
+        )
+        reparted = (
+            rows.repartition(num_partitions, *keys) if num_partitions
+            else rows.repartition(*keys)
+        )
+        reparted.sortWithinPartitions(*keys).write.mode(mode).parquet(
+            f"{dst_path}/index"
+        )
+        if meta["kind"] == _IVF_POSTINGS_KIND:
+            # the quantizer (and pq8 codebooks) ride the artifact —
+            # the snapshot's postings are only meaningful under them
+            centroids = _read_centroid_rows(
+                spark, f"{src_path}/centroids", meta
+            )
+            _write_centroid_rows(
+                spark, centroids, int(meta["dim"]), f"{dst_path}/centroids",
+                mode,
+            )
+            if meta.get("store_dtype") == "pq8":
+                codebooks = _read_codebook_rows(
+                    spark, f"{src_path}/codebooks", meta
+                )
+                _write_codebook_rows(
+                    spark, codebooks, int(meta["dim"]),
+                    f"{dst_path}/codebooks", mode,
+                )
+
+    out = {k: v for k, v in meta.items() if k != "_codebooks"}
+    out["epoch"] = 0
+    _write_meta(spark, dst_path, out, mode)
+    return out
+
+
+def index_changes(
+    spark: SparkSession,
+    path: str,
+    from_seq: int = 0,
+    to_seq: int | None = None,
+) -> DataFrame:
+    """The CHANGELOG of ledgered mutations between two commit
+    sequences — the CDC feed a downstream consumer (cache invalidator,
+    replica, audit) tails instead of diffing snapshots: one row per
+    (commit_seq, op, id) with ``op`` ∈ {'insert', 'delete'}, covering
+    committed batches with ``from_seq < seq <= to_seq`` (``to_seq``
+    defaults to the current metadata epoch). Events, not a net diff —
+    a document inserted at seq 2 and deleted at seq 5 appears twice,
+    exactly as it happened.
+
+    Reads ONLY the selected batches' own files (each ledgered batch
+    renames in under its batch-owned names), so the changelog costs
+    the CHANGE volume, never a corpus scan — at 100 TB, tailing a day
+    of epochs reads a day of epoch files. The id column carries the
+    artifact's own id name ('doc_id' for the lexical kind, 'id' for
+    the postings kinds); for the lexical kind an insert means the
+    document contributed ≥1 posting (empty-token docs never enter the
+    index, matching the loader's n_docs).
+
+    Scope is the ledger's: stream-ingest epochs and delete batches.
+    The base save and un-ledgered batch appends are the artifact's
+    INITIAL state, not changes (start tailing from the seq you
+    snapshotted); compaction folds batch files into base files, so —
+    as with ``as_of`` — history reaches back to the last compaction,
+    and asking past it raises rather than under-reporting. Legacy
+    (pre-sequence, empty) markers carry no order and raise too:
+    compact once to adopt the sequenced format going forward."""
+    from workhop2_etl_spark.operators.retrieval import _LEXICAL_KIND
+
+    meta = _read_meta_any_kind(
+        spark, path,
+        kinds=(_LSH_KIND, _IVF_POSTINGS_KIND, _LEXICAL_KIND),
+        verb="read changes from",
+    )
+    lexical = meta["kind"] == _LEXICAL_KIND
+    id_name = "doc_id" if lexical else "id"
+    data_sub = "tf" if lexical else "index"
+    if to_seq is None:
+        to_seq = int(meta.get("epoch") or 0)
+    if from_seq > to_seq:
+        raise ValueError(
+            f"index_changes needs from_seq <= to_seq, got "
+            f"({from_seq}, {to_seq})"
+        )
+
+    fs, ledger_p = _hadoop_fs(spark, f"{path}/ledger")
+    batches: list[tuple[int, str, str, str]] = []  # (seq, op, sub, prefix)
+    if fs.exists(ledger_p):
+        for st in fs.listStatus(ledger_p):
+            name = st.getPath().getName()
+            if name.startswith("epoch-"):
+                op, sub = "insert", data_sub
+                prefix = f"stream-{name[len('epoch-'):]}-"
+            elif name.startswith("delete-"):
+                op, sub = "delete", "tombstones"
+                prefix = f"delete-{name[len('delete-'):]}-"
+            else:  # e.g. the _stream-<digest> checkpoint binding
+                continue
+            seq = _marker_seq(fs, st.getPath())
+            if seq is None:
+                raise ValueError(
+                    f"ledger marker {name} at {path} carries no commit "
+                    "sequence (legacy pre-snapshot format or a crash "
+                    "while writing the marker) — the changelog needs a "
+                    "total order; compact the index and tail from there"
+                )
+            if from_seq < seq <= to_seq:
+                batches.append((seq, op, sub, prefix))
+
+    parts: list[DataFrame] = []
+    for seq, op, sub, prefix in sorted(batches):
+        _, d = _hadoop_fs(spark, f"{path}/{sub}")
+        files = (
+            [
+                str(st.getPath())
+                for st in fs.listStatus(d)
+                if st.isFile() and st.getPath().getName().startswith(prefix)
+            ]
+            if fs.exists(d)
+            else []
+        )
+        if not files:
+            raise ValueError(
+                f"commit seq {seq} at {path} has a ledger marker but no "
+                f"{sub}/{prefix}* files — a compaction folded this batch "
+                "into base files, so the changelog cannot reach it; tail "
+                "from a sequence after the compaction"
+            )
+        ids = spark.read.parquet(*files).select(id_name).distinct()
+        parts.append(
+            ids.select(
+                F.lit(seq).cast("long").alias("commit_seq"),
+                F.lit(op).alias("op"),
+                id_name,
+            )
+        )
+    if not parts:
+        rel = _gated_or_raise(spark, path, data_sub)
+        return (
+            rel.select(
+                F.lit(0).cast("long").alias("commit_seq"),
+                F.lit("").alias("op"),
+                id_name,
+            ).limit(0)
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _read_meta_any_kind(
     spark: SparkSession,
     path: str,
@@ -1632,6 +1873,8 @@ __all__ = [
     "probe_ivf_index",
     "compact_index",
     "delete_from_index",
+    "restore_index",
+    "index_changes",
     "retrain_ivf_index",
     "ivf_index_stats",
     "lsh_index_stats",

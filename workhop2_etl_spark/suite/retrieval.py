@@ -545,6 +545,117 @@ def st16_snapshot_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# st17 (r12): SNAPSHOT RESTORE — materialize load(as_of=N) as a fresh
+# artifact (index_store.restore_index, the rollback verb: Delta
+# RESTORE made blue/green). The query builds the same lifecycle as
+# st16 (two direct epochs, then a delete), restores AT as_of=2 to a
+# NEW path, and probes the RESTORED artifact: the oracle is
+# single-shot BM25 over the whole corpus, so green proves the
+# materialized snapshot — re-clustered tf, folded net partials, no
+# tombstones — is the bit-exact pre-delete index, served without any
+# as_of gating at probe time.
+# ---------------------------------------------------------------------------
+_ST17_Q_MOD = 101
+
+
+@query(
+    "st17_index_restore",
+    oracle=f"""
+    WITH {_bm25_cte_sql(_ST17_Q_MOD, _BM25_K)}
+    SELECT query_id, rank, doc_id, score, n_hit
+    FROM lex ORDER BY query_id, rank
+    """,
+)
+def st17_index_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokenize = lambda df: df.select("doc_id", _toks().alias("toks"))  # noqa: E731
+    base = tempfile.mkdtemp(prefix="w2e_st17_")
+    src, dst = os.path.join(base, "src"), os.path.join(base, "restored")
+    RET.save_lexical_index(
+        tokenize(docs).limit(0), src, mode="overwrite", num_partitions=2
+    )
+    IS.ingest_epoch(  # commit seq 1
+        spark, tokenize(docs.filter(F.col("doc_id") % 2 == 0)), 0, src,
+        vec_col="toks", partitions_per_epoch=2,
+    )
+    IS.ingest_epoch(  # commit seq 2
+        spark, tokenize(docs.filter(F.col("doc_id") % 2 == 1)), 1, src,
+        vec_col="toks", partitions_per_epoch=2,
+    )
+    IDX.delete_from_index(  # commit seq 3 — excluded by the restore
+        spark, src, docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"),
+    )
+    IDX.restore_index(spark, src, dst, as_of=2, num_partitions=2)
+    tf, df, stats, meta = RET.load_lexical_index(spark, dst)
+    return RET.probe_lexical_index(
+        tf, df, stats, meta, _query_terms(docs, _ST17_Q_MOD), k=_BM25_K
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# t17 (r12): the CDC CHANGELOG — index_changes returns the ledgered
+# mutation events between two commit sequences as (commit_seq, op,
+# doc_id) rows, reading ONLY the selected batches' own files (the
+# changelog costs the change volume, never a corpus scan). The query
+# builds base evens (initial state, not a change), ingests odds as an
+# exactly-once epoch (commit 1), deletes a slice (commit 2), and
+# tails (0, 2]; the oracle recomputes both event sets from the source
+# table — inserts are the epoch's docs with ≥1 token (empty-token
+# docs never enter the index), deletes are the victims present at
+# delete time.
+# ---------------------------------------------------------------------------
+_T17_DEL_MOD = 5
+
+
+@query(
+    "t17_index_changelog",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id FROM documents WHERE {_NORM} <> ''
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS commit_seq, 'insert' AS op, doc_id
+      FROM toks WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'delete', doc_id
+      FROM toks WHERE doc_id % {_T17_DEL_MOD} = 0
+    ) ORDER BY commit_seq, doc_id
+    """,
+)
+def t17_index_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokenize = lambda df: df.select("doc_id", _toks().alias("toks"))  # noqa: E731
+    path = os.path.join(tempfile.mkdtemp(prefix="w2e_t17_"), "lexidx")
+    RET.save_lexical_index(
+        tokenize(docs.filter(F.col("doc_id") % 2 == 0)), path,
+        mode="overwrite", num_partitions=2,
+    )
+    IS.ingest_epoch(  # commit seq 1: the odds arrive
+        spark, tokenize(docs.filter(F.col("doc_id") % 2 == 1)), 0, path,
+        vec_col="toks", partitions_per_epoch=2,
+    )
+    IDX.delete_from_index(  # commit seq 2
+        spark, path,
+        docs.filter(F.col("doc_id") % _T17_DEL_MOD == 0).select("doc_id"),
+    )
+    return IDX.index_changes(spark, path, from_seq=0, to_seq=2).orderBy(
+        "commit_seq", "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
 # v15: hybrid retrieval — BM25 lexical arm over `documents` fused
 # with an exact-cosine vector arm over `embeddings` (doc_id ≡ vec_id
 # by the testdata contract) via reciprocal-rank fusion (Cormack et
