@@ -1504,3 +1504,116 @@ def test_index_changes_postings_kind(spark):
     assert {(r.commit_seq, r.op, r.id) for r in rows} == (
         {(1, "insert", i) for i in ins} | {(2, "delete", i) for i in dels}
     )
+
+
+def test_restore_ignores_uncommitted_delete_batch(spark):
+    """An UNCOMMITTED (marker-less, crashed) delete batch was never
+    reader-visible — restore must materialize the PRE-delete state,
+    and the batch's replay on the SOURCE must still converge."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=150)
+    src = _tmp("restore_uncommitted_src")
+    RET.save_lexical_index(corpus, src, mode="overwrite", num_partitions=1)
+    victims = corpus.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, src, victims, batch="crash") == "committed"
+    os.remove(f"{src}/ledger/delete-crash")  # the marker never landed
+
+    def loaded(path):
+        tf, df, stats, _ = RET.load_lexical_index(spark, path)
+        return (sorted(map(tuple, tf.collect())),
+                sorted(map(tuple, df.collect())), stats.collect())
+
+    dst = _tmp("restore_uncommitted_dst")
+    IDX.restore_index(spark, src, dst)
+    ref = _tmp("restore_uncommitted_ref")
+    RET.save_lexical_index(corpus, ref, mode="overwrite", num_partitions=1)
+    assert loaded(dst) == loaded(ref)  # pre-delete state, bit-exact
+
+    # the source is untouched: the replay commits the delete for real
+    assert IDX.delete_from_index(spark, src, victims, batch="crash") == "committed"
+    ref2 = _tmp("restore_uncommitted_ref2")
+    RET.save_lexical_index(
+        corpus.join(F.broadcast(victims), "doc_id", "left_anti"), ref2,
+        mode="overwrite", num_partitions=1,
+    )
+    assert loaded(src) == loaded(ref2)
+
+
+def test_restore_from_empty_seeded_artifact(spark):
+    """An artifact seeded empty and grown by epochs: restore at the
+    epoch's commit equals a fresh build on that epoch's docs, and
+    as_of=0 raises descriptively (no committed base data)."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    corpus = _lex_corpus(spark, n=150)
+    src = _tmp("restore_seed_src")
+    RET.save_lexical_index(corpus.limit(0), src, mode="overwrite",
+                           num_partitions=1)
+    assert IS.ingest_epoch(spark, corpus, 0, src, vec_col="toks") == "committed"
+
+    dst = _tmp("restore_seed_dst")
+    IDX.restore_index(spark, src, dst, as_of=1)
+    ref = _tmp("restore_seed_ref")
+    RET.save_lexical_index(corpus, ref, mode="overwrite", num_partitions=1)
+
+    def loaded(path):
+        tf, df, stats, _ = RET.load_lexical_index(spark, path)
+        return (sorted(map(tuple, tf.collect())),
+                sorted(map(tuple, df.collect())), stats.collect())
+
+    assert loaded(dst) == loaded(ref)
+    # as_of=0 on an empty-seeded artifact: tf has base (empty) files,
+    # but restoring the empty state is legal — it must yield a
+    # loadable empty-corpus artifact, not an error (the save wrote
+    # schema-carrying part files; the empty-corpus contract)
+    dst0 = _tmp("restore_seed_dst0")
+    IDX.restore_index(spark, src, dst0, as_of=0)
+    tf0, _, stats0, _ = RET.load_lexical_index(spark, dst0)
+    row = stats0.collect()[0]
+    assert row.n_docs == 0 and tf0.count() == 0
+
+
+def test_index_changes_window_after_compaction(spark):
+    """Compaction bounds changelog history but NOT the future: a
+    delete committed after a compaction is tailable from the
+    compaction's epoch, while reaching before it still raises."""
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=150)
+    path = _tmp("changes_postcompact")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+    v1 = corpus.filter(F.col("doc_id") % 7 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, v1) == "committed"  # seq 1
+    meta = IDX.compact_index(spark, path, num_partitions=1)      # epoch 2
+    compact_seq = int(meta["epoch"])
+    v2 = corpus.filter(F.col("doc_id") % 7 == 1).select("doc_id")
+    assert IDX.delete_from_index(spark, path, v2) == "committed"  # seq 3
+
+    rows = IDX.index_changes(spark, path, from_seq=compact_seq).collect()
+    want = {r.doc_id for r in corpus.filter(
+        (F.size("toks") > 0) & (F.col("doc_id") % 7 == 1)
+    ).select("doc_id").collect()}
+    assert {(r.commit_seq, r.op) for r in rows} == {(compact_seq + 1, "delete")}
+    assert {r.doc_id for r in rows} == want
+    with pytest.raises(ValueError, match="compaction folded"):
+        IDX.index_changes(spark, path, from_seq=0)
+
+
+def test_index_changes_empty_batches_emit_no_events(spark):
+    """Zero-row stream epochs and empty delete batches COMMIT (marker
+    + zero-row files) but contribute no changelog events — and must
+    not trip the missing-files guard."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    corpus = _lex_corpus(spark, n=100)
+    path = _tmp("changes_empty")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+    assert IS.ingest_epoch(spark, corpus.limit(0), 0, path,
+                           vec_col="toks") == "committed"
+    assert IDX.delete_from_index(
+        spark, path, corpus.limit(0).select("doc_id")
+    ) == "committed"
+    assert IDX.index_changes(spark, path).count() == 0
