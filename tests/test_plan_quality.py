@@ -644,3 +644,57 @@ def test_prf_persisted_second_pass_pushes_vocab(spark):
     # (query_id[, doc_id]) relations — the artifact's (doc_id, term)
     # tf relation is scanned, never re-shuffled on its own keys
     assert "HashAggregate(keys=[doc_id" not in plan
+
+
+def test_sketch_query_plans(spark):
+    """r4/r5 sketch plan shapes: the KMV top-k must be a
+    TakeOrderedAndProject (map-side per-partition k smallest — never
+    a global sort of the hash space), and the count-min grid must
+    partial-aggregate map-side (the shuffle carries depth×width
+    cells, not the token stream). The CM estimate joins a BROADCAST
+    grid."""
+    plan4 = plan_of(suite.QUERIES["r4_kmv_distinct"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan4
+    assert "CartesianProduct" not in plan4
+
+    plan5 = plan_of(suite.QUERIES["r5_cm_heavy_hitters"](spark, SF_DIR))
+    assert "partial_sum" in plan5 or "partial_count" in plan5, plan5[:1500]
+    assert "BroadcastHashJoin" in plan5
+    assert "SortMergeJoin" not in plan5
+
+
+def test_index_changes_plan_reads_only_batch_files(spark, tmp_path):
+    """The changelog must never scan the corpus-sized base files: its
+    plan's parquet scans list ONLY the tailed batches' own files
+    (stream-/delete- prefixed), and there are no joins at all."""
+    from workhop2_etl_spark.operators import index_store as IDX
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    docs = load_table(spark, SF_DIR, "documents").filter(F.col("doc_id") < 200)
+    corpus = docs.select(
+        "doc_id",
+        F.split(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")), " "
+        ).alias("toks"),
+    )
+    path = str(tmp_path / "lex")
+    RET.save_lexical_index(
+        corpus.filter(F.col("doc_id") % 2 == 0), path,
+        mode="overwrite", num_partitions=2,
+    )
+    IS.ingest_epoch(spark, corpus.filter(F.col("doc_id") % 2 == 1), 0, path,
+                    vec_col="toks")
+    IDX.delete_from_index(
+        spark, path, corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    )
+    plan = plan_of(IDX.index_changes(spark, path))
+    assert "Join" not in plan
+    # every file path the scans enumerate is a batch-owned file
+    locations = re.findall(r"Location: InMemoryFileIndex[^\]]*\[([^\]]*)", plan)
+    assert locations, plan[:1500]
+    for loc in locations:
+        for piece in loc.split(","):
+            name = piece.strip().rstrip("/").rsplit("/", 1)[-1]
+            if name:
+                assert name.startswith(("stream-", "delete-")), piece

@@ -78,7 +78,7 @@ def main() -> None:
     from workhop2_etl_spark.operators import retrieval as RET
 
     flags = ("--ivf", "--pq", "--lex", "--lexprune", "--hybrid",
-             "--delete", "--fusionrecall")
+             "--delete", "--fusionrecall", "--restore")
     args = [a for a in sys.argv[1:] if a not in flags]
     family = next(
         (f.lstrip("-") for f in flags if f in sys.argv[1:]), "lsh"
@@ -345,6 +345,101 @@ def main() -> None:
             )
             shutil.rmtree(path, ignore_errors=True)
             shutil.rmtree(path + "_rb", ignore_errors=True)
+            print(json.dumps(rec))
+            continue
+
+        if family == "restore":
+            # r12 second pass: price the snapshot verbs at scale —
+            # restore-at-snapshot vs rebuild-at-snapshot (restore
+            # rereads only the artifact, never the corpus), and the
+            # CDC changelog tail vs the two-snapshot membership diff
+            # it replaces (the changelog reads the tailed batches'
+            # files; the diff pays two gated loads + an anti-join
+            # each way)
+            docs = spark.read.parquet(FX.ensure_documents_lex(n))
+            toks = F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+            corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+            query_terms = (
+                corpus_tokens.filter(F.col("doc_id") < N_QUERIES)
+                .select(
+                    F.col("doc_id").alias("query_id"),
+                    F.explode(F.slice("toks", 1, 8)).alias("term"),
+                )
+                .distinct()
+            )
+            rec = {"family": family, "n": n, "k": K, "n_queries": N_QUERIES}
+            from workhop2_etl_spark.streaming import index_stream as IS
+
+            t0 = time.time()
+            RET.save_lexical_index(
+                corpus_tokens.filter(F.col("doc_id") % 2 == 0), path,
+                mode="overwrite",
+            )
+            IS.ingest_epoch(  # commit seq 1
+                spark, corpus_tokens.filter(F.col("doc_id") % 2 == 1), 0,
+                path, vec_col="toks",
+            )
+            rec["build_ingest_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            IDX.delete_from_index(  # commit seq 2: 10% churn
+                spark, path,
+                corpus_tokens.filter(F.col("doc_id") % 10 == 0)
+                .select("doc_id"),
+                batch="churn",
+            )
+            rec["delete_10pct_sec"] = round(time.time() - t0, 2)
+
+            def probe(p, as_of=None):
+                tf, df, stats, meta = RET.load_lexical_index(
+                    spark, p, as_of=as_of
+                )
+                return RET.probe_lexical_index(
+                    tf, df, stats, meta, query_terms, k=K
+                ).collect()
+
+            # restore the pre-delete snapshot vs rebuilding it from
+            # the corpus — the rollback path's actual saving
+            t0 = time.time()
+            IDX.restore_index(spark, path, path + "_r1", as_of=1)
+            rec["restore_at1_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            RET.save_lexical_index(corpus_tokens, path + "_rb",
+                                   mode="overwrite")
+            rec["rebuild_at1_sec"] = round(time.time() - t0, 2)
+            assert sorted(map(tuple, probe(path + "_r1"))) == sorted(
+                map(tuple, probe(path + "_rb"))
+            )
+            # restore the CURRENT state (compacted clone of survivors)
+            t0 = time.time()
+            IDX.restore_index(spark, path, path + "_now")
+            rec["restore_current_sec"] = round(time.time() - t0, 2)
+
+            # changelog tail vs two-snapshot membership diff
+            t0 = time.time()
+            n_changes = IDX.index_changes(spark, path, from_seq=0).count()
+            rec["changes_tail_sec"] = round(time.time() - t0, 2)
+            rec["n_change_events"] = n_changes
+            t0 = time.time()
+            tf0, _, _, _ = RET.load_lexical_index(spark, path, as_of=0)
+            tf2, _, _, _ = RET.load_lexical_index(spark, path)
+            m0 = tf0.select("doc_id").distinct()
+            m2 = tf2.select("doc_id").distinct()
+            n_diff = (
+                m2.join(m0, "doc_id", "left_anti")
+                .unionByName(m0.join(m2, "doc_id", "left_anti"))
+                .count()
+            )
+            rec["snapshot_diff_sec"] = round(time.time() - t0, 2)
+            rec["n_net_diff"] = n_diff
+            rec["changelog_vs_diff"] = round(
+                rec["changes_tail_sec"] / max(rec["snapshot_diff_sec"], 1e-9),
+                2,
+            )
+            for suffix in ("", "_r1", "_rb", "_now"):
+                shutil.rmtree(path + suffix, ignore_errors=True)
             print(json.dumps(rec))
             continue
 

@@ -37,6 +37,11 @@ or object stores:
   reports (the retrain signal); ``retrain_ivf_index`` — blue/green
   rebuild under a freshly-trained coarse quantizer. Streaming
   ingest lives in streaming/index_stream.py (exactly-once epochs).
+* ``restore_index`` — materialize a ``load(as_of=N)`` snapshot as a
+  fresh artifact at a new path (the rollback/clone verb);
+  ``index_changes`` — the CDC changelog of ledgered mutations
+  between two commit sequences, reading only the tailed batches'
+  own files.
 
 Every artifact carries a metadata record (kind, dim, planes, tables,
 sig_kernel / seed, format version) written as a one-row JSON dataset
