@@ -175,6 +175,10 @@ HEADLINE = [
     "t17_index_changelog",
     "r4_kmv_distinct",
     "r5_cm_heavy_hitters",
+    # round-12 second pass: linear-classifier inference over hashed
+    # features (regresses if the weight join stops broadcasting or
+    # the fold leaves whole-stage codegen)
+    "t18_hashed_linear_quality",
 ]
 
 

@@ -143,3 +143,95 @@ def test_cm_rejects_bad_grid(spark):
     toks = spark.createDataFrame([("a",)], "tok string")
     with pytest.raises(ValueError, match="depth must be >= 1"):
         cm_partial(toks, "tok", depth=0, width=8)
+
+
+# ---------------------------------------------------------------------------
+# hashed-linear classifier (operators/text.py) — the t18 oracle pins
+# the cross-engine arithmetic; these pin the operator contracts
+# ---------------------------------------------------------------------------
+
+
+def _toy_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, ["good", "clean", "prose"]),
+            (2, ["spam", "spam", "buy"]),
+            (3, ["good", "spam"]),
+        ],
+        "doc_id long, toks array<string>",
+    )
+
+
+def test_hashed_features_l1_normalized(spark):
+    from workhop2_etl_spark.operators.text import hashed_features
+
+    feats = hashed_features(_toy_docs(spark), dim=4096)
+    sums = {
+        r.doc_id: r.s
+        for r in feats.groupBy("doc_id")
+        .agg(F.round(F.sum("x"), 9).alias("s"))
+        .collect()
+    }
+    # Σ tf/dl = 1 per doc (collisions merge features but x values add)
+    assert sums == {1: 1.0, 2: 1.0, 3: 1.0}
+
+
+def test_hashed_features_empty_and_bad_dim(spark):
+    from workhop2_etl_spark.operators.text import hashed_features
+
+    empty = spark.createDataFrame([(9, [])], "doc_id long, toks array<string>")
+    assert hashed_features(empty).count() == 0
+    with pytest.raises(ValueError, match="dim must be >= 2"):
+        hashed_features(empty, dim=1)
+
+
+def test_linear_score_responds_to_weights(spark):
+    from workhop2_etl_spark.operators.text import (
+        hashed_features,
+        linear_score,
+    )
+
+    docs = _toy_docs(spark)
+    feats = hashed_features(docs, dim=4096)
+    # weights: +2 on 'good'/'clean'/'prose' features, −2 on 'spam'/'buy'
+    pos = hashed_features(
+        spark.createDataFrame(
+            [(0, ["good", "clean", "prose"])], "doc_id long, toks array<string>"
+        ),
+        dim=4096,
+    ).select("feature_id", F.lit(2.0).alias("w"))
+    neg = hashed_features(
+        spark.createDataFrame(
+            [(0, ["spam", "buy"])], "doc_id long, toks array<string>"
+        ),
+        dim=4096,
+    ).select("feature_id", F.lit(-2.0).alias("w"))
+    weights = pos.unionByName(neg).groupBy("feature_id").agg(
+        F.sum("w").alias("w")
+    )
+    out = {r.doc_id: (r.score, r.label)
+           for r in linear_score(feats, weights).collect()}
+    assert out[1][1] == 1 and out[1][0] > 0.8      # all-positive doc
+    assert out[2][1] == 0 and out[2][0] < 0.2      # all-negative doc
+    assert out[1][0] > out[3][0] > out[2][0]        # mixed in between
+    # bias shifts every margin
+    out_b = {r.doc_id: r.score
+             for r in linear_score(feats, weights, bias=5.0).collect()}
+    assert all(out_b[d] >= out[d][0] for d in out_b)
+
+
+def test_linear_score_invariant_under_repartition(spark):
+    from workhop2_etl_spark.operators.text import (
+        hashed_features,
+        linear_score,
+    )
+
+    docs = _toy_docs(spark)
+    weights = hashed_features(docs, dim=64).select(
+        "feature_id", (F.col("feature_id") % 7 - 3.0).alias("w")
+    ).distinct()
+    a = linear_score(hashed_features(docs, dim=64), weights).collect()
+    b = linear_score(
+        hashed_features(docs.repartition(13), dim=64).repartition(7), weights
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

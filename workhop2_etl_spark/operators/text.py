@@ -162,3 +162,92 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-linear text classification (model-based quality filtering)
+# ---------------------------------------------------------------------------
+
+
+def hashed_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tok_col: str = "toks",
+    dim: int = 4096,
+    salt: str = "feat:",
+) -> DataFrame:
+    """Hashing-trick bag of words: (id, feature_id, x) with
+    feature_id = md5-32-bit(salt || token) % dim and x = tf / dl
+    (L1-normalized term frequency) — the fastText / Vowpal-Wabbit
+    featurization that makes linear text models corpus-scale: no
+    vocabulary table, no fit step, a fixed feature space any engine
+    reproduces from md5. One shuffle (the (doc, feature) aggregate);
+    documents with no tokens produce no rows. Collisions fold
+    features together — the standard hashing-trick tradeoff, priced
+    by ``dim``.
+
+    Reference parity: none (the reference has no model inference);
+    north-star pipeline stage — model-based quality filtering is how
+    production corpora gate documents (public fastText-classifier
+    pipelines), and a linear scorer over hashed features runs
+    JVM-side as plain join + fold, no Python.
+    """
+    if dim < 2:
+        raise ValueError(f"hashed_features dim must be >= 2, got {dim}")
+    toks = df.select(
+        F.col(id_col),
+        F.size(tok_col).alias("__dl"),
+        F.explode(tok_col).alias("__tok"),
+    )
+    fid = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("__tok"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % F.lit(dim)
+    return (
+        toks.select(id_col, "__dl", fid.alias("feature_id"))
+        .groupBy(id_col, "feature_id")
+        .agg(
+            (
+                F.count(F.lit(1)).cast("double")
+                / F.min("__dl").cast("double")
+            ).alias("x")
+        )
+    )
+
+
+def linear_score(
+    features: DataFrame,
+    weights: DataFrame,
+    id_col: str = "doc_id",
+    bias: float = 0.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document sigmoid(bias + Σ x·w) from hashed features and a
+    broadcast weight relation (feature_id, w) — linear-model
+    inference as a map-side join plus a DETERMINISTIC per-document
+    fold (the BM25 ``_seq_sum`` discipline: contributions sorted by
+    feature_id, so the double sum is cross-engine bit-stable instead
+    of hash-aggregate order-dependent). Absent features contribute 0
+    (inner join); a document with no scoring features is absent from
+    the result — outer-join against the corpus if every doc needs a
+    row. Returns (id, score, label) with label = score >= 0.5
+    (i.e. the pre-sigmoid margin ≥ 0)."""
+    from workhop2_etl_spark.operators.retrieval import _seq_sum
+
+    contrib = features.join(F.broadcast(weights), "feature_id").select(
+        id_col,
+        F.struct(
+            F.col("feature_id").alias("key"),
+            (F.col("x") * F.col("w")).alias("v"),
+        ).alias("c"),
+    )
+    z = F.lit(float(bias)) + _seq_sum(F.collect_list("c"))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return (
+        contrib.groupBy(id_col)
+        .agg(
+            F.round(score, round_digits).alias("score"),
+        )
+        .withColumn("label", (F.col("score") >= 0.5).cast("int"))
+    )

@@ -306,3 +306,81 @@ def x13_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# t18: hashed-linear quality classification — model-based filtering
+# (the fastText-style production gate) as pure JVM expressions:
+# hashing-trick features (md5 % dim, tf/dl), a broadcast weight
+# relation, and a DETERMINISTIC per-document fold (the BM25 _seq_sum
+# discipline) into a sigmoid. Weights here are pseudo-trained
+# (md5-uniform in [-1, 1) per feature id) so the ENTIRE inference —
+# featurization, join, fold, sigmoid, threshold — replays in DuckDB
+# bit-for-bit; swapping in trained weights changes one relation.
+# Sample filter runs FIRST (per-doc scores are corpus-independent).
+# ---------------------------------------------------------------------------
+
+_T18_DIM = 4096
+_T18_Q_MOD = 17
+_T18_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _t18_oracle() -> str:
+    from workhop2_etl_spark.suite.dedup import _hex_int_sql
+
+    fid = _hex_int_sql("md5('feat:' || tok)", 8)
+    wid = _hex_int_sql("md5('w:' || CAST(f AS VARCHAR))", 8)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_T18_NORM}, ' ') AS t
+      FROM documents
+      WHERE doc_id % {_T18_Q_MOD} = 0 AND {_T18_NORM} <> ''
+    ),
+    feat AS (
+      SELECT doc_id, {fid} % {_T18_DIM} AS feature_id,
+             CAST(count(*) AS DOUBLE) / CAST(min(dl) AS DOUBLE) AS x
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, feature_id
+    ),
+    w AS (
+      SELECT f AS feature_id,
+             ({wid} / 4294967296.0 - 0.5) * 2.0 AS w
+      FROM range({_T18_DIM}) t(f)
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(0.0 + list_reduce(
+               list(x * w ORDER BY feature_id), (a, b) -> a + b)))), 6)
+               AS score
+      FROM feat JOIN w USING (feature_id)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, score, CAST(score >= 0.5 AS INT) AS label
+    FROM scored ORDER BY doc_id
+    """
+
+
+@query("t18_hashed_linear_quality", oracle=_t18_oracle())
+def t18_hashed_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.suite.pipeline2 import _toks
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _T18_Q_MOD == 0
+    )
+    corpus = docs.select("doc_id", _toks().alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    feats = TX.hashed_features(corpus, dim=_T18_DIM)
+    wid = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    weights = spark.range(_T18_DIM).select(
+        F.col("id").alias("feature_id"),
+        (
+            (wid.cast("double") / F.lit(4294967296.0) - F.lit(0.5))
+            * F.lit(2.0)
+        ).alias("w"),
+    )
+    return TX.linear_score(feats, weights).orderBy("doc_id")
