@@ -1617,3 +1617,79 @@ def test_index_changes_empty_batches_emit_no_events(spark):
         spark, path, corpus.limit(0).select("doc_id")
     ) == "committed"
     assert IDX.index_changes(spark, path).count() == 0
+
+
+def test_check_index_clean_and_tampered(spark):
+    """check_index (fsck): a freshly-lifecycled lexical artifact is
+    consistent with its pending state counted; tampering with a df
+    partial or planting an unmarked batch file flips the verdict with
+    a named problem."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    corpus = _lex_corpus(spark, n=150)
+    path = _tmp("fsck_lex")
+    RET.save_lexical_index(
+        corpus.filter(F.col("doc_id") % 2 == 0), path,
+        mode="overwrite", num_partitions=1,
+    )
+    assert IS.ingest_epoch(spark, corpus.filter(F.col("doc_id") % 2 == 1),
+                           0, path, vec_col="toks") == "committed"
+    victims = corpus.filter(F.col("doc_id") % 5 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims) == "committed"
+
+    row = IDX.check_index(spark, path).collect()[0]
+    assert row.consistent and row.problems == ""
+    assert row.n_tombstones > 0 and row.n_uncommitted_batches == 0
+    assert row.n_live == corpus.filter(F.size("toks") > 0).join(
+        F.broadcast(victims), "doc_id", "left_anti"
+    ).select("doc_id").distinct().join(
+        corpus.filter(F.size("toks") > 0).select("doc_id", "toks"), "doc_id"
+    ).select("doc_id", F.explode(F.array_distinct("toks"))).count()
+
+    # tamper: drop one df partial file — the fold no longer matches
+    # the visible tf recount
+    df_files = [f for f in os.listdir(f"{path}/df") if f.endswith(".parquet")]
+    os.remove(f"{path}/df/{df_files[0]}")
+    row = IDX.check_index(spark, path).collect()[0]
+    assert not row.consistent and "df partials disagree" in row.problems
+
+
+def test_check_index_counts_uncommitted_and_orphans(spark):
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=100)
+    path = _tmp("fsck_pending")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+    victims = corpus.filter(F.col("doc_id") % 6 == 0).select("doc_id")
+    assert IDX.delete_from_index(spark, path, victims, batch="gone") == "committed"
+    os.remove(f"{path}/ledger/delete-gone")       # crashed before marker
+    os.makedirs(f"{path}/delete.other")            # orphan staging
+    row = IDX.check_index(spark, path).collect()[0]
+    # the crashed batch is reader-invisible, so the artifact is still
+    # CONSISTENT — the pending work is reported, not flagged
+    assert row.consistent
+    assert row.n_uncommitted_batches == 1 and row.n_orphan_staging == 1
+    assert row.n_tombstones == 0
+
+
+def test_check_index_ivf_orphan_cell(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 200)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+    path = _tmp("fsck_ivf")
+    IDX.save_ivf_index(emb, path, cents, dim=DIM, mode="overwrite")
+    row = IDX.check_index(spark, path).collect()[0]
+    assert row.consistent and row.n_live == emb.count()
+
+    # tamper: rewrite the quantizer without one cell — postings now
+    # reference an orphan cell
+    import pyspark.sql.functions as SF  # noqa: N812
+
+    kept = [c for c in cents if c[0] != 0]
+    IDX._write_centroid_rows(spark, kept, DIM, f"{path}/centroids",
+                             "overwrite")
+    meta2 = dict(IDX._read_meta(spark, path, "ivf-postings"),
+                 n_centroids=len(kept))
+    IDX._write_meta(spark, path, meta2, "overwrite")
+    row = IDX.check_index(spark, path).collect()[0]
+    assert not row.consistent and "absent from the riding quantizer" in row.problems

@@ -1765,6 +1765,175 @@ def index_changes(
     return out
 
 
+def check_index(spark: SparkSession, path: str) -> DataFrame:
+    """Consistency check (fsck) over a persisted index artifact — the
+    invariants every lifecycle verb maintains, re-verified from the
+    bytes on disk. One row:
+
+    - ``kind`` / ``epoch`` — identity;
+    - ``n_live`` — reader-visible rows (marker-gated, tombstones
+      anti-joined): tf rows for the lexical kind, postings otherwise;
+    - ``n_tombstones`` — pending logical deletes (compact when large);
+    - ``n_uncommitted_batches`` — ledgered batches with renamed files
+      but no marker (crashed or in-flight writers; readers don't see
+      them — resume/replay to converge);
+    - ``n_orphan_staging`` — leftover staging dirs (``delete.<b>``,
+      ``ingest.epoch-*``, ``*.compacting``) from crashed writers:
+      harmless to readers, swept or completed by their verb's replay;
+    - ``consistent`` + ``problems`` — kind-specific invariants:
+      lexical: the loader's folded df/stats partials must equal a
+      recount over the visible tf rows (the additivity every append/
+      delete/stream epoch preserves); IVF: every posting's cell must
+      exist in the riding quantizer; LSH: every table_id within the
+      recorded geometry.
+
+    Cost is one corpus-relation aggregate plus dimension-sized reads —
+    the honest fsck price; run it on the maintenance cadence, not per
+    probe. Read-only, safe against a live artifact (it sees the last
+    committed state, like any reader)."""
+    from workhop2_etl_spark.operators.retrieval import _LEXICAL_KIND
+
+    meta = _read_meta_any_kind(
+        spark, path,
+        kinds=(_LSH_KIND, _IVF_POSTINGS_KIND, _LEXICAL_KIND),
+        verb="check",
+    )
+    lexical = meta["kind"] == _LEXICAL_KIND
+    id_name = "doc_id" if lexical else "id"
+    data_sub = "tf" if lexical else "index"
+    problems: list[str] = []
+
+    fs, root_p = _hadoop_fs(spark, path)
+    # orphan staging dirs at the artifact root
+    n_orphans = sum(
+        1
+        for st in fs.listStatus(root_p)
+        if st.isDirectory()
+        and (
+            st.getPath().getName().startswith(("delete.", "ingest.epoch-"))
+            or st.getPath().getName().endswith(".compacting")
+        )
+    )
+    # ledgered batch files whose marker is absent
+    uncommitted: set[str] = set()
+    for sub in ("tf", "df", "stats", "index", "tombstones"):
+        _, d = _hadoop_fs(spark, f"{path}/{sub}")
+        if not fs.exists(d):
+            continue
+        for st in fs.listStatus(d):
+            name = st.getPath().getName()
+            if not (st.isFile() and name.endswith(".parquet")):
+                continue
+            for pfx, mk in (("delete-", "delete-"), ("stream-", "epoch-")):
+                if name.startswith(pfx):
+                    tag = name[len(pfx):-len(".parquet")].rsplit("-", 1)[0]
+                    _, marker = _hadoop_fs(spark, f"{path}/ledger/{mk}{tag}")
+                    if not fs.exists(marker):
+                        uncommitted.add(f"{mk}{tag}")
+
+    rel = _ledger_gated_parquet(spark, path, data_sub)
+    tomb = _read_tombstones(spark, path)
+    n_tomb = int(tomb.count()) if tomb is not None else 0
+    if rel is None:
+        n_live = 0
+        problems.append(f"no committed data under {data_sub}/")
+    else:
+        live = (
+            rel.join(F.broadcast(tomb), id_name, "left_anti")
+            if tomb is not None else rel
+        )
+        n_live = int(live.count())
+        if lexical:
+            # the loader's folded partials vs a recount over visible tf
+            got_df = (
+                _ledger_gated_parquet(spark, path, "df")
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .filter(F.col("df") > 0)
+            )
+            want_df = live.groupBy("term").agg(
+                F.count(F.lit(1)).alias("df")
+            )
+            bad_terms = int(
+                got_df.join(want_df, "term", "full_outer")
+                .filter(~got_df["df"].eqNullSafe(want_df["df"]))
+                .count()
+            )
+            if bad_terms:
+                problems.append(
+                    f"df partials disagree with visible tf on {bad_terms} "
+                    "term(s)"
+                )
+            got_stats = (
+                _ledger_gated_parquet(spark, path, "stats")
+                .agg(
+                    F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
+                    F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+                )
+                .collect()[0]
+            )
+            want_stats = (
+                live.groupBy(id_name)
+                .agg(F.min("dl").alias("__dl"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs"),
+                    F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"),
+                )
+                .collect()[0]
+            )
+            if (int(got_stats.n_docs), int(got_stats.sum_dl)) != (
+                int(want_stats.n_docs), int(want_stats.sum_dl)
+            ):
+                problems.append(
+                    f"stats partials sum to (n_docs={got_stats.n_docs}, "
+                    f"sum_dl={got_stats.sum_dl}) but visible tf recounts "
+                    f"to (n_docs={want_stats.n_docs}, "
+                    f"sum_dl={want_stats.sum_dl})"
+                )
+        elif meta["kind"] == _IVF_POSTINGS_KIND:
+            cents = _read_centroid_rows(spark, f"{path}/centroids", meta)
+            known = {cid for cid, _ in cents}
+            orphan_cells = [
+                r.centroid_id
+                for r in live.select("centroid_id").distinct().collect()
+                if r.centroid_id not in known
+            ]
+            if orphan_cells:
+                problems.append(
+                    f"postings reference {len(orphan_cells)} cell(s) "
+                    "absent from the riding quantizer "
+                    f"(e.g. {sorted(orphan_cells)[:3]})"
+                )
+        else:  # LSH geometry
+            nt = int(meta["num_tables"])
+            bad = int(
+                live.filter(
+                    (F.col("table_id") < 0) | (F.col("table_id") >= nt)
+                ).count()
+            )
+            if bad:
+                problems.append(
+                    f"{bad} signed row(s) outside the recorded "
+                    f"num_tables={nt} geometry"
+                )
+
+    row = (
+        str(meta["kind"]),
+        int(meta.get("epoch") or 0),
+        n_live,
+        n_tomb,
+        len(uncommitted),
+        n_orphans,
+        not problems,
+        "; ".join(problems),
+    )
+    return spark.createDataFrame(
+        [row],
+        "kind string, epoch long, n_live long, n_tombstones long,"
+        " n_uncommitted_batches long, n_orphan_staging long,"
+        " consistent boolean, problems string",
+    )
+
+
 def _read_meta_any_kind(
     spark: SparkSession,
     path: str,
@@ -1880,6 +2049,7 @@ __all__ = [
     "delete_from_index",
     "restore_index",
     "index_changes",
+    "check_index",
     "retrain_ivf_index",
     "ivf_index_stats",
     "lsh_index_stats",
