@@ -177,8 +177,10 @@ HEADLINE = [
     "r5_cm_heavy_hitters",
     # round-12 second pass: linear-classifier inference over hashed
     # features (regresses if the weight join stops broadcasting or
-    # the fold leaves whole-stage codegen)
+    # the fold leaves whole-stage codegen), and the model-gated
+    # corpus stage (score → gate → dedup → stats in one plan)
     "t18_hashed_linear_quality",
+    "x19_model_gated_corpus",
 ]
 
 

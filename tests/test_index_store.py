@@ -1693,3 +1693,30 @@ def test_check_index_ivf_orphan_cell(spark):
     IDX._write_meta(spark, path, meta2, "overwrite")
     row = IDX.check_index(spark, path).collect()[0]
     assert not row.consistent and "absent from the riding quantizer" in row.problems
+
+
+def test_check_index_reports_missing_dirs_instead_of_raising(spark):
+    """fsck must DIAGNOSE a mangled artifact, not crash on it: a df
+    dir removed wholesale (where the loader would raise) and an
+    unreadable pq8 codebook dir both land in `problems`."""
+    import shutil
+
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=80)
+    path = _tmp("fsck_mangled")
+    RET.save_lexical_index(corpus, path, mode="overwrite", num_partitions=1)
+    shutil.rmtree(f"{path}/df")
+    row = IDX.check_index(spark, path).collect()[0]
+    assert not row.consistent and "df/ missing" in row.problems
+
+    emb = load_table(spark, SF_DIR, "embeddings").filter(F.col("vec_id") < 150)
+    cents = SIM.fit_centroids(emb, n_centroids=4, seed=7, max_iter=5)
+    cbs = SIM.sample_pq_codebooks(emb, dim=DIM)
+    p2 = _tmp("fsck_pq")
+    IDX.save_ivf_index(emb, p2, cents, dim=DIM, store_dtype="pq8",
+                       codebooks=cbs, mode="overwrite")
+    assert IDX.check_index(spark, p2).collect()[0].consistent
+    shutil.rmtree(f"{p2}/codebooks")
+    row = IDX.check_index(spark, p2).collect()[0]
+    assert not row.consistent and "codebooks unreadable" in row.problems

@@ -1845,58 +1845,75 @@ def check_index(spark: SparkSession, path: str) -> DataFrame:
         n_live = int(live.count())
         if lexical:
             # the loader's folded partials vs a recount over visible tf
-            got_df = (
-                _ledger_gated_parquet(spark, path, "df")
-                .groupBy("term").agg(F.sum("df").alias("df"))
-                .filter(F.col("df") > 0)
-            )
-            want_df = live.groupBy("term").agg(
-                F.count(F.lit(1)).alias("df")
-            )
-            bad_terms = int(
-                got_df.join(want_df, "term", "full_outer")
-                .filter(~got_df["df"].eqNullSafe(want_df["df"]))
-                .count()
-            )
-            if bad_terms:
-                problems.append(
-                    f"df partials disagree with visible tf on {bad_terms} "
-                    "term(s)"
+            got_df_rel = _ledger_gated_parquet(spark, path, "df")
+            if got_df_rel is None:  # tampered: the loader would raise
+                problems.append("df/ missing or every partial uncommitted")
+            else:
+                got_df = (
+                    got_df_rel.groupBy("term")
+                    .agg(F.sum("df").alias("df"))
+                    .filter(F.col("df") > 0)
                 )
-            got_stats = (
-                _ledger_gated_parquet(spark, path, "stats")
-                .agg(
+                want_df = live.groupBy("term").agg(
+                    F.count(F.lit(1)).alias("df")
+                )
+                bad_terms = int(
+                    got_df.join(want_df, "term", "full_outer")
+                    .filter(~got_df["df"].eqNullSafe(want_df["df"]))
+                    .count()
+                )
+                if bad_terms:
+                    problems.append(
+                        f"df partials disagree with visible tf on "
+                        f"{bad_terms} term(s)"
+                    )
+            got_stats_rel = _ledger_gated_parquet(spark, path, "stats")
+            if got_stats_rel is None:
+                problems.append("stats/ missing or every partial uncommitted")
+            else:
+                got_stats = got_stats_rel.agg(
                     F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
                     F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
+                ).collect()[0]
+                want_stats = (
+                    live.groupBy(id_name)
+                    .agg(F.min("dl").alias("__dl"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"),
+                    )
+                    .collect()[0]
                 )
-                .collect()[0]
-            )
-            want_stats = (
-                live.groupBy(id_name)
-                .agg(F.min("dl").alias("__dl"))
-                .agg(
-                    F.count(F.lit(1)).alias("n_docs"),
-                    F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"),
-                )
-                .collect()[0]
-            )
-            if (int(got_stats.n_docs), int(got_stats.sum_dl)) != (
-                int(want_stats.n_docs), int(want_stats.sum_dl)
-            ):
-                problems.append(
-                    f"stats partials sum to (n_docs={got_stats.n_docs}, "
-                    f"sum_dl={got_stats.sum_dl}) but visible tf recounts "
-                    f"to (n_docs={want_stats.n_docs}, "
-                    f"sum_dl={want_stats.sum_dl})"
-                )
+                if (int(got_stats.n_docs), int(got_stats.sum_dl)) != (
+                    int(want_stats.n_docs), int(want_stats.sum_dl)
+                ):
+                    problems.append(
+                        f"stats partials sum to (n_docs={got_stats.n_docs}, "
+                        f"sum_dl={got_stats.sum_dl}) but visible tf recounts "
+                        f"to (n_docs={want_stats.n_docs}, "
+                        f"sum_dl={want_stats.sum_dl})"
+                    )
         elif meta["kind"] == _IVF_POSTINGS_KIND:
-            cents = _read_centroid_rows(spark, f"{path}/centroids", meta)
+            try:
+                cents = _read_centroid_rows(spark, f"{path}/centroids", meta)
+            except Exception as ex:  # noqa: BLE001 — fsck reports, not raises
+                problems.append(f"quantizer unreadable: {ex}")
+                cents = []
+            if meta.get("store_dtype") == "pq8":
+                try:
+                    _read_codebook_rows(spark, f"{path}/codebooks", meta)
+                except Exception as ex:  # noqa: BLE001
+                    problems.append(f"pq codebooks unreadable: {ex}")
             known = {cid for cid, _ in cents}
-            orphan_cells = [
-                r.centroid_id
-                for r in live.select("centroid_id").distinct().collect()
-                if r.centroid_id not in known
-            ]
+            orphan_cells = (
+                [
+                    r.centroid_id
+                    for r in live.select("centroid_id").distinct().collect()
+                    if r.centroid_id not in known
+                ]
+                if cents
+                else []  # unreadable quantizer is already the headline
+            )
             if orphan_cells:
                 problems.append(
                     f"postings reference {len(orphan_cells)} cell(s) "

@@ -967,3 +967,108 @@ def x17_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "shard", "pack_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x19 (r12): MODEL-GATED corpus prep — the production FineWeb-style
+# stage the x-family lacked: a linear quality classifier over hashed
+# features (operators/text.py, t18's kernel with the same
+# pseudo-trained md5-uniform weights) gates documents BEFORE exact
+# dedup, then the surviving canonical docs aggregate per language.
+# Classifier scores are per-doc (corpus-independent) and identical
+# text scores identically, so gate→dedup ≡ dedup→gate — the oracle
+# replays gate→dedup. Scale: scoring is one pass (broadcast weights,
+# sorted fold), dedup one md5-key aggregate, stats one dimension-
+# sized group-by.
+# ---------------------------------------------------------------------------
+
+_X19_DIM = 4096
+
+
+def _x19_oracle() -> str:
+    from workhop2_etl_spark.suite.dedup import _hex_int_sql
+
+    fid = _hex_int_sql("md5('feat:' || tok)", 8)
+    wid = _hex_int_sql("md5('w:' || CAST(f AS VARCHAR))", 8)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_NORM} AS norm, string_split({_NORM}, ' ') AS t
+      FROM documents WHERE {_NORM} <> ''
+    ),
+    feat AS (
+      SELECT doc_id, {fid} % {_X19_DIM} AS feature_id,
+             CAST(count(*) AS DOUBLE) / CAST(min(dl) AS DOUBLE) AS x
+      FROM (SELECT doc_id, len(t) AS dl, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, feature_id
+    ),
+    w AS (
+      SELECT f AS feature_id,
+             ({wid} / 4294967296.0 - 0.5) * 2.0 AS w
+      FROM range({_X19_DIM}) t(f)
+    ),
+    scored AS (
+      SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(0.0 + list_reduce(
+               list(x * w ORDER BY feature_id), (a, b) -> a + b)))), 6)
+               AS score
+      FROM feat JOIN w USING (feature_id)
+      GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT t.doc_id, md5(t.norm) AS fp, len(t.t) AS n_tokens, s.score
+      FROM toks t JOIN scored s USING (doc_id)
+      WHERE s.score >= 0.5
+    ),
+    canon AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+        FROM kept) WHERE rk = 1
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(c.n_tokens) AS BIGINT) AS n_tokens,
+           round(avg(c.score), 4) AS mean_score
+    FROM canon c JOIN documents d USING (doc_id)
+    GROUP BY d.lang ORDER BY d.lang
+    """
+
+
+@query("x19_model_gated_corpus", oracle=_x19_oracle())
+def x19_model_gated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.text import hashed_features, linear_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    corpus = docs.select(
+        "doc_id", "lang", norm.alias("norm"), _toks().alias("toks")
+    ).filter(F.size("toks") > 0)
+
+    wid = F.conv(
+        F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    weights = spark.range(_X19_DIM).select(
+        F.col("id").alias("feature_id"),
+        ((wid.cast("double") / F.lit(4294967296.0) - F.lit(0.5)) * F.lit(2.0)).alias("w"),
+    )
+    scored = linear_score(hashed_features(corpus, dim=_X19_DIM), weights)
+
+    kept = (
+        corpus.join(scored.filter(F.col("score") >= 0.5), "doc_id")
+        .select(
+            "doc_id", "lang", F.md5("norm").alias("fp"),
+            F.size("toks").alias("n_tokens"), "score",
+        )
+    )
+    rk = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    canon = kept.withColumn("rk", rk).filter(F.col("rk") == 1)
+    return (
+        canon.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+        )
+        .orderBy("lang")
+    )
