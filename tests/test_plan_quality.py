@@ -698,3 +698,13 @@ def test_index_changes_plan_reads_only_batch_files(spark, tmp_path):
             name = piece.strip().rstrip("/").rsplit("/", 1)[-1]
             if name:
                 assert name.startswith(("stream-", "delete-")), piece
+
+
+def test_classifier_query_plans(spark):
+    """t18/x19: the weight relation must broadcast into the scoring
+    join (4096 rows — a SortMergeJoin here would shuffle the feature
+    stream), and no row-Python anywhere."""
+    for name in ("t18_hashed_linear_quality", "x19_model_gated_corpus"):
+        plan = plan_of(suite.QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "BatchEvalPython" not in plan, name
