@@ -57,7 +57,7 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (d) all 21 STALE-flagged r07 queries (kernel newer than green),
 #     then the first 8 non-flagged r07 queries in staleness-report
 #     order.
-# (a2, added later in r12) 6 MORE never-verified queries from this
+# (a2, added later in r12) 7 MORE never-verified queries from this
 #     round's second build pass: st17_index_restore (restore_index —
 #     snapshot materialization), t17_index_changelog (index_changes —
 #     the CDC feed), r4_kmv_distinct + r5_cm_heavy_hitters
@@ -65,13 +65,16 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #     t18_hashed_linear_quality (hashed-features linear classifier —
 #     model-based quality filtering as pure expressions), and
 #     x19_model_gated_corpus (the classifier as the corpus pipeline's
-#     quality gate: score → gate → exact-dedup → per-lang stats). Per
-#     the never-verified > stale rule they displace the LAST 6
-#     block-(d) entries (q10_returned_items,
+#     quality gate: score → gate → exact-dedup → per-lang stats), and
+#     r6_kmv_by_group (per-group KMV — the grouped merge algebra).
+#     Per the never-verified > stale rule they displace the LAST 7
+#     block-(d) entries (f1_normalize_text, q10_returned_items,
 #     q11_revenue_concentration, q12_late_shipping, q14_promo_share,
-#     q15_top_supplier, q16_supplier_part_counts — r07 greens with
-#     kernels ≤ r07, never STALE-flagged); those six lead the r13
-#     staleness tail together with the q17/q19/... block below.
+#     q15_top_supplier, q16_supplier_part_counts — all from the
+#     NON-flagged r07 sub-block: greens r07, kernels ≤ r07, never
+#     STALE-flagged; f1's kernel is additionally pinned by the
+#     in-window pipeline queries and its pytest golden); those seven
+#     lead the r13 staleness tail with the q17/q19/... block below.
 # Deferred, each with the displacing rationale:
 # - v15_hybrid_rrf (green r10, kernel r12 via rrf_fuse): the changed
 #   fusion kernel is exercised in-window by v16 (same rrf_fuse
@@ -157,6 +160,7 @@ _PRIORITY = [
     "r5_cm_heavy_hitters",
     "t18_hashed_linear_quality",
     "x19_model_gated_corpus",
+    "r6_kmv_by_group",
     # (b) r12-kernel-changed
     "v16_hybrid_persisted_rrf",
     "t13_bm25_pruned_probe",
@@ -197,7 +201,6 @@ _PRIORITY = [
     "d5_ngram_jaccard_sample",
     "d7_canonical_docs",
     "e12_event_gap_stats",
-    "f1_normalize_text",
 ]
 
 

@@ -181,6 +181,9 @@ HEADLINE = [
     # corpus stage (score → gate → dedup → stats in one plan)
     "t18_hashed_linear_quality",
     "x19_model_gated_corpus",
+    # grouped KMV (the per-group WindowGroupLimit top-k — regresses
+    # if the beyond-k rows stop pruning map-side)
+    "r6_kmv_by_group",
 ]
 
 

@@ -235,3 +235,87 @@ def test_linear_score_invariant_under_repartition(spark):
         hashed_features(docs.repartition(13), dim=64).repartition(7), weights
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# ---------------------------------------------------------------------------
+# KMV through the streaming epoch protocol — sketch partials are
+# combinable partials like any rollup measure, so they ride the
+# existing stream_rollup_to_parquet / read_rollup machinery unchanged
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_rides_stream_rollup_epochs(spark, tmp_path_factory):
+    """Per-epoch KMV partials streamed through the rollup sink must
+    combine to EXACTLY the single-shot grouped sketch (hv sets per
+    group identical, hence identical estimates) — the streaming face
+    of the r6 merge algebra, plus checkpointed exactly-once."""
+    from workhop2_etl_spark.operators.sketch import (
+        combine_kmv_by,
+        kmv_estimate_by,
+        kmv_partial_by,
+    )
+    from workhop2_etl_spark.session import load_table
+    from workhop2_etl_spark.streaming import windows as SW
+
+    from tests.conftest import SF_DIR
+
+    K = 32
+    root = tmp_path_factory.mktemp("stream_kmv")
+    src = str(root / "events.parquet")
+    table = str(root / "kmv")
+    ckpt = str(root / "ckpt")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(3).write.mode("overwrite").parquet(src)
+
+    SW.stream_rollup_to_parquet(
+        spark, src, table, ckpt, max_files_per_trigger=1,
+        rollup_fn=lambda b: kmv_partial_by(b, ["event_type"], "user_id", K),
+    )
+    combined = SW.read_rollup(
+        spark, table,
+        combine_fn=lambda df: combine_kmv_by([df], ["event_type"], K),
+    )
+    single = kmv_partial_by(
+        spark.read.parquet(src), ["event_type"], "user_id", K
+    )
+    canon = lambda d: sorted((r.event_type, r.hv) for r in d.collect())  # noqa: E731
+    assert canon(combined) == canon(single)
+
+    est = lambda d: sorted(map(tuple, kmv_estimate_by(  # noqa: E731
+        d, ["event_type"], K).collect()))
+    assert est(combined) == est(single)
+
+    # exactly-once: a committed re-run adds nothing
+    SW.stream_rollup_to_parquet(
+        spark, src, table, ckpt, max_files_per_trigger=1,
+        rollup_fn=lambda b: kmv_partial_by(b, ["event_type"], "user_id", K),
+    )
+    assert canon(SW.read_rollup(
+        spark, table,
+        combine_fn=lambda df: combine_kmv_by([df], ["event_type"], K),
+    )) == canon(single)
+
+
+def test_kmv_by_group_algebra_and_capacity(spark):
+    from workhop2_etl_spark.operators.sketch import (
+        combine_kmv_by,
+        kmv_estimate_by,
+        kmv_partial_by,
+    )
+
+    # group 'big' has 2000 distinct values (over capacity), 'small' 10
+    rows = [("big", i) for i in range(2000)] + [("small", i) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    parts = [
+        kmv_partial_by(df.filter(F.col("v") % 2 == i), ["g"], "v", 64)
+        for i in (0, 1)
+    ]
+    merged = combine_kmv_by(parts, ["g"], 64)
+    single = kmv_partial_by(df, ["g"], "v", 64)
+    assert sorted((r.g, r.hv) for r in merged.collect()) == sorted(
+        (r.g, r.hv) for r in single.collect()
+    )
+    est = {r.g: r for r in kmv_estimate_by(merged, ["g"], 64).collect()}
+    assert est["small"].n_kept == 10 and est["small"].est_distinct == 10.0
+    assert est["big"].n_kept == 64
+    assert 2000 * 0.6 <= est["big"].est_distinct <= 2000 * 1.5  # k=64 is coarse

@@ -121,6 +121,64 @@ def kmv_estimate(partial: DataFrame, k: int) -> DataFrame:
     )
 
 
+def kmv_partial_by(
+    df: DataFrame, keys: list[str], col: str, k: int, salt: str = "kmv:"
+) -> DataFrame:
+    """Per-group KMV partials: for every ``keys`` group, the k
+    smallest distinct hash values of ``df[col]`` — the production
+    distinct-count shape (distinct users per day/event_type over a
+    100 TB event log, one bounded relation per group instead of a
+    full count-distinct shuffle). One distinct + one window
+    (WindowGroupLimit prunes beyond-k rows map-side). Columns:
+    keys..., hv."""
+    if k < 2:
+        raise ValueError(f"kmv k must be >= 2, got {k}")
+    from pyspark.sql import Window
+
+    hv = (
+        df.filter(F.col(col).isNotNull())
+        .select(*keys, _hash60(F.col(col), salt).alias("hv"))
+        .distinct()
+    )
+    rk = F.row_number().over(Window.partitionBy(*keys).orderBy("hv"))
+    return hv.withColumn("__rk", rk).filter(F.col("__rk") <= k).drop("__rk")
+
+
+def combine_kmv_by(parts: list[DataFrame], keys: list[str], k: int) -> DataFrame:
+    """Merge per-group KMV partials: union → distinct → per-group k
+    smallest again. Exactly ``kmv_partial_by`` over the concatenated
+    inputs — r6 oracle-verifies the algebra per group."""
+    if not parts:
+        raise ValueError("combine_kmv_by needs at least one partial")
+    from pyspark.sql import Window
+
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    rk = F.row_number().over(Window.partitionBy(*keys).orderBy("hv"))
+    return (
+        u.distinct().withColumn("__rk", rk).filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def kmv_estimate_by(partial: DataFrame, keys: list[str], k: int) -> DataFrame:
+    """Per-group (keys..., n_kept, kth_hash, est_distinct) — the
+    grouped twin of ``kmv_estimate`` (exact below capacity, else
+    (k−1)·M/kth)."""
+    return partial.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.coalesce(F.max("hv"), F.lit(0)).alias("kth_hash"),
+    ).select(
+        *keys,
+        "n_kept",
+        "kth_hash",
+        F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(float(k - 1)) * F.lit(_M) / F.col("kth_hash").cast("double"))
+        .alias("est_distinct"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Count-min frequency sketch
 # ---------------------------------------------------------------------------
@@ -211,6 +269,9 @@ __all__ = [
     "kmv_partial",
     "combine_kmv",
     "kmv_estimate",
+    "kmv_partial_by",
+    "combine_kmv_by",
+    "kmv_estimate_by",
     "cm_partial",
     "combine_cm",
     "cm_estimate",

@@ -604,6 +604,80 @@ def r5_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# r6: per-group KMV — approximate distinct users PER EVENT TYPE, the
+# production shape of the r4 sketch (one bounded k-row relation per
+# group instead of a per-group count-distinct shuffle). Spark builds
+# parity-half partials and merges per group; the oracle replays the
+# single-shot per-group sketch — equality proves the grouped merge
+# algebra, group by group. Exact distinct rides along per group.
+# ---------------------------------------------------------------------------
+
+_R6_K = 64
+
+
+@query(
+    "r6_kmv_by_group",
+    oracle=f"""
+    WITH hv AS (
+      SELECT DISTINCT event_type, {{h}} AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    topk AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+        FROM hv) WHERE rk <= {_R6_K}
+    ),
+    agg AS (
+      SELECT event_type, count(*) AS n_kept,
+             coalesce(max(hv), 0) AS kth_hash
+      FROM topk GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_kept, a.kth_hash,
+           round(CASE WHEN a.n_kept < {_R6_K} THEN CAST(a.n_kept AS DOUBLE)
+                 ELSE {float(_R6_K - 1)!r} * {_KMV_M!r}
+                      / CAST(a.kth_hash AS DOUBLE) END, 4) AS est_distinct,
+           e.n_exact
+    FROM agg a JOIN exact e USING (event_type)
+    ORDER BY a.event_type
+    """.format(
+        h=_hex_int_sql("md5('kmv:' || CAST(user_id AS VARCHAR))", 15)
+    ),
+)
+def r6_kmv_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from workhop2_etl_spark.operators.sketch import (
+        combine_kmv_by,
+        kmv_estimate_by,
+        kmv_partial_by,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    parts = [
+        kmv_partial_by(
+            ev.filter(F.col("event_id") % 2 == i), ["event_type"],
+            "user_id", _R6_K,
+        )
+        for i in (0, 1)
+    ]
+    merged = combine_kmv_by(parts, ["event_type"], _R6_K)
+    exact = (
+        ev.filter(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        kmv_estimate_by(merged, ["event_type"], _R6_K)
+        .withColumn("est_distinct", F.round("est_distinct", 4))
+        .join(exact, "event_type")
+        .orderBy("event_type")
+    )
+
+
 _LPA_ROUND = """
     s{next} AS (
       SELECT nb.node, l{cur}.label, sum(nb.w) AS wt
