@@ -78,7 +78,7 @@ def main() -> None:
     from workhop2_etl_spark.operators import retrieval as RET
 
     flags = ("--ivf", "--pq", "--lex", "--lexprune", "--hybrid",
-             "--delete", "--fusionrecall", "--restore")
+             "--delete", "--fusionrecall", "--restore", "--sketch")
     args = [a for a in sys.argv[1:] if a not in flags]
     family = next(
         (f.lstrip("-") for f in flags if f in sys.argv[1:]), "lsh"
@@ -345,6 +345,98 @@ def main() -> None:
             )
             shutil.rmtree(path, ignore_errors=True)
             shutil.rmtree(path + "_rb", ignore_errors=True)
+            print(json.dumps(rec))
+            continue
+
+        if family == "sketch":
+            # r12 second pass: do the sketches earn their cost — KMV
+            # vs exact count-distinct in the HIGH-CARDINALITY regime
+            # (distinct values ≈ token stream size, the "distinct
+            # users/ids at 100 TB" shape where the exact aggregate
+            # shuffles the whole distinct set and the sketch ships k
+            # rows per partition), plus count-min vs the exact top-k
+            # aggregation, with estimate errors recorded
+            from workhop2_etl_spark.operators import sketch as SK
+
+            docs = spark.read.parquet(FX.ensure_documents_lex(n))
+            toks = F.split(
+                F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")),
+                " ",
+            )
+            stream = docs.select(
+                "doc_id", "source", F.posexplode(toks).alias("pos", "tok")
+            ).select(
+                "source",
+                "tok",
+                F.md5(
+                    F.concat_ws(":", F.col("doc_id"), F.col("pos"), F.col("tok"))
+                ).alias("uid"),
+            ).persist()
+            n_rows = stream.count()  # materialize once; both sides read cache
+            rec = {"family": family, "n_docs": n, "n_token_rows": n_rows}
+
+            t0 = time.time()
+            exact = stream.agg(F.countDistinct("uid").alias("d")).collect()[0].d
+            rec["exact_distinct_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            est = SK.kmv_estimate(
+                SK.kmv_partial(stream, "uid", 256), 256
+            ).collect()[0].est_distinct
+            rec["kmv_sec"] = round(time.time() - t0, 2)
+            rec["exact_distinct"] = int(exact)
+            rec["kmv_est"] = round(est, 1)
+            rec["kmv_err_pct"] = round(100 * abs(est - exact) / exact, 2)
+
+            t0 = time.time()
+            g_exact = {
+                r.source: r.d
+                for r in stream.groupBy("source")
+                .agg(F.countDistinct("uid").alias("d"))
+                .collect()
+            }
+            rec["exact_by_group_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            g_est = {
+                r.source: r.est_distinct
+                for r in SK.kmv_estimate_by(
+                    SK.kmv_partial_by(stream, ["source"], "uid", 256),
+                    ["source"], 256,
+                ).collect()
+            }
+            rec["kmv_by_group_sec"] = round(time.time() - t0, 2)
+            rec["kmv_by_group_max_err_pct"] = round(
+                max(
+                    100 * abs(g_est[s] - g_exact[s]) / g_exact[s]
+                    for s in g_exact
+                ),
+                2,
+            )
+
+            t0 = time.time()
+            top = (
+                stream.groupBy("tok").agg(F.count(F.lit(1)).alias("n_true"))
+                .orderBy(F.desc("n_true"), F.asc("tok")).limit(20)
+            ).collect()
+            rec["exact_topk_sec"] = round(time.time() - t0, 2)
+            t0 = time.time()
+            grid = SK.cm_partial(stream, "tok", depth=3, width=1024)
+            items = spark.createDataFrame(
+                [(r.tok,) for r in top], "tok string"
+            )
+            cm = {
+                r.tok: r.n_est
+                for r in SK.cm_estimate(
+                    grid, items, "tok", depth=3, width=1024
+                ).collect()
+            }
+            rec["cm_build_probe_sec"] = round(time.time() - t0, 2)
+            rec["cm_max_over_pct"] = round(
+                max(100 * (cm[r.tok] - r.n_true) / r.n_true for r in top), 3
+            )
+            rec["cm_undercounts"] = sum(
+                1 for r in top if cm[r.tok] < r.n_true
+            )
+            stream.unpersist()
             print(json.dumps(rec))
             continue
 
