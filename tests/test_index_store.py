@@ -1720,3 +1720,37 @@ def test_check_index_reports_missing_dirs_instead_of_raising(spark):
     shutil.rmtree(f"{p2}/codebooks")
     row = IDX.check_index(spark, p2).collect()[0]
     assert not row.consistent and "codebooks unreadable" in row.problems
+
+
+def test_meta_driver_side_io_roundtrip_and_compat(spark):
+    """r12 optimization pin: _write_meta/_read_meta moved off Spark
+    jobs onto driver-side Hadoop FS I/O. The record must round-trip
+    with exact types, keep the old on-disk layout readable by
+    spark.read.json (external consumers), honor mode='error', and
+    keep the descriptive missing-artifact error."""
+    path = _tmp("meta_driver_io")
+    meta = {
+        "kind": "ivf-postings", "version": 1, "dim": DIM,
+        "n_centroids": 4, "id_col": "vec_id", "epoch": 2,
+        "store_dtype": "float64", "seed": 7,
+        "_codebooks": object(),  # load-time convenience: must not leak
+    }
+    IDX._write_meta(spark, path, meta, "overwrite")
+    got = IDX._read_meta(spark, path, "ivf-postings")
+    want = {k: v for k, v in meta.items() if k != "_codebooks"}
+    assert got == want
+    assert all(type(got[k]) is type(want[k]) for k in want)
+
+    # layout compat: still one JSON line under meta/, Spark-readable
+    rows = spark.read.schema(IDX._META_SCHEMA).json(f"{path}/meta").collect()
+    assert len(rows) == 1 and rows[0].kind == "ivf-postings"
+    assert rows[0].dim == DIM and rows[0].seed == 7
+
+    # mode='error' refuses to clobber; 'overwrite' replaces
+    with pytest.raises(ValueError, match="already exists"):
+        IDX._write_meta(spark, path, meta, "error")
+    IDX._write_meta(spark, path, dict(meta, epoch=5), "overwrite")
+    assert IDX._read_meta(spark, path, "ivf-postings")["epoch"] == 5
+
+    with pytest.raises(ValueError, match="no readable index metadata"):
+        IDX._read_meta(spark, _tmp("meta_never_written"), "ivf-postings")

@@ -1007,3 +1007,29 @@ def test_weighted_fuse_both_arms_constant(spark):
     assert by_doc[104].fused_score == 0.3  # b-only (1 - alpha)
     ranks = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
     assert ranks == [102, 103, 101, 104]  # overlap first, then doc_id
+
+
+def test_prf_expand_materializes_locally(spark):
+    """r12 optimization pin: bm25_prf_expand returns the expanded
+    (query_id, term) relation as a DRIVER-MATERIALIZED local relation
+    — pass 1 and the harvest run exactly once inside the call, and
+    the result's plan holds NO source scans (lazy nesting used to
+    re-execute pass 1 once per broadcast build in pass 2's plan).
+    Values are pinned by the equivalence tests above and the t15
+    oracle; this pins the execution shape."""
+    docs = load_table(spark, SF_DIR, "documents").limit(200)
+    corpus = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    )
+    qt = corpus.select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.slice("toks", 1, 3)).alias("term"),
+    ).filter(F.col("query_id") % 7 == 0).distinct()
+    out = RET.bm25_prf_expand(corpus, qt, n_feedback=2, m_expand=2)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert (
+        "LogicalRDD" in plan or "LocalRelation" in plan
+    ) and "parquet" not in plan and "Join" not in plan, (
+        f"expected a driver-materialized relation, got:\n{plan}"
+    )
+    assert out.columns == ["query_id", "term"]

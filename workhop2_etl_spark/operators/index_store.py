@@ -90,33 +90,90 @@ _META_SCHEMA = (
 
 
 def _write_meta(spark: SparkSession, path: str, meta: dict, mode: str) -> None:
-    row = {f.split()[0]: None for f in _META_SCHEMA.split(",")}
+    """Persist the one-record metadata JSON DRIVER-SIDE through the
+    Hadoop FileSystem API (the same surface the ledger markers use, so
+    local disk / HDFS / object stores all work). Metadata is a single
+    record by contract; the previous Spark-job write (createDataFrame
+    → repartition(1) → .write.json) paid a full job submission + task
+    + commit protocol (~0.5s measured locally) per call for one row —
+    pure scheduling overhead at ANY scale (r12 optimization round).
+    Layout is unchanged (``<path>/meta/part-00000.json``, one JSON
+    line, null fields omitted) and stays readable by spark.read.json."""
+    import json
+
+    fields = [f.split()[0] for f in _META_SCHEMA.split(",")]
     # only schema fields persist — load-time conveniences like the
-    # in-memory ``_codebooks`` must never leak into the JSON record
-    row.update({k: v for k, v in meta.items() if k in row})
-    # repartition(1), NOT coalesce(1): a local-list DataFrame
-    # parallelizes into defaultParallelism pickled slices, and
-    # coalesce makes ONE task evaluate all of them serially through
-    # Python workers (~5s measured for this one-row write);
-    # repartition computes the slices in parallel first (~0.5s)
-    spark.createDataFrame([tuple(row.values())], _META_SCHEMA).repartition(
-        1
-    ).write.mode(mode).json(f"{path}/meta")
+    # in-memory ``_codebooks`` must never leak into the JSON record;
+    # nulls are omitted, matching the Spark JSON writer's default
+    row = {k: meta[k] for k in fields if meta.get(k) is not None}
+    fs, d = _hadoop_fs(spark, f"{path}/meta")
+    if fs.exists(d):
+        if mode == "overwrite":
+            fs.delete(d, True)
+        elif mode != "append":
+            raise ValueError(
+                f"index metadata already exists at {path}/meta "
+                f"(write mode {mode!r})"
+            )
+    fs.mkdirs(d)
+    _, part = _hadoop_fs(spark, f"{path}/meta/part-00000.json")
+    out = fs.create(part, True)
+    try:
+        out.write(bytearray((json.dumps(row) + "\n").encode("utf-8")))
+    finally:
+        out.close()
 
 
 def _read_meta(spark: SparkSession, path: str, expect_kind: str) -> dict:
+    """Read the metadata record DRIVER-SIDE (see ``_write_meta`` —
+    one record, so a Spark read job is overhead; ~0.3s saved per
+    call). Reads every non-hidden ``*.json`` file under ``meta/`` so
+    artifacts written by the previous Spark JSON writer (or by an
+    external producer) stay loadable."""
+    import json
+
+    fields = [f.split()[0] for f in _META_SCHEMA.split(",")]
     try:
-        rows = spark.read.schema(_META_SCHEMA).json(f"{path}/meta").collect()
+        fs, d = _hadoop_fs(spark, f"{path}/meta")
+        if not fs.exists(d):
+            raise ValueError("metadata directory does not exist")
+        records = []
+        jvm = spark._jvm
+        for st in sorted(
+            fs.listStatus(d), key=lambda s: s.getPath().getName()
+        ):
+            name = st.getPath().getName()
+            if not st.isFile() or name.startswith((".", "_")):
+                continue
+            if not name.endswith(".json"):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                buf = jvm.java.io.ByteArrayOutputStream()
+                jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                    stream, buf, 65536, False
+                )
+                text = bytes(buf.toByteArray()).decode("utf-8")
+            finally:
+                stream.close()
+            for line in text.splitlines():
+                if line.strip():
+                    records.append(json.loads(line))
+    except ValueError as ex:
+        raise ValueError(
+            f"no readable index metadata at {path}/meta: {ex}"
+        ) from ex
     except Exception as ex:  # noqa: BLE001 — name the artifact in the error
         raise ValueError(f"no readable index metadata at {path}/meta: {ex}") from ex
-    if len(rows) != 1:
+    if len(records) != 1:
         raise ValueError(
             f"index metadata at {path}/meta must be exactly one record, "
-            f"found {len(rows)}"
+            f"found {len(records)}"
         )
-    # drop the shared-schema fields the other artifact kind doesn't
-    # set, so load_*'s meta equals what save_* returned
-    meta = {k: v for k, v in rows[0].asDict().items() if v is not None}
+    # drop fields outside the schema (foreign keys in a hand-edited
+    # record) and null fields the other artifact kind doesn't set, so
+    # load_*'s meta equals what save_* returned
+    meta = {k: records[0][k] for k in fields if records[0].get(k) is not None}
     if expect_kind != "*" and meta["kind"] != expect_kind:
         raise ValueError(
             f"artifact at {path} is kind={meta['kind']!r}, expected "
@@ -451,7 +508,12 @@ def _write_centroid_rows(
         )
     spark.createDataFrame(
         centroids, "centroid_id int, centroid array<double>"
-    ).repartition(1).write.mode(mode).parquet(data_path)  # not coalesce — see _write_meta
+    ).repartition(1).write.mode(mode).parquet(data_path)
+    # repartition(1), NOT coalesce(1): a local-list DataFrame
+    # parallelizes into defaultParallelism pickled slices, and
+    # coalesce makes ONE task evaluate all of them serially through
+    # Python workers (~5s measured for this one-row write);
+    # repartition computes the slices in parallel first (~0.5s)
 
 
 def _read_centroid_rows(
@@ -1282,11 +1344,17 @@ def delete_from_index(
             (-F.coalesce(F.sum("__dl"), F.lit(0))).alias("sum_dl"),
         )
         present = victims.select(id_name).distinct()
-        neg_df.repartition(1).write.mode("overwrite").parquet(f"{staging}/df")
-        neg_stats.repartition(1).write.mode("overwrite").parquet(
+        # coalesce(1), not repartition(1): these are real aggregation
+        # outputs (the shuffle boundary already exists upstream), so
+        # coalesce folds the post-shuffle read into the single writer
+        # task without paying a SECOND exchange per file (r12; the
+        # repartition-vs-coalesce note in _write_centroid_rows is
+        # about pickled local-list frames, which these are not)
+        neg_df.coalesce(1).write.mode("overwrite").parquet(f"{staging}/df")
+        neg_stats.coalesce(1).write.mode("overwrite").parquet(
             f"{staging}/stats"
         )
-        present.repartition(1).write.mode("overwrite").parquet(
+        present.coalesce(1).write.mode("overwrite").parquet(
             f"{staging}/tombstones"
         )
         moves = [
@@ -1301,9 +1369,9 @@ def delete_from_index(
             .select(id_name)
             .distinct()
         )
-        present.repartition(1).write.mode("overwrite").parquet(
+        present.coalesce(1).write.mode("overwrite").parquet(
             f"{staging}/tombstones"
-        )
+        )  # coalesce, not repartition — see the lexical branch above
         moves = [(f"{staging}/tombstones", f"{path}/tombstones")]
 
     for src_dir, dst_dir in moves:
@@ -1500,11 +1568,13 @@ def _compact_dir(
         if transform is not None:
             df = transform(df)
         if transform is not None and fold_one:
-            # folded partials are dimension-sized — one file
+            # folded partials are dimension-sized — one file; coalesce
+            # (not repartition) because the fold's own aggregation
+            # already provides the shuffle boundary (r12)
             reparted = (
-                df.repartition(1).sortWithinPartitions(*keys)
+                df.coalesce(1).sortWithinPartitions(*keys)
                 if keys
-                else df.repartition(1)
+                else df.coalesce(1)
             )
         else:
             reparted = (
@@ -1594,7 +1664,7 @@ def restore_index(
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
             .filter(F.col("df") > 0)
-            .repartition(1)
+            .coalesce(1)  # agg already shuffled — no second exchange
             .sortWithinPartitions("term")
             .write.mode(mode)
             .parquet(f"{dst_path}/df")
@@ -1605,7 +1675,7 @@ def restore_index(
                 F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
                 F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
             )
-            .repartition(1)
+            .coalesce(1)  # one-row global aggregate
             .write.mode(mode)
             .parquet(f"{dst_path}/stats")
         )

