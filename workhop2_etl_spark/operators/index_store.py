@@ -519,14 +519,17 @@ def _write_centroid_rows(
 def _read_centroid_rows(
     spark: SparkSession, data_path: str, meta: dict
 ) -> list[tuple[int, list[float]]]:
-    rows = spark.read.parquet(data_path).collect()
+    rows = _driver_parquet_records(data_path)  # r12: no job for a
+    if rows is None:  # driver-collected dimension-sized sidecar
+        rows = [r.asDict() for r in spark.read.parquet(data_path).collect()]
     if len(rows) != meta["n_centroids"]:
         raise ValueError(
             f"centroid artifact at {data_path} has {len(rows)} rows, metadata "
             f"says {meta['n_centroids']} — partial or corrupt write"
         )
     out = sorted(
-        (int(r.centroid_id), [float(x) for x in r.centroid]) for r in rows
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in rows
     )
     ragged = [cid for cid, vec in out if len(vec) != meta["dim"]]
     if ragged:
@@ -752,10 +755,53 @@ def _write_codebook_rows(
     ).repartition(1).write.mode(mode).parquet(data_path)
 
 
+def _driver_parquet_records(data_path: str) -> list[dict] | None:
+    """Dimension-sized sidecar read (centroids / codebooks) as a
+    DRIVER-SIDE pyarrow scan when the path is a local directory —
+    these artifacts are collected to the driver regardless, so a
+    Spark job per read is a fixed ~0.2-0.3s of scheduling for a few
+    KB (r12 optimization; the streaming IVF ingest pays one such read
+    PER EPOCH). Returns None for remote schemes, missing pyarrow, or
+    unreadable files — callers then take the Spark read, which is
+    also the error-reporting path for genuinely corrupt artifacts."""
+    scheme, sep, rest = data_path.partition("://")
+    if sep:
+        if scheme != "file":
+            return None
+        data_path = rest if rest.startswith("/") else "/" + rest
+    elif data_path.startswith("file:"):
+        data_path = data_path[len("file:"):]
+    import os
+
+    if not os.path.isdir(data_path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    parts = sorted(
+        f for f in os.listdir(data_path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    if not parts:
+        return None
+    try:
+        out: list[dict] = []
+        for f in parts:
+            out.extend(
+                pq.read_table(os.path.join(data_path, f)).to_pylist()
+            )
+        return out
+    except Exception:  # noqa: BLE001 — corrupt file: report via Spark path
+        return None
+
+
 def _read_codebook_rows(
     spark: SparkSession, data_path: str, meta: dict
 ) -> list[tuple[int, int, list[float]]]:
-    rows = spark.read.parquet(data_path).collect()
+    rows = _driver_parquet_records(data_path)
+    if rows is None:
+        rows = [r.asDict() for r in spark.read.parquet(data_path).collect()]
     want = int(meta["pq_m"]) * int(meta["pq_k"])
     if len(rows) != want:
         raise ValueError(
@@ -763,7 +809,7 @@ def _read_codebook_rows(
             f"metadata says m×k = {want} — partial or corrupt write"
         )
     return sorted(
-        (int(r.m), int(r.j), [float(x) for x in r.c]) for r in rows
+        (int(r["m"]), int(r["j"]), [float(x) for x in r["c"]]) for r in rows
     )
 
 
@@ -1328,35 +1374,52 @@ def delete_from_index(
 
     tomb = _read_tombstones(spark, path)
     if meta["kind"] == _LEXICAL_KIND:
+        from pyspark import StorageLevel
+
         tf = _gated_or_raise(spark, path, "tf")
         live = tf.join(F.broadcast(tomb), id_name, "left_anti") if tomb is not None else tf
-        victims = live.join(F.broadcast(ids), id_name, "left_semi")
-        # negative partials over the victims' OWN rows: df loses one
-        # per (term, victim doc); stats lose the victim count and
-        # their Σ dl (dl rides every tf row — min() is per-doc exact)
-        neg_df = victims.groupBy("term").agg(
-            (-F.count(F.lit(1))).alias("df")
+        # persist the victim rows across the THREE partial writes
+        # below (r12): each write is its own action, so the lazy form
+        # re-ran the gated tf scan + tombstone anti-join + id
+        # semi-join once per file — 14 jobs per delete, of which 2
+        # whole re-executions of the victim scan. Victim rows are a
+        # small fraction of the corpus by the same contract that lets
+        # tombstones broadcast; MEMORY_AND_DISK spills, never
+        # recomputes.
+        victims = live.join(F.broadcast(ids), id_name, "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        neg_stats = victims.groupBy(id_name).agg(
-            F.min("dl").alias("__dl")
-        ).agg(
-            (-F.count(F.lit(1))).alias("n_docs"),
-            (-F.coalesce(F.sum("__dl"), F.lit(0))).alias("sum_dl"),
-        )
-        present = victims.select(id_name).distinct()
-        # coalesce(1), not repartition(1): these are real aggregation
-        # outputs (the shuffle boundary already exists upstream), so
-        # coalesce folds the post-shuffle read into the single writer
-        # task without paying a SECOND exchange per file (r12; the
-        # repartition-vs-coalesce note in _write_centroid_rows is
-        # about pickled local-list frames, which these are not)
-        neg_df.coalesce(1).write.mode("overwrite").parquet(f"{staging}/df")
-        neg_stats.coalesce(1).write.mode("overwrite").parquet(
-            f"{staging}/stats"
-        )
-        present.coalesce(1).write.mode("overwrite").parquet(
-            f"{staging}/tombstones"
-        )
+        try:
+            # negative partials over the victims' OWN rows: df loses
+            # one per (term, victim doc); stats lose the victim count
+            # and their Σ dl (dl rides every tf row — min() is
+            # per-doc exact)
+            neg_df = victims.groupBy("term").agg(
+                (-F.count(F.lit(1))).alias("df")
+            )
+            neg_stats = victims.groupBy(id_name).agg(
+                F.min("dl").alias("__dl")
+            ).agg(
+                (-F.count(F.lit(1))).alias("n_docs"),
+                (-F.coalesce(F.sum("__dl"), F.lit(0))).alias("sum_dl"),
+            )
+            present = victims.select(id_name).distinct()
+            # coalesce(1), not repartition(1): these are real
+            # aggregation outputs (the shuffle boundary already exists
+            # upstream), so coalesce folds the post-shuffle read into
+            # the single writer task without paying a SECOND exchange
+            # per file (r12; the repartition-vs-coalesce note in
+            # _write_centroid_rows is about pickled local-list frames,
+            # which these are not)
+            neg_df.coalesce(1).write.mode("overwrite").parquet(f"{staging}/df")
+            neg_stats.coalesce(1).write.mode("overwrite").parquet(
+                f"{staging}/stats"
+            )
+            present.coalesce(1).write.mode("overwrite").parquet(
+                f"{staging}/tombstones"
+            )
+        finally:
+            victims.unpersist()
         moves = [
             (f"{staging}/{sub}", f"{path}/{sub}")
             for sub in ("df", "stats", "tombstones")

@@ -781,7 +781,10 @@ def _bm25_rank_pruned(
         * F.abs(F.col("__hb"))
         * F.lit(2.0 ** -50)
     )
-    flags = per_q.join(hb, "query_id", "left").select(
+    # explicit broadcast: hb derives from the driver-materialized
+    # query relation (LogicalRDD — no size stats), so the planner
+    # can't prove it small; it is |Q| rows by construction (r12)
+    flags = per_q.join(F.broadcast(hb), "query_id", "left").select(
         "query_id",
         (
             F.col("__hb").isNull()  # no head terms → candidates cover all
@@ -899,7 +902,9 @@ def _prf_harvest(
         tf.join(F.broadcast(fb), "doc_id")
         .groupBy("query_id", "term")
         .agg(F.sum("tf").alias("__w"))
-        .join(query_terms, ["query_id", "term"], "left_anti")
+        # broadcast hint: query_terms may be driver-materialized
+        # (LogicalRDD, no size stats) and is query-bounded (r12)
+        .join(F.broadcast(query_terms), ["query_id", "term"], "left_anti")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__w"), F.asc("term"))
     return (

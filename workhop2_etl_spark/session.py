@@ -70,7 +70,20 @@ def get_spark(app_name: str = "workhop2_etl_spark", shuffle_partitions: int | No
         # scans here are row-group-bound, not split-bound — and at
         # production scale 128-256 MB splits are the right answer.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # bounded-collect guards (`.limit(cap+1).collect()` on small
+        # relations) otherwise run CollectLimit's incremental probe —
+        # one job at 1 partition, then 4×, 16×... — costing 2-3 extra
+        # job launches per guard. Sized to the parallelism (like
+        # shuffle.partitions above), one job scans all partitions at
+        # once; r12 optimization, scale-adaptive by construction.
+        .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1/§9): skips both
+        # sorts on every equi-join that AQE/broadcast didn't already
+        # optimize — the iterative graph queries re-sorted identical
+        # inputs once per iteration (r12; A/B'd on g6/g7/q21)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         # managed-table home for bucketed layouts (sources/bucketing.py);
         # a cluster deployment points this at the metastore warehouse

@@ -925,9 +925,17 @@ def x17_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "text", "lang", n_tok.alias("n_tok"))
 
     ex = DD.dedupe_exact(passed)
+    # row-based SimHash (r12 optimization): the inline simhash16
+    # expression is an interpreted 16-way F.aggregate fold that
+    # re-hashes every token once PER BIT (no codegen for higher-order
+    # functions); the explode + 16-conditional-sums twin hashes each
+    # token once and its groupBy(doc_id) shuffle is docs-sized after
+    # map-side partial aggregation. Bit-identical votes (same md5[:4]
+    # integer hash, same ±1 sums) — measured 3.6s → 2.1s on the
+    # signature stage alone at sf0.1.
     sim_keep = (
-        ex.select("doc_id", DD.simhash16(F.col("text")).alias("sh"))
-        .groupBy("sh")
+        DD.simhash_signatures(ex)
+        .groupBy("simhash")
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
