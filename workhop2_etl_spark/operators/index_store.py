@@ -1410,14 +1410,24 @@ def delete_from_index(
             # the single writer task without paying a SECOND exchange
             # per file (r12; the repartition-vs-coalesce note in
             # _write_centroid_rows is about pickled local-list frames,
-            # which these are not)
-            neg_df.coalesce(1).write.mode("overwrite").parquet(f"{staging}/df")
-            neg_stats.coalesce(1).write.mode("overwrite").parquet(
-                f"{staging}/stats"
-            )
-            present.coalesce(1).write.mode("overwrite").parquet(
-                f"{staging}/tombstones"
-            )
+            # which these are not). The three staged writes are
+            # independent reads of the persisted victims, so they run
+            # concurrently (guide §2.6); all three land in STAGING —
+            # nothing is reader-visible until the renames + marker.
+            from concurrent.futures import ThreadPoolExecutor
+
+            def _w(pair):
+                rel, sub = pair
+                rel.coalesce(1).write.mode("overwrite").parquet(
+                    f"{staging}/{sub}"
+                )
+
+            with ThreadPoolExecutor(max_workers=3) as pool:
+                list(pool.map(_w, [
+                    (neg_df, "df"),
+                    (neg_stats, "stats"),
+                    (present, "tombstones"),
+                ]))
         finally:
             victims.unpersist()
         moves = [

@@ -368,11 +368,6 @@ def _write_lexical_epoch(
         # docs, dl is a per-doc constant carried on every tf row, and
         # the counts/sums are integers.
         df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-        # coalesce(1), not repartition(1): the aggregations above
-        # already shuffle, so coalesce folds the post-shuffle read
-        # into the single per-epoch partial file without a SECOND
-        # exchange (r12; one less Exchange + stage per write)
-        df.coalesce(1).write.mode(mode).parquet(f"{path}/df")
         stats = (
             tf.groupBy("doc_id")
             .agg(F.min("dl").alias("__dl"))
@@ -381,7 +376,22 @@ def _write_lexical_epoch(
                 F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"),
             )
         )
-        stats.coalesce(1).write.mode(mode).parquet(f"{path}/stats")
+        # coalesce(1), not repartition(1): the aggregations above
+        # already shuffle, so coalesce folds the post-shuffle read
+        # into the single per-epoch partial file without a SECOND
+        # exchange (r12; one less Exchange + stage per write). The
+        # two partial writes are independent reads of the cached tf,
+        # so they run CONCURRENTLY (guide §2.6 — the second job's
+        # tasks back-fill the first's tail; actions are only
+        # sequential when driver code calls them sequentially).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w(pair):
+            rel, sub = pair
+            rel.coalesce(1).write.mode(mode).parquet(f"{path}/{sub}")
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            list(pool.map(_w, [(df, "df"), (stats, "stats")]))
     finally:
         tf.unpersist()
 

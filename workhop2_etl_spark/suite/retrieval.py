@@ -412,10 +412,10 @@ def st14_streaming_lexical_ingest(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = load_table(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="w2e_st14_")
     src, path, ckpt = (os.path.join(base, d) for d in ("src", "idx", "ckpt"))
-    for i in range(3):
-        docs.filter(F.col("doc_id") % 3 == i).repartition(1).write.mode(
-            "append"
-        ).parquet(src)
+    # one write job, three part files → three availableNow epochs
+    # (r12, the st15 pattern: any disjoint split works — the epochs'
+    # df/stats partials are additive in any grouping)
+    docs.repartition(3).write.mode("overwrite").parquet(src)
 
     tokenize = lambda df: df.select("doc_id", _toks().alias("toks"))  # noqa: E731
     RET.save_lexical_index(

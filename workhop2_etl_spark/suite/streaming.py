@@ -499,10 +499,10 @@ def st13_streaming_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint are both stateful across runs by design
     base = tempfile.mkdtemp(prefix="w2e_st13_")
     src, path, ckpt = (os.path.join(base, d) for d in ("src", "idx", "ckpt"))
-    for i in range(3):
-        emb.filter(F.col("vec_id") % 3 == i).repartition(1).write.mode(
-            "append"
-        ).parquet(src)
+    # one write job, three part files → three availableNow epochs
+    # (r12, the st15 pattern: any disjoint split works — epoch
+    # membership is irrelevant to the append-equivalent postings)
+    emb.repartition(3).write.mode("overwrite").parquet(src)
 
     IDX.save_ivf_index(emb.limit(0), path, centroids, dim=DIM, mode="overwrite")
     IS.stream_index_ingest(
