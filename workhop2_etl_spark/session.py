@@ -78,12 +78,14 @@ def get_spark(app_name: str = "workhop2_etl_spark", shuffle_partitions: int | No
         # once; r12 optimization, scale-adaptive by construction.
         .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # let the planner pick shuffled-hash over sort-merge when the
-        # per-partition build side fits (guide §3.1/§9): skips both
-        # sorts on every equi-join that AQE/broadcast didn't already
-        # optimize — the iterative graph queries re-sorted identical
-        # inputs once per iteration (r12; A/B'd on g6/g7/q21)
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shuffled-hash-vs-sort-merge was A/B'd both ways in r12 and
+        # REJECTED: the static knob (preferSortMergeJoin=false) never
+        # fired (the surviving SMJs sit on subplans with no usable
+        # size estimates), and AQE's runtime conversion
+        # (maxShuffledHashJoinLocalMapThreshold=64m) measurably HURT
+        # (j3 1.1s → 2.3s, g6 2.7s → 6.7s min-of-4 back-to-back) —
+        # the sort-merge sorts are cheaper here than per-partition
+        # hash-map builds. Defaults kept deliberately.
         .config("spark.sql.session.timeZone", "UTC")
         # managed-table home for bucketed layouts (sources/bucketing.py);
         # a cluster deployment points this at the metastore warehouse
