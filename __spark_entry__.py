@@ -32,8 +32,43 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # (latest green per CORRECTNESS_r*.json + last kernel-touching commit
 # round from git), ordered never-verified > kernel-changed > oldest
 # green.
-# ROUND-12 WINDOW (exactly 50; composed per tools/staleness_report.py,
-# never-verified > kernel-changed > oldest-green):
+# ROUND-13 WINDOW (exactly 50; composed per tools/staleness_report.py,
+# never-verified > kernel-changed > oldest-green). No query is
+# never-driver-verified (CORRECTNESS_r12 graded the whole r12 head
+# block), so the window leads with the r13 OPTIMIZATION round's
+# kernel-changed set:
+# (a) 20 kernel-changed r13 — every query through the rewritten BM25
+#     scoring core (_bm25_score: collect_list+fold → term-sorted
+#     window aggregate; bit-identity pinned by
+#     test_bm25_window_sum_bit_identical_to_fold), the probe's
+#     driver-materialized df/stats slices, the driver-side empty-seed
+#     writes, restore_index's overlapped writes, or the shared
+#     IVF centroid/codebook relations: t11, t12, t13, t14, t15, t16,
+#     t17, st13, st14, st15, st16, st17, v5, v7, v13, v14, v15, v16,
+#     v18, v19. This also closes the r12 verdict's evidence gap for
+#     t11/t12/v15/st13/st14/v13/v14 (touched in r12, local-only
+#     verified then).
+# (b) 3 remaining r12-touched-local-only (the verdict's ask #2):
+#     x17_corpus_pipeline (row-based SimHash), v9/v10 (persisted
+#     LSH/IVF lifecycles through the r12 meta/sidecar driver I/O).
+# (c) 27 staleness tail, in the order the r12 spec queued them:
+#     the 7 displaced non-flagged r07 entries (f1, q10, q11, q12,
+#     q14, q15, q16), the 12 r07 greens q17/q19/q20/q4/q6/q8/s2/
+#     sql3/x13/x18/x1/x3, then 8 of the r11-green rotation (u5, k1,
+#     k2, dq2, e7, q3, q9, w5).
+# Deferred, each with the displacing rationale:
+# - The r12 head block (t14, v18, t15, v19, t16, st15, st16, st17,
+#   t17, r4, r5, t18, x19, r6, v16, t13 ...) would normally rotate
+#   out after its r12 green, but most of it is RE-verified here
+#   anyway because the BM25/lifecycle kernels changed again in r13 —
+#   only r4/r5/r6 (sketches), t18/x19 (classifier) rotate out:
+#   kernels untouched in r13, r12-green, pinned by their pytest
+#   batteries.
+# - w6_ewma, x10_group_sample (r11 greens, kernels untouched since):
+#   displaced by the kernel-changed block; next in the r14 tail.
+# - q1/a-family/... r08+ greens with untouched kernels: normal
+#   rotation order via tools/staleness_report.py.
+# ROUND-12 WINDOW (historical; superseded by the r13 list above):
 # (a) 7 never-driver-verified, the r11 verdict's ask #1 plus this
 #     round's additions: t14_bm25_index_delete + v18_topk_ivf_index_
 #     delete (the r11 deletion lifecycle: tombstones + signed lexical
@@ -141,66 +176,63 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 #   VERIFYLOCAL_r11 green at this head.
 # (The r11 'queued for r12' block is delivered above as head (a).)
 _PRIORITY = [
-    # (a) never-driver-verified
+    # (a) kernel-changed r13: the rewritten BM25 scoring core, the
+    # probe's driver-materialized df/stats, driver-side empty seeds,
+    # overlapped restore writes, shared IVF relations
+    "t11_bm25_topk",
+    "t12_bm25_persisted_index",
+    "t13_bm25_pruned_probe",
     "t14_bm25_index_delete",
-    "v18_topk_ivf_index_delete",
     "t15_bm25_prf",
-    "v19_hybrid_weighted",
     "t16_bm25_prf_persisted",
+    "t17_index_changelog",
+    "st13_streaming_index_ingest",
+    "st14_streaming_lexical_ingest",
     "st15_streaming_ingest_delete",
     "st16_snapshot_as_of",
-    # (a2) never-driver-verified, added later in r12: snapshot
-    # RESTORE + CDC changelog (index_store.restore_index /
-    # index_changes) and the cross-engine mergeable sketches
-    # (operators/sketch.py) — each displaces one block-(d) r07 entry
-    # (q12/q14/q15/q16, named in the deferral note below)
     "st17_index_restore",
-    "t17_index_changelog",
-    "r4_kmv_distinct",
-    "r5_cm_heavy_hitters",
-    "t18_hashed_linear_quality",
-    "x19_model_gated_corpus",
-    "r6_kmv_by_group",
-    # (b) r12-kernel-changed
+    "v5_topk_cosine_ivf",
+    "v7_topk_cosine_ivf_nprobe",
+    "v13_topk_ivf_pq",
+    "v14_topk_ivf_pq_refine",
+    "v15_hybrid_rrf",
     "v16_hybrid_persisted_rrf",
-    "t13_bm25_pruned_probe",
-    # (c) the r06 cohort
-    "q13_order_count_dist",
-    "q18_large_orders",
-    "q21_waiting_supplier",
-    "q22_idle_rich_customers",
-    "q2_best_value_supplier",
-    "q5_local_volume",
-    "q7_nation_volume",
-    "s5_jdbc_roundtrip",
-    # (d) r07 cohort: all 21 STALE-flagged...
-    "a11_approx_sketches",
-    "a1_topk_group_count",
-    "a2_count_distinct",
-    "a5_histogram",
-    "a6_full_dedupe",
-    "a8_top_entities",
-    "g2_cube",
-    "g3_rollup",
-    "g4_unpivot",
-    "j13_asof_nearest",
-    "j2_fanout_argmax_join",
-    "j4_argmax_dedupe",
-    "m6_real_audio_meta",
-    "r1_daily_rollup",
-    "r2_combine_partials",
-    "r3_hist_quantiles",
-    "st12_windowed_topk",
-    "v3_embedding_norms",
-    "w1_running_and_lag",
-    "w2_rank_per_group",
-    "w3_range_frame",
-    # ...then the first 14 non-flagged r07, staleness-report order
-    "a10_percentiles",
-    "d4_simhash_groups",
-    "d5_ngram_jaccard_sample",
-    "d7_canonical_docs",
-    "e12_event_gap_stats",
+    "v18_topk_ivf_index_delete",
+    "v19_hybrid_weighted",
+    # (b) r12-touched, local-only verified then (verdict ask #2)
+    "x17_corpus_pipeline",
+    "v9_topk_lsh_persisted_index",
+    "v10_topk_ivf_persisted_index",
+    # (c) staleness tail: the 7 displaced non-flagged r07 entries...
+    "f1_normalize_text",
+    "q10_returned_items",
+    "q11_revenue_concentration",
+    "q12_late_shipping",
+    "q14_promo_share",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    # ...the 12 r07 greens queued by the r12 spec...
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "s2_json_roundtrip",
+    "sql3_corpus_quality_sql",
+    "x13_weighted_sample",
+    "x18_leakage_safe_split",
+    "x1_word_count",
+    "x3_hash_sample",
+    # ...then 8 of the r11-green rotation
+    "u5_apply_changes",
+    "k1_salted_agg",
+    "k2_salted_skew_join",
+    "dq2_rolling_outliers",
+    "e7_cohort_month",
+    "q3_shipping_priority",
+    "q9_product_profit",
+    "w5_gapfill_days",
 ]
 
 

@@ -6,7 +6,13 @@ then three calibration-normalized canary lines:
   {"canary": "<name>", "raw_sec": N, "norm_sec": N, "cal_ratio": R}
 and LAST a compact summary line:
   {"metric": "headline_suite_total", "value": N, "unit": "sec",
-   "sf": ..., "n_queries": N, "load_context": {...}}
+   "queries": {"name": sec, ...}, "sf": ..., "n_queries": N,
+   "load_context": {...}}
+
+The summary line carries the FULL per-query map (r13): the driver's
+per-query/scaling comparisons read the captured stdout tail, and the
+short per-query lines scroll out of a tail-limited capture — the
+summary line, printed last, always survives.
 
 The r10 driver artifact proved why: a single giant JSON line was
 tail-truncated in capture, losing the headline total and the first
@@ -423,6 +429,15 @@ def main() -> None:
             "metric": "headline_suite_total",
             "value": total,
             "unit": "sec",
+            # full per-query map ON the summary line (r13, additions
+            # only — nothing removed or renamed): the r12 driver
+            # could not build its PERF per_query/scaling tables
+            # because only the stdout tail survived capture and the
+            # per-query lines scrolled off; the summary line is
+            # printed LAST, so a tail-limited capture keeps it — and
+            # with it every per-query number. ~4 KB at 84 entries,
+            # far under the r10 truncation sizes.
+            "queries": times,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             "n_queries": len(times),
             "load_context": load_ctx,

@@ -1112,6 +1112,56 @@ def test_compact_refuses_uncommitted_stream_epoch_files(spark):
     assert sorted(map(tuple, tf1.collect())) == before
 
 
+def test_empty_seed_save_driver_layout_matches_spark_writer(spark, monkeypatch):
+    """r13 optimization: a provably-empty seed save (the streaming
+    lifecycles' ``save_lexical_index(corpus.limit(0), ...)``) writes
+    its three artifact files DRIVER-SIDE — zero Spark jobs for zero
+    rows. The layout must be indistinguishable from the Spark
+    writer's: one part file per dir, identical read-back schemas,
+    and the one (0, 0) stats partial a global aggregate over empty
+    input produces — so loaders, stream ingests, and compaction see
+    the exact artifact they always did."""
+    from workhop2_etl_spark.operators import index_store as IDXS
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    corpus = _lex_corpus(spark, n=150)
+    fast = _tmp("lex_seed_fast")
+    RET.save_lexical_index(corpus.limit(0), fast, mode="overwrite",
+                           num_partitions=2)
+    # force the Spark writer for the reference layout
+    monkeypatch.setattr(IDXS, "_driver_write_tiny_parquet",
+                        lambda *a, **k: False)
+    slow = _tmp("lex_seed_spark")
+    RET.save_lexical_index(corpus.limit(0), slow, mode="overwrite",
+                           num_partitions=2)
+    monkeypatch.undo()
+
+    for sub in ("tf", "df", "stats"):
+        parts_fast = [
+            f for f in os.listdir(f"{fast}/{sub}")
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        assert len(parts_fast) == 1, (sub, parts_fast)
+        got = spark.read.parquet(f"{fast}/{sub}")
+        want = spark.read.parquet(f"{slow}/{sub}")
+        assert [(f.name, f.dataType) for f in got.schema.fields] == [
+            (f.name, f.dataType) for f in want.schema.fields
+        ], sub
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        ), sub
+    # the fast-path artifact loads and serves a stream epoch exactly
+    # like the Spark-written one
+    from workhop2_etl_spark.streaming import index_stream as IS
+
+    assert IS.ingest_epoch(spark, corpus, 0, fast, vec_col="toks") == "committed"
+    tf, df, stats, meta = RET.load_lexical_index(spark, fast)
+    assert stats.collect()[0].n_docs == corpus.filter(
+        F.size("toks") > 0
+    ).count()
+    assert meta["epoch"] == 1
+
+
 def test_overwrite_save_clears_stale_lifecycle_state(spark):
     """r12 (real bug, found via a harness double-run): rebuilding an
     artifact at an existing path with mode='overwrite' must clear the

@@ -492,10 +492,15 @@ def test_persisted_ivf_probe_plan_shape(spark):
 
 def test_persisted_lexical_probe_plan_shape(spark):
     """The loaded-BM25 probe must push the query vocabulary as an
-    In(term, ...) filter into BOTH the term-clustered tf scan and the
-    df-partials scan (the probe reads a vocabulary-sized slice of a
-    corpus-sized artifact), and every scoring join must broadcast the
-    query-sized side — never a shuffle of the posting relation."""
+    In(term, ...) filter into the term-clustered tf scan (the probe
+    reads a vocabulary-sized slice of a corpus-sized artifact), and
+    every scoring join must broadcast the query-sized side — never a
+    shuffle of the posting relation. The df slice and the one-row
+    stats are driver-materialized since r13 (both are bounded by the
+    probe's own max_terms contract), so they appear as ExistingRDD
+    scans rather than re-aggregations of the partial files — their
+    own eager collect still pushes the same In-list, pinned below on
+    the loader's relation directly."""
     import os
     import tempfile
 
@@ -521,23 +526,29 @@ def test_persisted_lexical_probe_plan_shape(spark):
     tf, df, stats, meta = RET.load_lexical_index(spark, path)
     probe = RET.probe_lexical_index(tf, df, stats, meta, qt, k=10)
     plan = plan_of(probe)
-    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2, plan[:2000]
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 1, plan[:2000]
+    assert "ExistingRDD" in plan  # driver-materialized df/stats (r13)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    # the eager df-slice collect pushes the same vocabulary IN-list to
+    # the partials scan — pinned on the loader's relation directly
+    vocab = [r.term for r in qt.select("term").distinct().collect()]
+    dplan = plan_of(df.filter(F.col("term").isin(vocab)))
+    assert len(re.findall(r"PushedFilters: \[In\(term", dplan)) >= 1, dplan[:2000]
 
     # the max_df-PRUNED probe (r11): same contract, plus the
     # candidate restriction must arrive as broadcasts — the posting
     # relation never shuffles on its own keys, and the term IN-list
-    # still reaches every tf/df scan slice (the plan re-references
-    # the vocab-filtered df relation for the rare/head split, so the
-    # pushed-filter count GROWS rather than shrinks)
+    # reaches BOTH tf slices (the candidate-generation slice and the
+    # scored slice; the rare/head split reads the driver-materialized
+    # df, so df scans no longer appear in the final plan at all)
     pruned = RET.probe_lexical_index(
         tf, df, stats, meta, qt, k=10, max_df=100
     )
     pplan = plan_of(pruned)
-    assert len(re.findall(r"PushedFilters: \[In\(term", pplan)) >= 4, pplan[:2000]
+    assert len(re.findall(r"PushedFilters: \[In\(term", pplan)) >= 2, pplan[:2000]
     assert "BroadcastHashJoin" in pplan
     assert "SortMergeJoin" not in pplan
     assert "CartesianProduct" not in pplan
@@ -582,7 +593,8 @@ def test_deleted_index_loader_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert re.search(r"Broadcast.*LeftAnti|LeftAnti.*Broadcast", plan), plan[:2000]
     assert "SortMergeJoin" not in plan
-    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2
+    # one In-push (the tf scan); df/stats are driver-materialized (r13)
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 1
 
 
 @pytest.mark.parametrize(
@@ -597,6 +609,93 @@ def test_fusion_queries_have_no_sortmergejoin(spark, qname, tmp_path):
     plan = plan_of(suite.QUERIES[qname](spark, SF_DIR))
     assert "SortMergeJoin" not in plan, qname
     assert "CartesianProduct" not in plan, qname
+
+
+def test_bm25_score_is_window_sum_not_object_agg(spark):
+    """r13 optimization: the BM25 per-(query, doc) score fold is a
+    window aggregate over term-sorted rows — NOT the old collect_list
+    ObjectHashAggregate (object buffers, no whole-stage codegen) —
+    and the top-k rank filter still pushes a WindowGroupLimit below
+    its window. One exchange (on query_id) serves both windows, so
+    the probe plan must not re-shuffle between scoring and ranking."""
+    import os
+    import tempfile
+
+    from workhop2_etl_spark.operators import retrieval as RET
+
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")), " "
+    )
+    corpus_tokens = docs.select("doc_id", toks.alias("toks"))
+    qt = (
+        corpus_tokens.filter(F.col("doc_id") % 89 == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("toks", 1, 8)).alias("term"),
+        )
+        .distinct()
+    )
+    path = os.path.join(
+        tempfile.gettempdir(), f"workhop2_idx_{os.getpid()}", "lex_winshape"
+    )
+    RET.save_lexical_index(corpus_tokens, path, mode="overwrite")
+    tf, df, stats, meta = RET.load_lexical_index(spark, path)
+    plan = plan_of(RET.probe_lexical_index(tf, df, stats, meta, qt, k=10))
+    assert "ObjectHashAggregate" not in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan
+    # in-session ranking too (bm25_topk shares the core verbatim)
+    lex = RET.bm25_topk(corpus_tokens, qt, k=10)
+    lplan = plan_of(lex)
+    assert "ObjectHashAggregate" not in lplan
+    assert "WindowGroupLimit" in lplan
+
+
+def test_ranked_topk_operators_push_window_group_limit(spark):
+    """r12 verdict ask #6 (audited r13): every ranked top-k path —
+    the fusers, the IVF probe, the exact-rescore refine — filters on
+    a row_number over (score desc, id), which Spark must plan with a
+    WindowGroupLimit pushdown (rows beyond k prune map-side before
+    the final per-group sort). A shape change that breaks the
+    pushdown (e.g. an expression wrapped around the rank column)
+    silently turns top-k into a full per-group sort at every scale."""
+    from workhop2_etl_spark.operators import retrieval as RET
+    from workhop2_etl_spark.operators import similarity as SIM
+
+    arm = spark.createDataFrame(
+        [(1, d, r + 1, float(30 - r)) for d in (10, 20) for r in range(3)],
+        "query_id int, doc_id int, rank int, score double",
+    )
+    assert "WindowGroupLimit" in plan_of(RET.rrf_fuse(arm, arm, k=2))
+    assert "WindowGroupLimit" in plan_of(RET.weighted_fuse(arm, arm, k=2))
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0], 0) for i in range(6)],
+        "vec_id int, embedding array<double>, centroid_id int",
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("__cvec"),
+        "centroid_id",
+    ).withColumn("__cn", SIM.l2_norm(F.col("__cvec")))
+    q = vecs.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        "centroid_id",
+    ).withColumn("__qn", SIM.l2_norm(F.col("__qvec")))
+    assert "WindowGroupLimit" in plan_of(
+        SIM._ivf_probe(c, q, k=2, round_digits=6)
+    )
+    cand = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3)], "query_id int, neighbor_id int"
+    )
+    assert "WindowGroupLimit" in plan_of(
+        SIM._exact_rescore_candidates(
+            vecs.select("vec_id", "embedding"),
+            vecs.limit(2).select("vec_id", "embedding"),
+            cand, 2, "vec_id", "embedding", 6,
+        )
+    )
 
 
 def test_prf_persisted_second_pass_pushes_vocab(spark):
@@ -633,8 +732,9 @@ def test_prf_persisted_second_pass_pushes_vocab(spark):
         tf, df, stats, meta, qt, k=10, n_feedback=3, m_expand=2
     )
     plan = plan_of(out)
-    # pass-2 probe: expanded vocab IN-list reaches both artifact scans
-    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2, plan[:2000]
+    # pass-2 probe: expanded vocab IN-list reaches the tf scan (df and
+    # stats are driver-materialized bounded slices since r13)
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 1, plan[:2000]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -516,6 +516,81 @@ def test_seq_sum_duplicate_keys_fold_deterministically(spark):
     assert fold(list(reversed(rows))) == expect
 
 
+def test_bm25_window_sum_bit_identical_to_fold(spark):
+    """r13 optimization guard: _bm25_score's window aggregate over
+    term-sorted rows (sum accumulates in the window's sort order)
+    must equal the old collect_list + sort_array + sequential-fold
+    score BIT-FOR-BIT, unrounded, on the real fixture corpus — the
+    same addition order, starting from +0.0. A Spark upgrade that
+    changes window-frame accumulation order fails this loudly
+    (the oracle compare would also flake, but this names the cause)."""
+    from pyspark.sql import Window
+
+    from workhop2_etl_spark.suite.pipeline2 import _toks
+    from workhop2_etl_spark.suite.retrieval import _query_terms
+
+    docs = load_table(spark, SF_DIR, "documents")
+    corpus_tokens = docs.select("doc_id", _toks().alias("toks"))
+    qt = _query_terms(docs, 7)  # dense query sample: many (q, d) pairs
+
+    tf = RET._tf_relation(corpus_tokens, "doc_id", "toks")
+    stats = RET._stats_from_counts(RET._stats_partial(corpus_tokens, "toks"))
+    df_all = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qtd = qt.select("query_id", "term").distinct()
+    df_q = df_all.join(F.broadcast(qtd.select("term").distinct()), "term")
+    scored = (
+        tf.join(F.broadcast(qtd), "term")
+        .join(F.broadcast(df_q), "term")
+        .crossJoin(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    k1, b = RET.BM25_K1, RET.BM25_B
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    v = idf * tf_part
+    old = (
+        scored.select(
+            "query_id", "doc_id",
+            F.struct(F.col("term").alias("key"), v.alias("v")).alias("__c"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            RET._seq_sum(F.collect_list("__c")).alias("s_old"),
+            F.count(F.lit(1)).alias("n_old"),
+        )
+    )
+    wseq = Window.partitionBy("query_id", "doc_id").orderBy("term")
+    wall = wseq.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    new = (
+        scored.select("query_id", "doc_id", "term", v.alias("__v"))
+        .repartition("query_id")
+        .select(
+            "query_id", "doc_id",
+            F.row_number().over(wseq).alias("__rn"),
+            F.sum("__v").over(wall).alias("s_new"),
+            F.count(F.lit(1)).over(wall).alias("n_new"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    j = old.join(new, ["query_id", "doc_id"], "full_outer")
+    bad = j.filter(
+        F.col("s_old").isNull()
+        | F.col("s_new").isNull()
+        | (F.col("s_old") != F.col("s_new"))  # EXACT double compare
+        | (F.col("n_old") != F.col("n_new"))
+    )
+    assert j.count() > 0
+    assert bad.count() == 0, bad.limit(5).collect()
+
+
 def test_truncated_refine_zero_prefix_does_not_poison_ranking(spark):
     """A vector whose first prefix_dim dims are all zero but whose
     full vector is not (legal on non-MRL embeddings): the prefix

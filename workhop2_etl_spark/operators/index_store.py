@@ -101,6 +101,17 @@ def _write_meta(spark: SparkSession, path: str, meta: dict, mode: str) -> None:
     line, null fields omitted) and stays readable by spark.read.json."""
     import json
 
+    # metadata is exactly-one-record by contract: only 'overwrite' and
+    # 'error'/'errorifexists' are meaningful. 'append' used to fall
+    # through and silently CLOBBER part-00000.json (where the old
+    # Spark writer appended a second file that _read_meta rejected
+    # loudly) — reject out-of-contract modes instead (r12 advice fix)
+    if mode not in ("overwrite", "error", "errorifexists"):
+        raise ValueError(
+            f"index metadata write mode must be 'overwrite' or "
+            f"'error'/'errorifexists' (one record by contract), got "
+            f"{mode!r}"
+        )
     fields = [f.split()[0] for f in _META_SCHEMA.split(",")]
     # only schema fields persist — load-time conveniences like the
     # in-memory ``_codebooks`` must never leak into the JSON record;
@@ -110,7 +121,7 @@ def _write_meta(spark: SparkSession, path: str, meta: dict, mode: str) -> None:
     if fs.exists(d):
         if mode == "overwrite":
             fs.delete(d, True)
-        elif mode != "append":
+        else:
             raise ValueError(
                 f"index metadata already exists at {path}/meta "
                 f"(write mode {mode!r})"
@@ -519,7 +530,7 @@ def _write_centroid_rows(
 def _read_centroid_rows(
     spark: SparkSession, data_path: str, meta: dict
 ) -> list[tuple[int, list[float]]]:
-    rows = _driver_parquet_records(data_path)  # r12: no job for a
+    rows = _driver_parquet_records(data_path, spark)  # r12: no job for a
     if rows is None:  # driver-collected dimension-sized sidecar
         rows = [r.asDict() for r in spark.read.parquet(data_path).collect()]
     if len(rows) != meta["n_centroids"]:
@@ -755,7 +766,9 @@ def _write_codebook_rows(
     ).repartition(1).write.mode(mode).parquet(data_path)
 
 
-def _driver_parquet_records(data_path: str) -> list[dict] | None:
+def _driver_parquet_records(
+    data_path: str, spark: SparkSession | None = None
+) -> list[dict] | None:
     """Dimension-sized sidecar read (centroids / codebooks) as a
     DRIVER-SIDE pyarrow scan when the path is a local directory —
     these artifacts are collected to the driver regardless, so a
@@ -763,7 +776,14 @@ def _driver_parquet_records(data_path: str) -> list[dict] | None:
     KB (r12 optimization; the streaming IVF ingest pays one such read
     PER EPOCH). Returns None for remote schemes, missing pyarrow, or
     unreadable files — callers then take the Spark read, which is
-    also the error-reporting path for genuinely corrupt artifacts."""
+    also the error-reporting path for genuinely corrupt artifacts.
+
+    Scheme-less paths resolve against Hadoop's ``fs.defaultFS``: on a
+    cluster whose default filesystem is HDFS, a bare path means HDFS,
+    and a coincidentally same-named LOCAL directory on the driver must
+    never be read in its place (r12 advice fix) — the fast path is
+    taken only when the default FS is the local one (or the caller
+    spelled an explicit ``file:`` scheme)."""
     scheme, sep, rest = data_path.partition("://")
     if sep:
         if scheme != "file":
@@ -771,6 +791,8 @@ def _driver_parquet_records(data_path: str) -> list[dict] | None:
         data_path = rest if rest.startswith("/") else "/" + rest
     elif data_path.startswith("file:"):
         data_path = data_path[len("file:"):]
+    elif not _default_fs_is_local(spark):
+        return None
     import os
 
     if not os.path.isdir(data_path):
@@ -796,10 +818,103 @@ def _driver_parquet_records(data_path: str) -> list[dict] | None:
         return None
 
 
+def _default_fs_is_local(spark: SparkSession | None) -> bool:
+    """True when Hadoop's ``fs.defaultFS`` names the local filesystem
+    (the shipped local-mode default) — the gate for resolving
+    SCHEME-LESS paths driver-side. With no session to consult, be
+    conservative: scheme-less paths take the Spark read."""
+    if spark is None:
+        return False
+    try:
+        default_fs = (
+            spark.sparkContext._jsc.hadoopConfiguration().get(
+                "fs.defaultFS", "file:///"
+            )
+        )
+    except Exception:  # noqa: BLE001 — any doubt → the Spark path
+        return False
+    return str(default_fs).startswith("file:")
+
+
+def _driver_local_path(path: str, spark: SparkSession | None) -> str | None:
+    """OS path for ``path`` when it is driver-local (explicit
+    ``file:`` scheme, or scheme-less with a local default FS — the
+    same resolution rule as ``_driver_parquet_records``), else None."""
+    scheme, sep, rest = path.partition("://")
+    if sep:
+        if scheme != "file":
+            return None
+        return rest if rest.startswith("/") else "/" + rest
+    if path.startswith("file:"):
+        return path[len("file:"):]
+    return path if _default_fs_is_local(spark) else None
+
+
+def _plan_is_empty_local(df: DataFrame) -> bool:
+    """True when the frame's OPTIMIZED plan is an empty LocalRelation
+    — i.e. Catalyst itself proved the input statically empty (a
+    ``.limit(0)`` seed, an empty literal frame). Analysis-only: no
+    job. A real source scan never folds to this, so the check can
+    only ever route provably-empty inputs to a fast path."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan()
+        return (
+            plan.getClass().getSimpleName() == "LocalRelation"
+            and plan.data().isEmpty()
+        )
+    except Exception:  # noqa: BLE001 — any doubt → the normal path
+        return False
+
+
+def _driver_write_tiny_parquet(
+    spark: SparkSession, schema, rows: list[dict], target_dir: str, mode: str
+) -> bool:
+    """Write a dimension-sized (usually empty) relation as ONE parquet
+    part file driver-side — the write-side twin of
+    ``_driver_parquet_records`` (guide §1.2: zero rows should never
+    launch a distributed job). Layout matches the Spark writer: one
+    ``part-00000-<uuid>-c000.snappy.parquet`` + ``_SUCCESS``; column
+    types/nullability come from the Spark schema via Arrow, so readers
+    infer the identical schema. Returns False (caller takes the Spark
+    writer) for non-local paths, missing pyarrow, or any mode except
+    'overwrite' against an existing dir — the Spark path keeps the
+    exact exists/append error semantics."""
+    local = _driver_local_path(target_dir, spark)
+    if local is None:
+        return False
+    import os
+
+    if os.path.exists(local) and mode != "overwrite":
+        return False
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        aschema = to_arrow_schema(schema)
+        table = pa.Table.from_pylist(rows, schema=aschema)
+    except Exception:  # noqa: BLE001 — unsupported type etc. → Spark path
+        return False
+    import shutil
+    import uuid
+
+    if os.path.exists(local):
+        shutil.rmtree(local)
+    os.makedirs(local)
+    pq.write_table(
+        table,
+        os.path.join(local, f"part-00000-{uuid.uuid4()}-c000.snappy.parquet"),
+        compression="snappy",
+    )
+    with open(os.path.join(local, "_SUCCESS"), "w"):
+        pass
+    return True
+
+
 def _read_codebook_rows(
     spark: SparkSession, data_path: str, meta: dict
 ) -> list[tuple[int, int, list[float]]]:
-    rows = _driver_parquet_records(data_path)
+    rows = _driver_parquet_records(data_path, spark)
     if rows is None:
         rows = [r.asDict() for r in spark.read.parquet(data_path).collect()]
     want = int(meta["pq_m"]) * int(meta["pq_k"])
@@ -1726,32 +1841,42 @@ def restore_index(
             tf.repartition(num_partitions, "term") if num_partitions
             else tf.repartition("term")
         )
-        reparted.sortWithinPartitions("term").write.mode(mode).parquet(
-            f"{dst_path}/tf"
-        )
         # signed per-epoch partials FOLD to one net record each — the
         # loader aggregates either way, so the fold is load-equivalent
-        # (and exactly what compact_index writes)
-        (
+        # (and exactly what compact_index writes). The three writes
+        # read DIFFERENT source dirs (tf / df / stats) and write
+        # different target dirs, so they submit from a thread pool
+        # (guide §2.6, the r12 epoch/delete-write pattern): the
+        # dimension-sized fold jobs back-fill the clustered tf
+        # rewrite's straggler tail instead of queuing behind it.
+        df_fold = (
             _gated_or_raise(spark, src_path, "df", as_of=as_of)
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
             .filter(F.col("df") > 0)
             .coalesce(1)  # agg already shuffled — no second exchange
             .sortWithinPartitions("term")
-            .write.mode(mode)
-            .parquet(f"{dst_path}/df")
         )
-        (
+        stats_fold = (
             _gated_or_raise(spark, src_path, "stats", as_of=as_of)
             .agg(
                 F.coalesce(F.sum("n_docs"), F.lit(0)).alias("n_docs"),
                 F.coalesce(F.sum("sum_dl"), F.lit(0)).alias("sum_dl"),
             )
             .coalesce(1)  # one-row global aggregate
-            .write.mode(mode)
-            .parquet(f"{dst_path}/stats")
         )
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _w(pair):
+            rel, sub = pair
+            rel.write.mode(mode).parquet(f"{dst_path}/{sub}")
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(_w, [
+                (reparted.sortWithinPartitions("term"), "tf"),
+                (df_fold, "df"),
+                (stats_fold, "stats"),
+            ]))
     else:
         rows = _gated_or_raise(spark, src_path, "index", as_of=as_of)
         if tomb is not None:

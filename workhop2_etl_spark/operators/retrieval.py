@@ -21,10 +21,12 @@ Scale shape (the part that matters at 100 TB):
   vocabulary (a broadcast), so the big ``df`` relation never shuffles
   against ``tf``.
 * Every floating-point score folds in a DETERMINISTIC order (per-term
-  contributions sorted by term, then a sequential ``F.aggregate``
-  fold), so scores are bit-reproducible against a SQL oracle rather
-  than merely close — the same discipline as the v-family cosine
-  folds in operators/similarity.py.
+  contributions added sequentially in ascending-term order — a window
+  aggregate over term-sorted rows since r13; previously a
+  collect_list + sort_array + ``F.aggregate`` fold with the identical
+  addition order), so scores are bit-reproducible against a SQL
+  oracle rather than merely close — the same discipline as the
+  v-family cosine folds in operators/similarity.py.
 """
 
 from __future__ import annotations
@@ -87,6 +89,12 @@ def bm25_topk(
     Returns (query_id, rank, doc_id, score, n_hit) with rank ≤ k per
     query, ordered by (rounded score desc, doc_id asc) — integer and
     id tiebreaks keep the ranking cross-engine deterministic.
+
+    Evaluation note (r12): constructing the returned frame runs ONE
+    bounded eager action — the query relation (query-bounded by
+    contract) materializes at the driver so its lineage executes once
+    instead of once per broadcast build; relations beyond the 2^20-row
+    guard keep the fully lazy plan.
 
     Plan shape: ONE corpus shuffle (the tf aggregation on (doc_id,
     term), dl carried through it as min(dl) so no re-join on doc_id);
@@ -215,7 +223,9 @@ def _bm25_score(
     if len(rows) <= cap:
         spark = tf.sparkSession
         query_terms = spark.createDataFrame(rows, schema=qt.schema)
-        vocab = sorted({r.term for r in rows})
+        # None-filter (r12 advice fix): a NULL term never joins, and
+        # sorted() raises on None-vs-str — same semantics, no crash
+        vocab = sorted({r.term for r in rows if r.term is not None})
         qvocab = spark.createDataFrame(
             [(t,) for t in vocab], schema=qt.select("term").schema
         )
@@ -256,13 +266,45 @@ def _bm25_score(
     contrib = scored.select(
         "query_id",
         "doc_id",
-        F.struct(F.col("term").alias("key"), (idf * tf_part).alias("v")).alias(
-            "__c"
-        ),
+        "term",
+        (idf * tf_part).alias("__v"),
     )
-    return contrib.groupBy("query_id", "doc_id").agg(
-        F.round(_seq_sum(F.collect_list("__c")), round_digits).alias("score"),
-        F.count(F.lit(1)).alias("n_hit"),
+    # r13 optimization: the per-(query, doc) score was folded through
+    # collect_list + sort_array + an interpreted F.aggregate lambda —
+    # an ObjectHashAggregate pair (object-based buffers, outside
+    # whole-stage codegen) plus a SECOND exchange when the ranking
+    # window later regrouped by query_id. The same deterministic sum —
+    # contributions added sequentially in ascending-term order,
+    # starting from +0.0 — is computed here by a window aggregate over
+    # term-sorted rows: a window frame's processor accumulates rows in
+    # the window's sort order, so the addition order (and every last
+    # ulp of the score) is unchanged. Bit-identity vs the fold is
+    # asserted on the full fixture corpus in tests/test_retrieval.py,
+    # and every BM25 query stays oracle-green. The explicit
+    # repartition on query_id alone (hash on a prefix of the window
+    # keys still co-locates each (query, doc) group) serves BOTH this
+    # window and the downstream ranking window — one exchange where
+    # the aggregate shape paid two.
+    wseq = Window.partitionBy("query_id", "doc_id").orderBy("term")
+    wall = wseq.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        contrib.repartition("query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.row_number().over(wseq).alias("__rn"),
+            F.sum("__v").over(wall).alias("__score"),
+            F.count(F.lit(1)).over(wall).alias("__n"),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("__score", round_digits).alias("score"),
+            F.col("__n").alias("n_hit"),
+        )
     )
 
 
@@ -345,9 +387,55 @@ def _write_lexical_epoch(
     # rather than recomputing.
     from pyspark import StorageLevel
 
-    tf = _tf_relation(corpus_tokens, id_col, tok_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    tf = _tf_relation(corpus_tokens, id_col, tok_col)
+    # r13 optimization: SEED saves (``save_lexical_index(
+    # corpus.limit(0), ...)`` — every streaming lifecycle seeds an
+    # empty artifact this way) previously launched three Spark write
+    # jobs for zero rows. When Catalyst itself proves the input
+    # statically empty (the optimized plan folds to an empty
+    # LocalRelation — a real source scan never does), the three files
+    # are written driver-side with the identical layout: empty tf/df
+    # parts, the one (0, 0) stats partial a global aggregate over
+    # empty input produces, schemas taken from the same lazy frames
+    # the Spark writer would have used (guide §1.2 — zero records
+    # should never launch a distributed job). Non-local paths, a
+    # missing pyarrow, or append-into-existing fall through to the
+    # Spark writer unchanged.
+    from workhop2_etl_spark.operators.index_store import (
+        _driver_write_tiny_parquet,
+        _plan_is_empty_local,
     )
+
+    if _plan_is_empty_local(tf):
+        df_schema = tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df")
+        ).schema
+        stats_schema = (
+            tf.groupBy("doc_id")
+            .agg(F.min("dl").alias("__dl"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.coalesce(F.sum("__dl"), F.lit(0)).alias("sum_dl"),
+            )
+            .schema
+        )
+        spark = corpus_tokens.sparkSession
+        if (
+            _driver_write_tiny_parquet(spark, tf.schema, [], f"{path}/tf", mode)
+            and _driver_write_tiny_parquet(
+                spark, df_schema, [], f"{path}/df", mode
+            )
+            and _driver_write_tiny_parquet(
+                spark,
+                stats_schema,
+                [{"n_docs": 0, "sum_dl": 0}],
+                f"{path}/stats",
+                mode,
+            )
+        ):
+            return
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         reparted = (
             tf.repartition(num_partitions, "term") if num_partitions
@@ -640,7 +728,10 @@ def probe_lexical_index(
         .collect()
     )
     if len(pair_rows) <= pair_cap:
-        vocab = sorted({r.term for r in pair_rows})
+        # NULL terms never match a join/IN-list (the lazy path dropped
+        # them silently); drop them before sorting — a None alongside
+        # strings would raise from sorted() (r12 advice fix)
+        vocab = sorted({r.term for r in pair_rows if r.term is not None})
         if len(vocab) > max_terms:
             raise ValueError(
                 f"probe_lexical_index collected more than max_terms="
@@ -665,6 +756,25 @@ def probe_lexical_index(
         vocab = [r.term for r in vocab_rows]
     tf_v = tf.filter(F.col("term").isin(vocab))
     df_v = df.filter(F.col("term").isin(vocab))
+    # r13 optimization: materialize the vocabulary-sized df slice and
+    # the one-row stats at the driver. Both relations are lazy
+    # RE-AGGREGATIONS over the artifact's per-epoch partial files
+    # (load_lexical_index), and the plan references them repeatedly —
+    # df three times on the max_df-pruned path (rare/head split + the
+    # scoring core's df join), stats twice (scoring + the HB
+    # certificate) — so every broadcast build re-ran the partial scan
+    # + sum. The df slice is ≤ max_terms rows by the vocabulary bound
+    # just enforced and stats is ONE row: the same bounded-collect
+    # class as the vocabulary IN-list itself, at any corpus size.
+    spark = tf.sparkSession
+    df_v = spark.createDataFrame(
+        df_v.select("term", "df").collect(),
+        schema=df_v.select("term", "df").schema,
+    )
+    stats = spark.createDataFrame(
+        stats.select("n_docs", "avgdl").collect(),
+        schema=stats.select("n_docs", "avgdl").schema,
+    )
     if max_df is None:
         return _bm25_rank(
             tf_v, df_v, stats, query_terms,
@@ -887,11 +997,13 @@ def bm25_prf_expand(
         cap = 1 << 20
         rows = expanded.limit(cap + 1).collect()
         if len(rows) > cap:
-            raise ValueError(
-                f"bm25_prf_expand's expanded (query_id, term) relation "
-                f"exceeds {cap} rows; the query side must be the bounded "
-                "relation — expand in slices if this is intentional"
-            )
+            # out-of-contract input: fall back to the LAZY expanded
+            # relation — the pre-r12 behavior (slow: pass 1 + the
+            # harvest sit in the caller's pass-2 lineage), never an
+            # error where the old code worked (r12 advice fix). The
+            # unpersist in the finally below still runs; the lazy plan
+            # recomputes tf, which is exactly the old cost model.
+            return expanded
         return corpus_tokens.sparkSession.createDataFrame(
             rows, schema=expanded.schema
         )

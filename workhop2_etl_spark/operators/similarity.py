@@ -20,7 +20,7 @@ results are bit-reproducible for the oracle comparison.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -198,12 +198,29 @@ def with_hyperplane_signature(
     )
 
 
+def _ivf_cents_relation(spark: SparkSession, centroids):
+    """One-row broadcastable relation holding the sorted
+    (cid, cv, cn) centroid struct array — ``ivf_assign``'s broadcast
+    side, extracted (r13) so one search's corpus and query
+    assignments share a single broadcast build. Centroid norms fold
+    INSIDE the relation (not driver-side Python) so they are the
+    exact doubles the inline fold produced."""
+    rows = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
+    cdf = spark.createDataFrame(rows, "cid int, cv array<double>").withColumn(
+        "cn", l2_norm(F.col("cv"))
+    )
+    return cdf.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cv", "cn"))).alias("__cents")
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    _cents_rel: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization: assign every vector to its ``nprobe``
     nearest centroids (max cosine, centroid-id tiebreak).
@@ -223,15 +240,16 @@ def ivf_assign(
     """
     if nprobe < 1 or nprobe > len(centroids):
         raise ValueError(f"nprobe must be in [1, {len(centroids)}], got {nprobe}")
-    spark = df.sparkSession
-    rows = [(int(cid), [float(x) for x in vec]) for cid, vec in centroids]
-    # centroid norms fold INSIDE the relation (not driver-side
-    # Python) so they are the exact doubles the inline fold produced
-    cdf = spark.createDataFrame(rows, "cid int, cv array<double>").withColumn(
-        "cn", l2_norm(F.col("cv"))
-    )
-    one = cdf.agg(
-        F.sort_array(F.collect_list(F.struct("cid", "cv", "cn"))).alias("__cents")
+    # r13: callers assigning BOTH sides with one centroid set (the
+    # in-session IVF searches) pass a prebuilt relation so the two
+    # assignments share ONE broadcast build instead of constructing
+    # (and broadcast-building) identical relations twice — identical
+    # local relations are separate plans, so exchange reuse never
+    # dedupes them.
+    one = (
+        _ivf_cents_relation(df.sparkSession, centroids)
+        if _cents_rel is None
+        else _cents_rel
     )
     # min over (-score, cid): highest cosine, then smallest id. The
     # row's own norm is computed once, not once per centroid entry.
@@ -386,13 +404,23 @@ def topk_cosine_ivf(
         raise ValueError(
             f"assign_kernel must be 'expr' or 'blas', got {assign_kernel!r}"
         )
-    corpus_assign = ivf_assign if assign_kernel == "expr" else ivf_assign_blas
-    c = corpus_assign(corpus, centroids, id_col, vec_col).select(
+    # r13: one shared centroid relation for both sides' assignments
+    # (identical local relations never hit exchange reuse — each extra
+    # reference was a separate broadcast build)
+    cents_rel = _ivf_cents_relation(corpus.sparkSession, centroids)
+    c = (
+        ivf_assign(corpus, centroids, id_col, vec_col, _cents_rel=cents_rel)
+        if assign_kernel == "expr"
+        else ivf_assign_blas(corpus, centroids, id_col, vec_col)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.col("centroid_id"),
     ).withColumn("__cn", l2_norm(F.col("__cvec")))
-    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+    q = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe,
+        _cents_rel=cents_rel,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.col("centroid_id"),
@@ -1066,6 +1094,8 @@ def pq_encode(
     codes_col: str = "codes",
     norm_col: str = "recon_norm",
     keep_cols: tuple[str, ...] = (),
+    recon_col: str | None = None,
+    _cb_rel=None,
 ) -> DataFrame:
     """PQ-encode every vector: ``codes[m] = argmin_j ‖x_m − c_mj‖²``
     (squared-L2 per subspace, ties to the smallest code id — the
@@ -1075,9 +1105,19 @@ def pq_encode(
     instead of ``dim`` doubles: at m=8 that is 8 codes + 1 norm vs 64
     doubles, the storage model that makes 100 TB embedding search
     affordable (FAISS IVFPQ). Distances fold sequentially in float64,
-    so codes are reproducible cross-engine."""
+    so codes are reproducible cross-engine.
+
+    ``recon_col`` (r13) additionally emits the reconstruction itself —
+    the same ``pq_decode`` expression the norm is computed from — so a
+    caller scoring against reconstructions (the recon-mode search)
+    doesn't pay a second codebook broadcast + decode projection.
+    ``_cb_rel`` (internal) shares a prebuilt ``_pq_codebook_relation``
+    with the caller for the same reason."""
     spark = df.sparkSession
-    one, num_subspaces, k, dsub = _pq_codebook_relation(spark, codebooks, dim)
+    one, num_subspaces, k, dsub = (
+        _cb_rel if _cb_rel is not None
+        else _pq_codebook_relation(spark, codebooks, dim)
+    )
 
     def sub_dist(cw):
         # ‖x_m − c‖² with x_m = slice(vec, m·dsub+1, dsub); fold is
@@ -1106,8 +1146,13 @@ def pq_encode(
         .withColumn(codes_col, codes)
         .withColumn(norm_col, l2_norm(pq_decode(F.col(codes_col), "__cb", k)))
     )
+    if recon_col is not None:
+        staged = staged.withColumn(
+            recon_col, pq_decode(F.col(codes_col), "__cb", k)
+        )
     return staged.select(
         F.col(id_col), F.col(codes_col), F.col(norm_col),
+        *([F.col(recon_col)] if recon_col is not None else []),
         *[F.col(c) for c in keep_cols],
     )
 
@@ -1121,6 +1166,8 @@ def pq_encode_blas(
     codes_col: str = "codes",
     norm_col: str = "recon_norm",
     keep_cols: tuple[str, ...] = (),
+    recon_col: str | None = None,
+    _cb_rel=None,
 ) -> DataFrame:
     """Arrow/BLAS twin of ``pq_encode`` — identical codes, matmul
     formulation. The expression encoder runs m·k interpreted
@@ -1151,7 +1198,10 @@ def pq_encode_blas(
     from pyspark.sql.types import ArrayType, IntegerType
 
     spark = df.sparkSession
-    one, num_subspaces, k, dsub = _pq_codebook_relation(spark, codebooks, dim)
+    one, num_subspaces, k, dsub = (
+        _cb_rel if _cb_rel is not None
+        else _pq_codebook_relation(spark, codebooks, dim)
+    )
     C = np.zeros((num_subspaces, k, dsub), dtype=np.float64)
     for m, j, c in codebooks:
         C[m, j] = c
@@ -1202,8 +1252,13 @@ def pq_encode_blas(
         .crossJoin(F.broadcast(one))
         .withColumn(norm_col, l2_norm(pq_decode(F.col(codes_col), "__cb", k)))
     )
+    if recon_col is not None:
+        staged = staged.withColumn(
+            recon_col, pq_decode(F.col(codes_col), "__cb", k)
+        )
     return staged.select(
         F.col(id_col), F.col(codes_col), F.col(norm_col),
+        *([F.col(recon_col)] if recon_col is not None else []),
         *[F.col(c) for c in keep_cols],
     )
 
@@ -1261,34 +1316,59 @@ def topk_cosine_ivf_pq(
             f"score_mode must be 'recon' or 'adc', got {score_mode!r}"
         )
     spark = corpus.sparkSession
-    one, num_subspaces, kk, dsub = _pq_codebook_relation(spark, codebooks, dim)
+    # r13: the codebook relation and the centroid relation each build
+    # ONCE and are shared by every site that broadcasts them (encode +
+    # decode; corpus + query assignment) — identical driver-built
+    # relations are distinct plans, so exchange reuse never dedupes
+    # them and each extra reference was its own broadcast-build job.
+    cb_rel = _pq_codebook_relation(spark, codebooks, dim)
+    one, num_subspaces, kk, dsub = cb_rel
+    cents_rel = _ivf_cents_relation(spark, centroids)
     corpus_assign = ivf_assign if assign_kernel == "expr" else ivf_assign_blas
     encode = pq_encode if assign_kernel == "expr" else pq_encode_blas
-    enc = encode(
-        corpus_assign(corpus, centroids, id_col, vec_col),
-        codebooks,
-        dim,
-        id_col=id_col,
-        vec_col=vec_col,
-        keep_cols=("centroid_id",),
+    assigned = (
+        ivf_assign(corpus, centroids, id_col, vec_col, _cents_rel=cents_rel)
+        if assign_kernel == "expr"
+        else corpus_assign(corpus, centroids, id_col, vec_col)
     )
-    q = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+    q = ivf_assign(
+        queries, centroids, id_col, vec_col, nprobe=nprobe,
+        _cents_rel=cents_rel,
+    ).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.col("centroid_id"),
     ).withColumn("__qn", l2_norm(F.col("__qvec")))
 
     if score_mode == "recon":
-        c = (
-            enc.crossJoin(F.broadcast(one))
-            .select(
-                F.col(id_col).alias("neighbor_id"),
-                pq_decode(F.col("codes"), "__cb", kk).alias("__cvec"),
-                F.col("centroid_id"),
-                F.col("recon_norm").alias("__cn"),
-            )
+        # the encode emits the reconstruction alongside the norm — the
+        # identical pq_decode expression, no second codebook broadcast
+        enc = encode(
+            assigned,
+            codebooks,
+            dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            keep_cols=("centroid_id",),
+            recon_col="__cvec",
+            _cb_rel=cb_rel,
+        )
+        c = enc.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__cvec"),
+            F.col("centroid_id"),
+            F.col("recon_norm").alias("__cn"),
         )
         return _ivf_probe(c, q, k=k, round_digits=round_digits)
+    enc = encode(
+        assigned,
+        codebooks,
+        dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        keep_cols=("centroid_id",),
+        _cb_rel=cb_rel,
+    )
 
     # ADC: per-query lookup table of codeword partial dots, |Q|·m·k
     # rows, broadcast. Each candidate pair explodes to m (m, code)
