@@ -38,9 +38,9 @@ SMOKE_SF_DIR = "/root/testdata/sf0.001"
 # block), so the window leads with the r13 OPTIMIZATION round's
 # kernel-changed set:
 # (a) 20 kernel-changed r13 — every query through the rewritten BM25
-#     scoring core (_bm25_score: collect_list+fold → term-sorted
-#     window aggregate; bit-identity pinned by
-#     test_bm25_window_sum_bit_identical_to_fold), the probe's
+#     scoring core (_bm25_score: in-session paths use a term-sorted
+#     window aggregate, probe paths keep the fold; bit-identity
+#     pinned by test_bm25_window_sum_bit_identical_to_fold), the probe's
 #     driver-materialized df/stats slices, the driver-side empty-seed
 #     writes, restore_index's overlapped writes, or the shared
 #     IVF centroid/codebook relations: t11, t12, t13, t14, t15, t16,

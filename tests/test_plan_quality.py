@@ -495,12 +495,12 @@ def test_persisted_lexical_probe_plan_shape(spark):
     In(term, ...) filter into the term-clustered tf scan (the probe
     reads a vocabulary-sized slice of a corpus-sized artifact), and
     every scoring join must broadcast the query-sized side — never a
-    shuffle of the posting relation. The df slice and the one-row
-    stats are driver-materialized since r13 (both are bounded by the
-    probe's own max_terms contract), so they appear as ExistingRDD
-    scans rather than re-aggregations of the partial files — their
-    own eager collect still pushes the same In-list, pinned below on
-    the loader's relation directly."""
+    shuffle of the posting relation. On the max_df-PRUNED path the df
+    slice and the one-row stats are driver-materialized since r13
+    (both bounded by the probe's own max_terms contract; the pruned
+    plan referenced them 3×/2×), so there they appear as ExistingRDD
+    scans — the eager collect pushes the same In-list, pinned below
+    on the loader's relation directly."""
     import os
     import tempfile
 
@@ -526,14 +526,13 @@ def test_persisted_lexical_probe_plan_shape(spark):
     tf, df, stats, meta = RET.load_lexical_index(spark, path)
     probe = RET.probe_lexical_index(tf, df, stats, meta, qt, k=10)
     plan = plan_of(probe)
-    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 1, plan[:2000]
-    assert "ExistingRDD" in plan  # driver-materialized df/stats (r13)
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2, plan[:2000]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    # the eager df-slice collect pushes the same vocabulary IN-list to
-    # the partials scan — pinned on the loader's relation directly
+    # the pruned path's eager df-slice collect pushes the same
+    # vocabulary IN-list — pinned on the loader's relation directly
     vocab = [r.term for r in qt.select("term").distinct().collect()]
     dplan = plan_of(df.filter(F.col("term").isin(vocab)))
     assert len(re.findall(r"PushedFilters: \[In\(term", dplan)) >= 1, dplan[:2000]
@@ -549,6 +548,7 @@ def test_persisted_lexical_probe_plan_shape(spark):
     )
     pplan = plan_of(pruned)
     assert len(re.findall(r"PushedFilters: \[In\(term", pplan)) >= 2, pplan[:2000]
+    assert "ExistingRDD" in pplan  # driver-materialized df/stats (r13)
     assert "BroadcastHashJoin" in pplan
     assert "SortMergeJoin" not in pplan
     assert "CartesianProduct" not in pplan
@@ -593,8 +593,7 @@ def test_deleted_index_loader_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert re.search(r"Broadcast.*LeftAnti|LeftAnti.*Broadcast", plan), plan[:2000]
     assert "SortMergeJoin" not in plan
-    # one In-push (the tf scan); df/stats are driver-materialized (r13)
-    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 1
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2
 
 
 @pytest.mark.parametrize(
@@ -611,13 +610,16 @@ def test_fusion_queries_have_no_sortmergejoin(spark, qname, tmp_path):
     assert "CartesianProduct" not in plan, qname
 
 
-def test_bm25_score_is_window_sum_not_object_agg(spark):
-    """r13 optimization: the BM25 per-(query, doc) score fold is a
-    window aggregate over term-sorted rows — NOT the old collect_list
-    ObjectHashAggregate (object buffers, no whole-stage codegen) —
-    and the top-k rank filter still pushes a WindowGroupLimit below
-    its window. One exchange (on query_id) serves both windows, so
-    the probe plan must not re-shuffle between scoring and ranking."""
+def test_bm25_score_agg_shape_split(spark):
+    """r13 optimization: the BM25 scoring core has two bit-identical
+    physical shapes, chosen per input layout (interleaved A/B in
+    _bm25_score's docstring): the IN-SESSION paths (bm25_topk, PRF)
+    use the window aggregate over term-sorted rows — no collect_list
+    ObjectHashAggregate, one query_id exchange serving scoring AND
+    ranking — while ARTIFACT PROBES keep the fold, whose per-group
+    tiny sorts beat a global term sort on scan-partitioned
+    vocab-bounded slices. Both must plan the top-k rank filter as a
+    WindowGroupLimit pushdown."""
     import os
     import tempfile
 
@@ -642,12 +644,12 @@ def test_bm25_score_is_window_sum_not_object_agg(spark):
     RET.save_lexical_index(corpus_tokens, path, mode="overwrite")
     tf, df, stats, meta = RET.load_lexical_index(spark, path)
     plan = plan_of(RET.probe_lexical_index(tf, df, stats, meta, qt, k=10))
-    assert "ObjectHashAggregate" not in plan, plan[:2000]
+    assert "ObjectHashAggregate" in plan, plan[:2000]  # fold, by design
     assert "WindowGroupLimit" in plan
-    # in-session ranking too (bm25_topk shares the core verbatim)
+    # in-session ranking: the window shape — no object aggregate
     lex = RET.bm25_topk(corpus_tokens, qt, k=10)
     lplan = plan_of(lex)
-    assert "ObjectHashAggregate" not in lplan
+    assert "ObjectHashAggregate" not in lplan, lplan[:2000]
     assert "WindowGroupLimit" in lplan
 
 
@@ -732,9 +734,8 @@ def test_prf_persisted_second_pass_pushes_vocab(spark):
         tf, df, stats, meta, qt, k=10, n_feedback=3, m_expand=2
     )
     plan = plan_of(out)
-    # pass-2 probe: expanded vocab IN-list reaches the tf scan (df and
-    # stats are driver-materialized bounded slices since r13)
-    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 1, plan[:2000]
+    # pass-2 probe: expanded vocab IN-list reaches both artifact scans
+    assert len(re.findall(r"PushedFilters: \[In\(term", plan)) >= 2, plan[:2000]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan

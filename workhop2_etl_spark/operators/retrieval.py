@@ -21,10 +21,11 @@ Scale shape (the part that matters at 100 TB):
   vocabulary (a broadcast), so the big ``df`` relation never shuffles
   against ``tf``.
 * Every floating-point score folds in a DETERMINISTIC order (per-term
-  contributions added sequentially in ascending-term order — a window
-  aggregate over term-sorted rows since r13; previously a
-  collect_list + sort_array + ``F.aggregate`` fold with the identical
-  addition order), so scores are bit-reproducible against a SQL
+  contributions added sequentially in ascending-term order; since r13
+  two bit-identical physical shapes exist — a window aggregate over
+  term-sorted rows for the in-session paths, the collect_list +
+  sort_array + ``F.aggregate`` fold for artifact probes — see
+  ``_bm25_score``), so scores are bit-reproducible against a SQL
   oracle rather than merely close — the same discipline as the
   v-family cosine folds in operators/similarity.py.
 """
@@ -169,14 +170,18 @@ def _bm25_rank(
     b: float,
     round_digits: int,
     exclude_self: bool,
+    agg_shape: str = "window",
 ) -> DataFrame:
     """The BM25 scoring + ranking core over prepared relations —
     shared verbatim by ``bm25_topk`` (in-session) and
     ``probe_lexical_index`` (loaded artifact), so a persisted index
-    probes row-identically to an in-session ranking."""
+    probes row-identically to an in-session ranking (``agg_shape``
+    picks the physical aggregation; both produce bit-identical
+    scores — see ``_bm25_score``)."""
     agg = _bm25_score(
         tf, df_all, stats, query_terms,
         k1=k1, b=b, round_digits=round_digits, exclude_self=exclude_self,
+        agg_shape=agg_shape,
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
@@ -196,6 +201,7 @@ def _bm25_score(
     round_digits: int,
     exclude_self: bool,
     candidates: DataFrame | None = None,
+    agg_shape: str = "window",
 ) -> DataFrame:
     """(query_id, doc_id, score, n_hit) — the un-ranked scoring half
     of ``_bm25_rank``, split out (r11) so the ``max_df``-pruned path
@@ -205,7 +211,26 @@ def _bm25_score(
     the pruned path's (query_id, doc_id) relation — bounded by
     contract, broadcast) restricts scoring per (query, doc) BEFORE
     the contribution aggregation, so the collect_list/fold volume is
-    candidate-sized even when the posting slice is head-term-heavy."""
+    candidate-sized even when the posting slice is head-term-heavy.
+
+    ``agg_shape`` picks the PHYSICAL aggregation only — both shapes
+    add the per-term contributions sequentially in ascending-term
+    order from +0.0, so scores are bit-identical (pinned on the full
+    fixture corpus by test_bm25_window_sum_bit_identical_to_fold):
+
+    - ``'window'`` (r13): a window aggregate over term-sorted rows —
+      whole-stage-codegen-friendly, and its one query_id exchange also
+      serves the downstream ranking window. Interleaved min-of-4 A/B
+      at sf0.1: 4.8s → 3.2s on the in-session shape, where the
+      contribution relation arrives on the corpus aggregation's many
+      partitions and the saved exchange + codegen dominate.
+    - ``'fold'`` (the pre-r13 shape): collect_list + sort_array + a
+      sequential fold — an ObjectHashAggregate, but its per-group
+      sorts are over ≤|query-vocab| elements. On ARTIFACT PROBES the
+      contribution relation comes off a few scan partitions and is
+      vocab-bounded; there the global term-string sort the window
+      needs measured SLOWER (2.5s → 3.9s, same interleaved protocol),
+      so the probe paths keep the fold deliberately."""
     # defensive distinct: a duplicate (query_id, term) input row would
     # double-count that term's contribution — the query relation is
     # tiny by contract, so the dedup is free
@@ -263,28 +288,40 @@ def _bm25_score(
         + F.lit(k1)
         * (F.lit(one_minus_b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
+    if agg_shape not in ("window", "fold"):
+        raise ValueError(
+            f"agg_shape must be 'window' or 'fold', got {agg_shape!r}"
+        )
+    if agg_shape == "fold":
+        contrib = scored.select(
+            "query_id",
+            "doc_id",
+            F.struct(
+                F.col("term").alias("key"), (idf * tf_part).alias("v")
+            ).alias("__c"),
+        )
+        return contrib.groupBy("query_id", "doc_id").agg(
+            F.round(_seq_sum(F.collect_list("__c")), round_digits).alias(
+                "score"
+            ),
+            F.count(F.lit(1)).alias("n_hit"),
+        )
     contrib = scored.select(
         "query_id",
         "doc_id",
         "term",
         (idf * tf_part).alias("__v"),
     )
-    # r13 optimization: the per-(query, doc) score was folded through
-    # collect_list + sort_array + an interpreted F.aggregate lambda —
-    # an ObjectHashAggregate pair (object-based buffers, outside
-    # whole-stage codegen) plus a SECOND exchange when the ranking
-    # window later regrouped by query_id. The same deterministic sum —
+    # The 'window' shape (r13): the same deterministic sum —
     # contributions added sequentially in ascending-term order,
-    # starting from +0.0 — is computed here by a window aggregate over
-    # term-sorted rows: a window frame's processor accumulates rows in
-    # the window's sort order, so the addition order (and every last
-    # ulp of the score) is unchanged. Bit-identity vs the fold is
-    # asserted on the full fixture corpus in tests/test_retrieval.py,
-    # and every BM25 query stays oracle-green. The explicit
+    # starting from +0.0 — computed by a window aggregate over
+    # term-sorted rows (a window frame's processor accumulates rows in
+    # the window's sort order, so the addition order and every last
+    # ulp of the score are unchanged vs the fold). The explicit
     # repartition on query_id alone (hash on a prefix of the window
     # keys still co-locates each (query, doc) group) serves BOTH this
     # window and the downstream ranking window — one exchange where
-    # the aggregate shape paid two.
+    # the fold shape pays two.
     wseq = Window.partitionBy("query_id", "doc_id").orderBy("term")
     wall = wseq.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -756,12 +793,27 @@ def probe_lexical_index(
         vocab = [r.term for r in vocab_rows]
     tf_v = tf.filter(F.col("term").isin(vocab))
     df_v = df.filter(F.col("term").isin(vocab))
-    # r13 optimization: materialize the vocabulary-sized df slice and
-    # the one-row stats at the driver. Both relations are lazy
-    # RE-AGGREGATIONS over the artifact's per-epoch partial files
-    # (load_lexical_index), and the plan references them repeatedly —
-    # df three times on the max_df-pruned path (rare/head split + the
-    # scoring core's df join), stats twice (scoring + the HB
+    if max_df is None:
+        # the unpruned path references df/stats ONCE each — their lazy
+        # broadcast builds overlap the final action's other stages
+        # under AQE, so eager driver collects here would serialize two
+        # extra actions for nothing (measured +~1s per probe at sf0.1
+        # when r13 tried it; reverted to lazy for this path).
+        # agg_shape='fold': probe contributions come off a few scan
+        # partitions and are vocab-bounded — the fold's per-group tiny
+        # sorts beat the window shape's global term sort here
+        # (interleaved A/B recorded in _bm25_score's docstring).
+        return _bm25_rank(
+            tf_v, df_v, stats, query_terms,
+            k=k, k1=k1, b=b, round_digits=round_digits,
+            exclude_self=exclude_self, agg_shape="fold",
+        )
+    # r13 optimization (max_df-PRUNED path only): materialize the
+    # vocabulary-sized df slice and the one-row stats at the driver.
+    # Both are lazy RE-AGGREGATIONS over the artifact's per-epoch
+    # partial files (load_lexical_index) and the pruned plan
+    # references them repeatedly — df three times (rare/head split +
+    # the scoring core's df join), stats twice (scoring + the HB
     # certificate) — so every broadcast build re-ran the partial scan
     # + sum. The df slice is ≤ max_terms rows by the vocabulary bound
     # just enforced and stats is ONE row: the same bounded-collect
@@ -775,12 +827,6 @@ def probe_lexical_index(
         stats.select("n_docs", "avgdl").collect(),
         schema=stats.select("n_docs", "avgdl").schema,
     )
-    if max_df is None:
-        return _bm25_rank(
-            tf_v, df_v, stats, query_terms,
-            k=k, k1=k1, b=b, round_digits=round_digits,
-            exclude_self=exclude_self,
-        )
     return _bm25_rank_pruned(
         tf_v, df_v, stats, query_terms,
         k=k, k1=k1, b=b, round_digits=round_digits,
@@ -843,6 +889,8 @@ def _bm25_rank_pruned(
         round_digits=round_digits,
         exclude_self=exclude_self,
         candidates=cand,
+        # probe-slice input: the fold shape wins here (see _bm25_score)
+        agg_shape="fold",
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     ranked = (
