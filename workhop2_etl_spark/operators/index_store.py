@@ -333,6 +333,16 @@ def _write_signed(
     )
     if store_dtype == "int8":
         signed = signed.drop("vec")
+    target = data_dir or f"{path}/index"
+    # r13: seed saves (save_lsh_index(corpus.limit(0), ...) — the
+    # streaming lifecycles' starting state) previously launched a
+    # Spark write job for zero rows; when Catalyst proves the input
+    # statically empty, write the one empty part driver-side with the
+    # identical read-back schema (guide §1.2)
+    if _plan_is_empty_local(corpus) and _driver_write_tiny_parquet(
+        corpus.sparkSession, signed.schema, [], target, mode
+    ):
+        return
     keys = ["table_id", "sig"]
     reparted = (
         signed.repartition(num_partitions, *keys) if num_partitions
@@ -341,7 +351,7 @@ def _write_signed(
     (
         reparted.sortWithinPartitions(*keys)
         .write.mode(mode)
-        .parquet(data_dir or f"{path}/index")
+        .parquet(target)
     )
 
 
@@ -517,6 +527,20 @@ def _write_centroid_rows(
         raise ValueError(
             f"centroids {bad} have vectors of the wrong length for dim={dim}"
         )
+    # r13: the quantizer is a dimension-sized DRIVER-LOCAL list — write
+    # it driver-side (the write twin of _read_centroid_rows' pyarrow
+    # fast path); one Spark job less per save/restore/retrain. Types
+    # are normalized to Python int/float first so the Arrow file holds
+    # the exact doubles the Spark writer would have.
+    rows = [
+        {"centroid_id": int(cid), "centroid": [float(x) for x in vec]}
+        for cid, vec in centroids
+    ]
+    schema = spark.createDataFrame(
+        [], "centroid_id int, centroid array<double>"
+    ).schema
+    if _driver_write_tiny_parquet(spark, schema, rows, data_path, mode):
+        return
     spark.createDataFrame(
         centroids, "centroid_id int, centroid array<double>"
     ).repartition(1).write.mode(mode).parquet(data_path)
@@ -740,6 +764,16 @@ def _write_ivf_postings(
         assigned = _int8_quantize(assigned).drop("vec")
     else:
         assigned = assigned.withColumn("norm", l2_norm(F.col("vec")))
+    target = data_dir or f"{path}/index"
+    # r13: seed saves (save_ivf_index(corpus.limit(0), ...) — the
+    # streaming lifecycles' starting state) previously launched a
+    # Spark write job for zero rows; when Catalyst proves the input
+    # statically empty, write the one empty part driver-side with the
+    # identical read-back schema (guide §1.2)
+    if _plan_is_empty_local(corpus) and _driver_write_tiny_parquet(
+        corpus.sparkSession, assigned.schema, [], target, mode
+    ):
+        return
     reparted = (
         assigned.repartition(num_partitions, "centroid_id") if num_partitions
         else assigned.repartition("centroid_id")
@@ -747,7 +781,7 @@ def _write_ivf_postings(
     (
         reparted.sortWithinPartitions("centroid_id")
         .write.mode(mode)
-        .parquet(data_dir or f"{path}/index")
+        .parquet(target)
     )
 
 
@@ -759,7 +793,16 @@ def _write_codebook_rows(
     mode: str,
 ) -> None:
     # grid validation happens in similarity._pq_codebook_relation at
-    # encode time; persist exactly what encoded the postings
+    # encode time; persist exactly what encoded the postings.
+    # r13: dimension-sized driver-local list — driver-side write, one
+    # Spark job less per pq8 save/restore (see _write_centroid_rows)
+    rows = [
+        {"m": int(m), "j": int(j), "c": [float(x) for x in c]}
+        for m, j, c in codebooks
+    ]
+    schema = spark.createDataFrame([], "m int, j int, c array<double>").schema
+    if _driver_write_tiny_parquet(spark, schema, rows, data_path, mode):
+        return
     spark.createDataFrame(
         [(int(m), int(j), [float(x) for x in c]) for m, j, c in codebooks],
         "m int, j int, c array<double>",
