@@ -248,7 +248,22 @@ def minhash_candidates(
         .select(id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key"))
         .filter(F.col("band_key").isNotNull())
     )
-    a = banded.alias("a")
+    # r13 optimization: pre-partition the banded relation on the join
+    # keys so the self-join's two sides read ONE exchange
+    # (ReusedExchange) instead of each re-running the whole
+    # signature pipeline (normalize + shingle + one md5 PER SHINGLE —
+    # the dominant cost; the planner previously broadcast one side,
+    # which rebuilt that lineage in the broadcast build and would be
+    # a corpus-sized broadcast at scale). The banded rows are ~30
+    # bytes each (id + band key), so the single shuffle is cheap at
+    # any corpus size and the join needs no further exchange.
+    banded = banded.repartition("band_id", "band_key")
+    # MERGE hint: without it the planner broadcast-builds one side
+    # (small size estimate), which re-runs the signature lineage and
+    # ignores the shared exchange; as a sort-merge join both sides'
+    # required distribution is already satisfied, so the second side
+    # plans as a ReusedExchange and the signatures compute ONCE
+    a = banded.alias("a").hint("merge")
     b = banded.alias("b")
     return (
         a.join(
